@@ -1,0 +1,44 @@
+"""Pipeline configuration, mirroring the reference's options interfaces.
+
+The reference builds options with PipelineOptionsFactory over a stack of
+interfaces (TrafficMaxLaneFlow.java:322-345 extending
+DataflowExampleOptions/ExamplePubsubTopicOptions/ExampleBigQueryTableOptions)
+with these defaults: windowDuration=60 min (TrafficMaxLaneFlow.java:86,332-334),
+windowSlideEvery=1 min (TrafficMaxLaneFlow.java:87,339-341), --streaming flag
+(TrafficMaxLaneFlow.java:355).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class TrafficConfig:
+    """Options for the TrafficMaxLaneFlow-equivalent pipeline."""
+
+    # --windowDuration, minutes (TrafficMaxLaneFlow.java:86, default 60)
+    window_duration_minutes: int = 60
+    # --windowSlideEvery, minutes (TrafficMaxLaneFlow.java:87, default 1)
+    window_slide_minutes: int = 1
+    # --streaming (TrafficMaxLaneFlow.java:355). Batch assigns event time
+    # from the parsed CSV timestamp; streaming uses source ingest time
+    # (the reference's Pub/Sub-publish-time behavior, SURVEY.md §2.5).
+    streaming: bool = False
+    # Watermark delay for streaming window aggregation. The reference
+    # leaves lateness to Beam defaults (allowed lateness 0, runner-managed
+    # watermark); Spark requires an explicit bound — this is the one
+    # documented choice the engine adds (SURVEY.md §2.5).
+    watermark_delay: str = "10 minutes"
+    # Opt-in fix for the reference's batch/streaming event-time asymmetry:
+    # when True, streaming mode parses the payload timestamp instead of
+    # using ingest time (SURVEY.md §2.5 "honor payload timestamp" flag).
+    streaming_honor_payload_timestamp: bool = False
+
+    @property
+    def window_duration(self) -> str:
+        return f"{self.window_duration_minutes} minutes"
+
+    @property
+    def window_slide(self) -> str:
+        return f"{self.window_slide_minutes} minutes"

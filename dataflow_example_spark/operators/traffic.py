@@ -1,0 +1,252 @@
+"""TrafficMaxLaneFlow pipeline operators, Spark-first.
+
+Every function here is a pure ``DataFrame -> DataFrame`` transformation,
+usable unchanged on a batch DataFrame or a streaming DataFrame — the
+reference's unified batch/streaming contract (TrafficMaxLaneFlow.java:374-382,
+SURVEY.md §1.4). Everything is native column expressions (whole-stage
+codegen; zero Python cost on the hot path).
+
+Operator parity map (SURVEY.md §2):
+
+- op 8  ``filter_header_and_empties``  <- PubsubFileInjector.java:45-55
+- op 6  ``extract_flow_info``          <- ExtractFlowInfoFn, TrafficMaxLaneFlow.java:172-227
+- op 7  event-timestamp assignment     <- TrafficMaxLaneFlow.java:174-175,215-221
+- op 9  sliding windows                <- TrafficMaxLaneFlow.java:390-394
+- op 10 ``max_lane_flow`` (max-by)     <- MaxFlow combiner, TrafficMaxLaneFlow.java:236-252
+- op 11 ``format_maxes``               <- FormatMaxesFn, TrafficMaxLaneFlow.java:258-296
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import TrafficConfig
+from ..schemas import MIN_FIELDS, N_LANES, TS_FORMAT_SPARK
+
+
+def filter_header_and_empties(df: DataFrame, col: str = "value") -> DataFrame:
+    """Drop empty lines and header lines starting with "Timestamp".
+
+    Parity: FilterHeaderAndEmpties (PubsubFileInjector.java:45-55).
+    """
+    c = F.col(col)
+    return df.filter((F.length(c) > 0) & (~c.startswith("Timestamp")))
+
+
+def _int_or_null(c: Column) -> Column:
+    """Java Integer.parseInt semantics: null unless the whole string is a
+    (signed) decimal integer in int range (tryIntParse,
+    TrafficMaxLaneFlow.java:403-409 returns null on NumberFormatException).
+    Spark's bare string->int cast is laxer (trims whitespace), so gate on a
+    strict regex first; try_cast nulls out int-range overflow (and stays
+    null-safe under ANSI mode, Spark 4's default).
+    """
+    return F.when(c.rlike(r"^[+-]?\d+$"), c.try_cast("int"))
+
+
+def _double_or_null(c: Column) -> Column:
+    """Java Double.parseDouble semantics via cast-to-double (null on
+    failure). Deviation (documented): Java accepts surrounding whitespace
+    and hex-float forms; Spark's cast accepts trimmed decimal/scientific
+    forms — identical on all PeMS-shaped data.
+    (tryDoubleParse, TrafficMaxLaneFlow.java:411-417)
+    """
+    return c.try_cast("double")
+
+
+def extract_flow_info(
+    df: DataFrame,
+    col: str = "value",
+    assign_event_ts: bool = True,
+    ingest_ts_col: str | None = None,
+) -> DataFrame:
+    """CSV line -> up to 8 lane_info rows (one per lane), with the
+    reference's exact edge semantics (ExtractFlowInfoFn,
+    TrafficMaxLaneFlow.java:172-227; SURVEY.md §2.3):
+
+    1. Java ``String.split(",")`` drops trailing empty fields — mirrored by
+       stripping trailing commas before splitting.
+    2. Lines with fewer than :data:`MIN_FIELDS` (49) fields are dropped.
+       (The reference guards ``< 48`` and would crash on exactly 48;
+       we drop — documented deviation, SURVEY.md §2.3 item 2.)
+    3. **Prefix emission**: lanes are parsed in order 1..8; the first lane
+       whose flow/occ/speed fails to parse stops emission — earlier lanes
+       are kept, that lane and later ones are dropped
+       (TrafficMaxLaneFlow.java:197-203).
+    4. Batch mode (``assign_event_ts=True``): event time is the parsed
+       field-0 timestamp; unparseable timestamp drops the record
+       (TrafficMaxLaneFlow.java:215-221). Streaming mode: event time is
+       the source ingest timestamp (``ingest_ts_col``), mirroring the
+       reference's Pub/Sub-publish-time behavior (SURVEY.md §2.5).
+    5. ``total_flow`` is parse-or-null, carried without dropping
+       (TrafficMaxLaneFlow.java:196).
+    """
+    # (1) Java split drops trailing empties; strip trailing commas first.
+    items = F.split(F.regexp_replace(F.col(col), ",+$", ""), ",")
+
+    passthrough = [ingest_ts_col] if ingest_ts_col else []
+    base = df.select(items.alias("_items"), *passthrough).filter(
+        F.size("_items") >= MIN_FIELDS  # (2)
+    )
+
+    def item(i: int) -> Column:
+        return F.col("_items").getItem(i)
+
+    lane_structs = []
+    first_invalid = []
+    for i in range(1, N_LANES + 1):
+        flow = _int_or_null(item(6 + 5 * i))
+        occ = _double_or_null(item(7 + 5 * i))
+        speed = _double_or_null(item(8 + 5 * i))
+        lane_structs.append(
+            F.struct(
+                F.lit(i).alias("lane_idx"),
+                F.lit(f"lane{i}").alias("lane"),
+                flow.alias("lane_flow"),
+                occ.alias("lane_avg_occ"),
+                speed.alias("lane_avg_speed"),
+            )
+        )
+        # (3) first lane index with any unparseable reading, else N+1
+        first_invalid.append(
+            F.when(flow.isNull() | occ.isNull() | speed.isNull(), F.lit(i))
+        )
+
+    parsed = base.select(
+        item(1).alias("station_id"),
+        item(3).alias("direction"),
+        item(2).alias("freeway"),
+        item(0).alias("recorded_timestamp"),
+        _int_or_null(item(7)).alias("total_flow"),  # (5)
+        F.array(*lane_structs).alias("_lanes"),
+        F.coalesce(*first_invalid, F.lit(N_LANES + 1)).alias("_first_invalid"),
+        *passthrough,
+    )
+
+    exploded = parsed.select(
+        "*", F.explode("_lanes").alias("_lane")
+    ).filter(F.col("_lane.lane_idx") < F.col("_first_invalid"))
+
+    # (4) event-time assignment
+    if assign_event_ts:
+        event_ts = F.try_to_timestamp(
+            F.col("recorded_timestamp"), F.lit(TS_FORMAT_SPARK)
+        )
+    elif ingest_ts_col:
+        event_ts = F.col(ingest_ts_col)
+    else:
+        event_ts = F.lit(None).cast("timestamp")
+
+    out = exploded.select(
+        "station_id",
+        F.col("_lane.lane").alias("lane"),
+        F.col("_lane.lane_idx").alias("lane_idx"),
+        "direction",
+        "freeway",
+        "recorded_timestamp",
+        F.col("_lane.lane_flow").alias("lane_flow"),
+        F.col("_lane.lane_avg_occ").alias("lane_avg_occ"),
+        F.col("_lane.lane_avg_speed").alias("lane_avg_speed"),
+        "total_flow",
+        event_ts.alias("event_ts"),
+    )
+    if assign_event_ts:
+        out = out.filter(F.col("event_ts").isNotNull())
+    return out
+
+
+# Deterministic max-by tie-break (SURVEY.md §2.4): the reference's MaxFlow
+# uses `flow >= max` over a nondeterministic iteration order
+# (TrafficMaxLaneFlow.java:240-251), so ties are unspecified there. We pin:
+# greatest lane_flow, then greatest lane_idx, then greatest
+# recorded_timestamp string — a total order on any input where (station,
+# recorded_timestamp, lane) is unique. The DuckDB oracle uses the same rule.
+def _max_by_key() -> Column:
+    return F.struct(
+        F.col("lane_flow"),
+        F.col("lane_idx"),
+        F.col("recorded_timestamp"),
+    )
+
+
+def max_lane_flow(
+    lane_info: DataFrame,
+    config: TrafficConfig = TrafficConfig(),
+) -> DataFrame:
+    """Per (sliding window, station), keep the whole lane record with the
+    maximal lane_flow (MaxFlow via Combine.perKey,
+    TrafficMaxLaneFlow.java:236-252,302-315).
+
+    Spark plan: ``groupBy(window, station).agg(max_by(struct, key))`` —
+    a two-phase hash aggregate (partial ``max_by`` before the exchange,
+    the combiner-lifting the reference relies on Beam for; SURVEY.md §4.3).
+    No sort, no window function: O(1) state per group per partition.
+
+    Deviation (documented): the reference initializes its running max to 0
+    and emits an all-null record if every flow is negative
+    (TrafficMaxLaneFlow.java:241-242) — unobservable on PeMS data (flows
+    >= 0); we return the true max record.
+    """
+    win = F.window("event_ts", config.window_duration, config.window_slide)
+    record = F.struct(
+        "lane",
+        "lane_idx",
+        "direction",
+        "freeway",
+        "recorded_timestamp",
+        "lane_flow",
+        "lane_avg_occ",
+        "lane_avg_speed",
+        "total_flow",
+    )
+    return (
+        lane_info.filter(F.col("lane_flow").isNotNull())
+        .groupBy(win.alias("window"), "station_id")
+        .agg(F.max_by(record, _max_by_key()).alias("max"))
+    )
+
+
+def format_maxes(maxes: DataFrame) -> DataFrame:
+    """Project the 10-column output row (FormatMaxesFn,
+    TrafficMaxLaneFlow.java:258-296). ``window_timestamp`` is the window
+    end — Beam's default END_OF_WINDOW timestamp combiner
+    (TrafficMaxLaneFlow.java:276-277; SURVEY.md §2 op 11).
+    """
+    return maxes.select(
+        "station_id",
+        F.col("max.direction").alias("direction"),
+        F.col("max.freeway").alias("freeway"),
+        F.col("max.lane_flow").alias("lane_max_flow"),
+        F.col("max.lane").alias("lane"),
+        F.col("max.lane_avg_occ").alias("avg_occ"),
+        F.col("max.lane_avg_speed").alias("avg_speed"),
+        F.col("max.total_flow").alias("total_flow"),
+        F.col("max.recorded_timestamp").alias("recorded_timestamp"),
+        F.col("window.end").alias("window_timestamp"),
+    )
+
+
+def traffic_pipeline(
+    lines: DataFrame,
+    config: TrafficConfig = TrafficConfig(),
+    value_col: str = "value",
+    ingest_ts_col: str | None = None,
+) -> DataFrame:
+    """Full TrafficMaxLaneFlow graph (TrafficMaxLaneFlow.java:371-396):
+    filter header/empties -> parse/flatten -> sliding windows ->
+    per-(window, station) max-by -> 10-column projection.
+
+    Works on batch and streaming inputs alike; streaming callers add the
+    watermark before aggregation (see ``streaming.traffic_stream``).
+    """
+    assign = (not config.streaming) or config.streaming_honor_payload_timestamp
+    lane_info = extract_flow_info(
+        filter_header_and_empties(lines, value_col),
+        col=value_col,
+        assign_event_ts=assign,
+        ingest_ts_col=ingest_ts_col,
+    )
+    if config.streaming and config.watermark_delay:
+        lane_info = lane_info.withWatermark("event_ts", config.watermark_delay)
+    return format_maxes(max_lane_flow(lane_info, config))

@@ -1,0 +1,71 @@
+"""SparkSession factory.
+
+The reference delegates all execution configuration to the Dataflow runner
+(runTrafficMaxLaneFlow.sh:4-6, autoscaling 1-4 workers). Spark makes those
+choices explicit; this factory pins the ones that affect semantics or scale:
+
+- **UTC session timezone** — the reference parses ``MM/dd/yyyy HH:mm:ss``
+  with the JVM default zone (TrafficMaxLaneFlow.java:174-175, an implicit
+  dependency); we pin UTC so results are environment-independent.
+- **AQE on** — runtime shuffle-partition coalescing and skew-join handling;
+  at 100 TB this is what keeps a static ``spark.sql.shuffle.partitions``
+  from being wrong in both directions.
+- **Arrow on** — pandas-UDF paths (beyond-reference operators) use Arrow
+  batches, never row-at-a-time pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "dataflow-example-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's semantic defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``).
+    On a real cluster, pass ``master=None`` via spark-submit and these
+    configs still apply.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return spark
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's *runtime-settable* semantic defaults to an
+    externally created session (e.g. the driver harness's).
+
+    Only touches confs that are safe to set post-launch.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

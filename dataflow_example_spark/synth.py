@@ -1,0 +1,80 @@
+"""Deterministic PeMS-style traffic CSV synthesis from the ``events`` table.
+
+The reference's input is a PeMS 5-minute sensor CSV
+(TrafficMaxLaneFlow.java:324-327); the driver's testdata has no traffic CSV,
+so the correctness queries synthesize one — *inside the DataFrame plan* —
+from ``events.parquet``, with arithmetic a DuckDB oracle reproduces exactly
+(integer modulus + dyadic-rational doubles, so every value round-trips
+bit-identically through the CSV string form).
+
+Contract shared with the oracle SQL (see ``oracles.py``):
+
+- one synthetic reading per (station, second): station = user_id % 50,
+  second = date_trunc(ts); collisions resolved by eid = min(event_id) —
+  this makes (station, recorded_timestamp, lane) unique, so the
+  deterministic max-by tie-break is a total order.
+- station_id = 'S' || lpad(station, 3, '0')
+- freeway    = eid % 5 (as string)
+- direction  = ['N','S','E','W'][eid % 4]
+- total_flow = eid % 300
+- lane i in 1..8:
+    lane_flow      = (eid * i) % 100
+    lane_avg_occ   = ((eid*7 + i) % 128) / 128.0    (dyadic -> exact)
+    lane_avg_speed = 40.0 + ((eid*13 + i*5) % 512) / 8.0
+- CSV layout per FIXTURES.md §1: ts, station, freeway, direction, 3 filler,
+  total_flow, 3 filler, then per lane [flow, occ, speed, filler, filler]
+  -> 51 fields, flow_i at index 6+5i, occ at 7+5i, speed at 8+5i.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schemas import TS_FORMAT_SPARK
+
+DIRECTIONS = ("N", "S", "E", "W")
+
+
+def synth_traffic_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet -> one row per (station, second) with eid."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            (F.col("user_id") % 50).cast("int").alias("station"),
+            F.date_trunc("second", F.col("ts")).alias("ts_sec"),
+        )
+        .agg(F.min("event_id").alias("eid"))
+    )
+
+
+def _lane_cols(i: int) -> list[Column]:
+    eid = F.col("eid")
+    flow = (eid * i) % 100
+    occ = ((eid * 7 + i) % 128).cast("double") / F.lit(128.0)
+    speed = F.lit(40.0) + ((eid * 13 + i * 5) % 512).cast("double") / F.lit(8.0)
+    return [
+        flow.cast("string"),
+        occ.cast("string"),
+        speed.cast("string"),
+        F.lit("x"),
+        F.lit("x"),
+    ]
+
+
+def synth_traffic_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame with a single ``value`` column of PeMS-style CSV lines."""
+    readings = synth_traffic_readings(spark, sf_dir)
+    eid = F.col("eid")
+    fields: list[Column] = [
+        F.date_format("ts_sec", TS_FORMAT_SPARK),                   # 0 ts
+        F.concat(F.lit("S"), F.lpad(F.col("station").cast("string"), 3, "0")),  # 1
+        (eid % 5).cast("string"),                                   # 2 freeway
+        F.element_at(F.array(*[F.lit(d) for d in DIRECTIONS]), (eid % 4).cast("int") + 1),  # 3
+        F.lit("x"), F.lit("x"), F.lit("x"),                         # 4-6 filler
+        (eid % 300).cast("string"),                                 # 7 total_flow
+        F.lit("x"), F.lit("x"), F.lit("x"),                         # 8-10 filler
+    ]
+    for i in range(1, 9):
+        fields.extend(_lane_cols(i))
+    return readings.select(F.concat_ws(",", *fields).alias("value"))

@@ -1,0 +1,121 @@
+"""Edge-case parity tests for ExtractFlowInfoFn semantics (SURVEY.md §2.3).
+
+Each case cites the reference behavior it pins.
+"""
+
+from __future__ import annotations
+
+from dataflow_example_spark.operators.traffic import (
+    extract_flow_info,
+    filter_header_and_empties,
+)
+from dataflow_example_spark.sources.memory import create_strings
+
+
+def make_line(
+    ts="01/01/2010 00:00:00",
+    station="400000",
+    freeway="101",
+    direction="N",
+    total_flow="50",
+    lanes=None,  # list of (flow, occ, speed) strings, 8 entries
+    extra_fields=2,
+):
+    lanes = lanes or [(str(10 * i), "0.5", "60.0") for i in range(1, 9)]
+    fields = [ts, station, freeway, direction, "x", "x", "x", total_flow, "x", "x", "x"]
+    for flow, occ, speed in lanes:
+        fields.extend([flow, occ, speed, "x", "x"])
+    return ",".join(fields[: len(fields) - (2 - extra_fields)])
+
+
+def parse(spark, lines, **kw):
+    df = extract_flow_info(create_strings(spark, lines), **kw)
+    return df.collect()
+
+
+def test_valid_line_emits_8_lanes(spark):
+    rows = parse(spark, [make_line()])
+    assert len(rows) == 8
+    assert [r.lane for r in rows] == [f"lane{i}" for i in range(1, 9)]
+    assert rows[2].lane_flow == 30  # lane 3 flow (TMLF:198: items[6+5i])
+    assert rows[0].station_id == "400000"
+    assert rows[0].direction == "N"
+    assert rows[0].freeway == "101"
+    assert rows[0].total_flow == 50
+
+
+def test_short_line_dropped(spark):
+    # < 48 fields -> dropped whole (TMLF:187-190)
+    assert parse(spark, ["a,b,c", make_line()[:100]]) == []
+
+
+def test_exactly_48_fields_dropped(spark):
+    # reference would crash (off-by-one, SURVEY §2.3.2); we drop
+    line = ",".join(["f"] * 48)
+    assert parse(spark, [line]) == []
+
+
+def test_prefix_emission_on_bad_lane(spark):
+    # lane 3 has unparseable flow -> lanes 1-2 emitted, 3-8 dropped
+    # (TMLF:197-203)
+    lanes = [(str(10 * i), "0.5", "60.0") for i in range(1, 9)]
+    lanes[2] = ("notanint", "0.5", "60.0")
+    rows = parse(spark, [make_line(lanes=lanes)])
+    assert [r.lane for r in rows] == ["lane1", "lane2"]
+
+    # same for bad occupancy / bad speed
+    lanes[2] = ("30", "junk", "60.0")
+    assert len(parse(spark, [make_line(lanes=lanes)])) == 2
+    lanes[2] = ("30", "0.5", "junk")
+    assert len(parse(spark, [make_line(lanes=lanes)])) == 2
+
+
+def test_bad_first_lane_emits_nothing(spark):
+    lanes = [("bad", "0.5", "60.0")] + [("10", "0.5", "60.0")] * 7
+    assert parse(spark, [make_line(lanes=lanes)]) == []
+
+
+def test_bad_timestamp_drops_record_in_batch(spark):
+    rows = parse(spark, [make_line(ts="not a timestamp")])
+    assert rows == []
+    # but in streaming mode (no payload-ts assignment) the record survives
+    rows = parse(spark, [make_line(ts="not a timestamp")], assign_event_ts=False)
+    assert len(rows) == 8
+    assert all(r.event_ts is None for r in rows)
+
+
+def test_null_total_flow_carried(spark):
+    # total_flow parse failure nulls the column, drops nothing (TMLF:196)
+    rows = parse(spark, [make_line(total_flow="N/A")])
+    assert len(rows) == 8
+    assert all(r.total_flow is None for r in rows)
+
+
+def test_trailing_commas_java_split_semantics(spark):
+    # Java String.split(",") drops trailing empty fields; a valid 51-field
+    # line plus trailing commas still parses...
+    rows = parse(spark, [make_line() + ",,,,"])
+    assert len(rows) == 8
+    # ...but a line whose *significant* fields end early is dropped even if
+    # commas pad it past 49 (all-empty tail = fewer effective fields).
+    assert parse(spark, ["a,b,c" + "," * 60]) == []
+
+
+def test_float_flow_rejected_like_parseInt(spark):
+    # Java Integer.parseInt("30.0") throws -> lane invalid; guards against
+    # Spark's laxer string->int cast
+    lanes = [("30.0", "0.5", "60.0")] + [("10", "0.5", "60.0")] * 7
+    assert parse(spark, [make_line(lanes=lanes)]) == []
+
+
+def test_event_ts_parsing(spark):
+    rows = parse(spark, [make_line(ts="03/15/2010 14:30:05")])
+    assert rows[0].event_ts.strftime("%Y-%m-%d %H:%M:%S") == "2010-03-15 14:30:05"
+
+
+def test_filter_header_and_empties(spark):
+    df = create_strings(
+        spark, ["Timestamp,Station", "", "data,line", "Timestamped header", "x"]
+    )
+    vals = [r.value for r in filter_header_and_empties(df).collect()]
+    assert vals == ["data,line", "x"]
