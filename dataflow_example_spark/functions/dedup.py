@@ -1,0 +1,236 @@
+"""Deduplication operators for LLM-data pipelines (beyond-reference;
+BASELINE.json north star): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale notes (100 TB):
+- exact dedup is one hash-shuffle on a 16-byte key — the cheapest path;
+  group on md5(text), never on the raw text (shuffle bytes).
+- n-gram Jaccard self-join explodes on shingles; hot shingles skew the
+  join. It is the *verifier* — run it only on candidate pairs. The scale
+  path to candidates is MinHash+LSH (band buckets bound comparisons) —
+  that is why both exist here.
+- all hashes are md5-derived and engine-portable (the DuckDB oracles
+  compute the identical signatures), deterministic across runs/cluster
+  sizes — no seed state on executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+N_MINHASHES = 16
+BAND_SIZE = 4  # 4 bands x 4 rows
+
+
+def _hash32(c: Column) -> Column:
+    """Portable 32-bit hash: first 8 hex digits of md5, as bigint.
+    (DuckDB: CAST('0x' || substr(md5(x), 1, 8) AS BIGINT).)"""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: hash-groupBy on md5(text). Returns one row
+    per distinct content with the min doc_id as representative."""
+    return (
+        docs.select("doc_id", F.md5(F.col(text_col)).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("doc_id", "content_md5", "n_dups")
+    )
+
+
+def shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct k-word shingles per document: (doc_id, shingle)."""
+    toks = tokens(F.col(text_col))
+    # shingle i joins tokens[i..i+k-1]; sequence over 0..n_tokens-k
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return (
+        docs.filter(F.size(toks) >= k)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    Self-join on shingles -> per-pair intersection counts; union from
+    per-doc shingle counts. Exact integer arithmetic; the double division
+    is the single final op (oracle-identical).
+    """
+    sh = shingles(docs, k, text_col).cache()
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASHES,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signature per doc: for hash i, min over shingles of
+    hash32(shingle || '#' || i). One explode + one groupBy with n_hashes
+    min() aggregates (partial aggregation map-side)."""
+    sh = shingles(docs, k, text_col)
+    hashes = [
+        _hash32(F.concat_ws("#", F.col("shingle"), F.lit(str(i)))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return (
+        sh.select("doc_id", *hashes)
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{i}").alias(f"mh{i}") for i in range(n_hashes)])
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASHES,
+    band_size: int = BAND_SIZE,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one full minhash band,
+    with the estimated similarity = fraction of equal minhash components.
+
+    Scale path: band buckets bound the comparison set; the band join
+    shuffles on (band_id, band values) — high-cardinality keys, AQE
+    handles residual skew.
+    """
+    sig = minhash_signatures(docs, n_hashes, k, text_col).cache()
+    n_bands = n_hashes // band_size
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        *[
+                            F.col(f"mh{b * band_size + r}").alias(f"b{r}")
+                            for r in range(band_size)
+                        ],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.*")
+    a, b = bands.alias("a"), bands.alias("b")
+    band_cols = ["band_id"] + [f"b{r}" for r in range(band_size)]
+    cand = (
+        a.join(b, [F.col(f"a.{c}") == F.col(f"b.{c}") for c in band_cols])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_hashes)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_hashes)],
+    )
+    eq = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (eq.cast("double") / n_hashes).alias("est_jaccard"),
+        )
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFrame:
+    """Per-doc SimHash over the token multiset: bit j of the signature is
+    the sign of sum over tokens of (+1 if bit j of hash32(token) else -1)."""
+    toks = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
+    hashed = toks.select("doc_id", _hash32(F.col("tok")).alias("h"))
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = sum(
+        F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        for j in range(bits)
+    )
+    return bit_sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance.
+
+    All-pairs here (correctness baseline / small dims); the scale path
+    buckets signatures by band rotation before comparing — same pattern as
+    minhash_lsh_pairs.
+    """
+    sig = simhash(docs, bits, text_col)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,180 @@
+"""Embedding similarity search (beyond-reference; BASELINE.json north star).
+
+Two paths over an ``array<float>`` embedding column:
+
+- ``cosine_topk`` — brute-force exact top-k: the correctness baseline.
+  The dot product is a sequential index-order fold (``F.aggregate`` over
+  ``zip_with``) in double precision, so the DuckDB oracle (``list_reduce``)
+  reproduces it bit-exactly (float->double casts are exact; the addition
+  order is pinned); ties break by candidate id to keep top-k deterministic
+  across engines.
+- ``lsh_topk`` — sign-random-projection LSH: the scale path. Hyperplanes
+  are *derived arithmetically* (deterministic, seedless, identical on any
+  cluster); candidates = vectors sharing the query's bucket, then exact
+  re-rank within the bucket.
+
+Scale notes (100 TB): brute force is a broadcast of the (small) query set
+against a full scan — linear, no shuffle, but O(N·Q). LSH bounds the
+candidate set per query; bucket skew is the failure mode (AQE skew-join
+handles moderate cases; rotate to multi-table LSH beyond that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential index-order fold -> deterministic double sum."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    da, db = _to_double(a), _to_double(b)
+    return dot(da, db) / (norm(da) * norm(db))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors by cosine for each query vector.
+
+    ``queries``: (query_id, embedding). Plan: broadcast queries x full scan
+    -> per-(query, candidate) cosine -> row_number window -> k. Both
+    engines compute bit-identical doubles (pinned fold order), so the raw
+    cosine is comparable; ties break on candidate id.
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def hyperplane(plane_id: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component values in [-1, 1):
+    h[d] = ((plane_id * 73856093 + d * 19349663 + 83492791) % 2000 - 1000)
+           / 1024  (dyadic -> exact in every engine)."""
+    return [
+        ((plane_id * 73856093 + d * 19349663 + 83492791) % 2000 - 1000) / 1024.0
+        for d in range(dim)
+    ]
+
+
+def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
+    """Sign-random-projection bucket id: bit p = (vec . plane_p) >= 0."""
+    v = _to_double(vec)
+    acc = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in hyperplane(p, dim)])
+        acc = acc + F.when(dot(v, plane) >= 0, F.lit(2**p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return acc
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k: candidates share the query's sign-projection bucket;
+    exact cosine re-rank inside the bucket. Recall < 1 by construction —
+    the oracle computes the same buckets, so results still match exactly.
+    """
+    from pyspark.sql.window import Window
+
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (all-pairs baseline; the
+    bucketed variant composes ``lsh_bucket`` the same way as lsh_topk)."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -93,25 +93,33 @@ def extract_flow_info(
     def item(i: int) -> Column:
         return F.col("_items").getItem(i)
 
-    lane_structs = []
-    first_invalid = []
-    for i in range(1, N_LANES + 1):
-        flow = _int_or_null(item(6 + 5 * i))
-        occ = _double_or_null(item(7 + 5 * i))
-        speed = _double_or_null(item(8 + 5 * i))
-        lane_structs.append(
+    # Raw (unparsed) per-lane triples. Kept as strings here and cast
+    # *after* the explode so the parse expressions appear once in the plan
+    # instead of once per lane — 8x smaller generated code (janino blows
+    # the heap on the expanded form under small driver heaps).
+    lanes_raw = F.array(
+        *[
             F.struct(
                 F.lit(i).alias("lane_idx"),
-                F.lit(f"lane{i}").alias("lane"),
-                flow.alias("lane_flow"),
-                occ.alias("lane_avg_occ"),
-                speed.alias("lane_avg_speed"),
+                item(6 + 5 * i).alias("f"),
+                item(7 + 5 * i).alias("o"),
+                item(8 + 5 * i).alias("s"),
             )
-        )
-        # (3) first lane index with any unparseable reading, else N+1
-        first_invalid.append(
-            F.when(flow.isNull() | occ.isNull() | speed.isNull(), F.lit(i))
-        )
+            for i in range(1, N_LANES + 1)
+        ]
+    )
+
+    # (3) validity per lane via ONE lambda body; first invalid lane index
+    # (array_position returns 0 when every lane is valid).
+    def lane_valid(x: Column) -> Column:
+        flow_ok = x.f.rlike(r"^[+-]?\d+$") & x.f.try_cast("int").isNotNull()
+        return flow_ok & x.o.try_cast("double").isNotNull() & x.s.try_cast(
+            "double"
+        ).isNotNull()
+
+    first_invalid = F.array_position(
+        F.transform(lanes_raw, lane_valid), F.lit(False)
+    )
 
     parsed = base.select(
         item(1).alias("station_id"),
@@ -119,14 +127,29 @@ def extract_flow_info(
         item(2).alias("freeway"),
         item(0).alias("recorded_timestamp"),
         _int_or_null(item(7)).alias("total_flow"),  # (5)
-        F.array(*lane_structs).alias("_lanes"),
-        F.coalesce(*first_invalid, F.lit(N_LANES + 1)).alias("_first_invalid"),
+        lanes_raw.alias("_lanes"),
+        F.when(first_invalid == 0, F.lit(N_LANES + 1))
+        .otherwise(first_invalid)
+        .cast("int")
+        .alias("_first_invalid"),
         *passthrough,
     )
 
     exploded = parsed.select(
-        "*", F.explode("_lanes").alias("_lane")
-    ).filter(F.col("_lane.lane_idx") < F.col("_first_invalid"))
+        "*", F.explode("_lanes").alias("_raw")
+    ).filter(F.col("_raw.lane_idx") < F.col("_first_invalid"))
+    exploded = exploded.select(
+        "*",
+        F.struct(
+            F.col("_raw.lane_idx").alias("lane_idx"),
+            F.concat(F.lit("lane"), F.col("_raw.lane_idx").cast("string")).alias(
+                "lane"
+            ),
+            _int_or_null(F.col("_raw.f")).alias("lane_flow"),
+            _double_or_null(F.col("_raw.o")).alias("lane_avg_occ"),
+            _double_or_null(F.col("_raw.s")).alias("lane_avg_speed"),
+        ).alias("_lane"),
+    )
 
     # (4) event-time assignment
     if assign_event_ts:
@@ -158,16 +181,24 @@ def extract_flow_info(
 
 # Deterministic max-by tie-break (SURVEY.md §2.4): the reference's MaxFlow
 # uses `flow >= max` over a nondeterministic iteration order
-# (TrafficMaxLaneFlow.java:240-251), so ties are unspecified there. We pin:
-# greatest lane_flow, then greatest lane_idx, then greatest
-# recorded_timestamp string — a total order on any input where (station,
-# recorded_timestamp, lane) is unique. The DuckDB oracle uses the same rule.
-def _max_by_key() -> Column:
-    return F.struct(
-        F.col("lane_flow"),
-        F.col("lane_idx"),
-        F.col("recorded_timestamp"),
-    )
+# (TrafficMaxLaneFlow.java:240-251), so ties are unspecified there. We pin a
+# total order: greatest lane_flow, then greatest lane_idx, then greatest
+# recorded_timestamp string (remaining fields extend the comparison only on
+# full-key ties). Implemented as ``max`` over a struct whose leading fields
+# are the key — a plain declarative Max, measurably faster than
+# ``max_by(struct, struct)`` and identical under the documented order.
+# The DuckDB oracle uses the same rule (arg_max over a composite varchar key).
+_ORDERED_FIELDS = (
+    "lane_flow",
+    "lane_idx",
+    "recorded_timestamp",
+    "lane",
+    "direction",
+    "freeway",
+    "lane_avg_occ",
+    "lane_avg_speed",
+    "total_flow",
+)
 
 
 def max_lane_flow(
@@ -178,32 +209,57 @@ def max_lane_flow(
     maximal lane_flow (MaxFlow via Combine.perKey,
     TrafficMaxLaneFlow.java:236-252,302-315).
 
-    Spark plan: ``groupBy(window, station).agg(max_by(struct, key))`` —
-    a two-phase hash aggregate (partial ``max_by`` before the exchange,
-    the combiner-lifting the reference relies on Beam for; SURVEY.md §4.3).
-    No sort, no window function: O(1) state per group per partition.
+    Physical strategy (the 100 TB concern — each element lands in
+    duration/slide windows, 60x at the defaults, TrafficMaxLaneFlow.java:86-87):
+
+    - **Batch, duration a multiple of slide** (the common case): two-phase.
+      Phase 1 pre-aggregates the max record per (station, slide bucket) —
+      valid because slide-aligned window starts can never split a bucket,
+      so bucket membership determines window membership, and max-by is
+      decomposable. The 60x Expand then fans out only the per-bucket
+      winners. This bounds the blow-up at the number of *populated
+      buckets*, not raw readings, and the phase-1 exchange keeps the
+      parse stage and the Expand+aggregate stage in separate (compilable)
+      codegen units — one fused stage exceeds janino's 64 KB method limit
+      and silently falls back to the interpreter at ~10x cost.
+    - **Streaming or non-divisible slide**: single groupBy over the
+      windowed fan-out (one stateful aggregation; chained stateful aggs
+      are not generally supported in streaming).
+
+    Both phases are hash aggregates with map-side partial max — the
+    combiner-lifting the reference relies on Beam for (SURVEY.md §4.3).
 
     Deviation (documented): the reference initializes its running max to 0
     and emits an all-null record if every flow is negative
     (TrafficMaxLaneFlow.java:241-242) — unobservable on PeMS data (flows
     >= 0); we return the true max record.
     """
+    d, s = config.window_duration_minutes, config.window_slide_minutes
+    ordered = F.struct(*_ORDERED_FIELDS)
+    df = lane_info.filter(F.col("lane_flow").isNotNull())
+    two_phase = (not config.streaming) and d > s and d % s == 0
+    if two_phase:
+        bucket = F.window("event_ts", config.window_slide)
+        per_bucket = df.groupBy(bucket.alias("_b"), "station_id").agg(
+            F.max(ordered).alias("m")
+        )
+        fanned = per_bucket.select(
+            "station_id", "m", F.col("_b.start").alias("_bs")
+        )
+        # Phase-1 output is bytes-cheap but the next stage expands it
+        # duration/slide-fold (60x): AQE's byte-based coalescing would run
+        # the Expand + partial aggregate on 1-2 cores. An explicit
+        # repartition is exempt from coalescing and keeps the fan-out wide.
+        fanned = fanned.repartition(
+            fanned.sparkSession.sparkContext.defaultParallelism
+        )
+        win = F.window("_bs", config.window_duration, config.window_slide)
+        return fanned.groupBy(win.alias("window"), "station_id").agg(
+            F.max("m").alias("max")
+        )
     win = F.window("event_ts", config.window_duration, config.window_slide)
-    record = F.struct(
-        "lane",
-        "lane_idx",
-        "direction",
-        "freeway",
-        "recorded_timestamp",
-        "lane_flow",
-        "lane_avg_occ",
-        "lane_avg_speed",
-        "total_flow",
-    )
-    return (
-        lane_info.filter(F.col("lane_flow").isNotNull())
-        .groupBy(win.alias("window"), "station_id")
-        .agg(F.max_by(record, _max_by_key()).alias("max"))
+    return df.groupBy(win.alias("window"), "station_id").agg(
+        F.max(ordered).alias("max")
     )
 
 

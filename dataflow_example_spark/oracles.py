@@ -1,0 +1,467 @@
+"""DuckDB oracle SQL, one entry per query in ``queries.QUERIES``.
+
+Each statement runs against the driver's pre-registered views (region,
+nation, customer, supplier, part, orders, lineitem, events, documents,
+embeddings) and must match the Spark result exactly: same column names,
+same types (cast deliberately), same deterministic tie-breaks, and
+bit-identical doubles (exact DECIMAL arithmetic cast to double at the end;
+dyadic rationals for synthesized values).
+"""
+
+from __future__ import annotations
+
+ORACLES: dict[str, str] = {}
+
+# Shared synthesis CTEs (contract documented in synth.py): one reading per
+# (station, second) with eid = min(event_id); per-lane values from integer
+# modulus / dyadic-rational arithmetic so the CSV string round-trip is exact.
+_TRAFFIC_LANES_CTE = """
+readings AS (
+    SELECT CAST(user_id % 50 AS INTEGER) AS station,
+           date_trunc('second', ts) AS ts_sec,
+           min(event_id) AS eid
+    FROM events
+    GROUP BY 1, 2
+),
+lanes AS (
+    SELECT
+        'S' || lpad(CAST(station AS VARCHAR), 3, '0') AS station_id,
+        'lane' || CAST(i.i AS VARCHAR) AS lane,
+        CAST(i.i AS INTEGER) AS lane_idx,
+        (['N','S','E','W'])[CAST(eid % 4 AS INTEGER) + 1] AS direction,
+        CAST(eid % 5 AS VARCHAR) AS freeway,
+        strftime(ts_sec, '%m/%d/%Y %H:%M:%S') AS recorded_timestamp,
+        CAST((eid * i.i) % 100 AS INTEGER) AS lane_flow,
+        CAST((eid * 7 + i.i) % 128 AS DOUBLE) / 128.0 AS lane_avg_occ,
+        40.0 + CAST((eid * 13 + i.i * 5) % 512 AS DOUBLE) / 8.0 AS lane_avg_speed,
+        CAST(eid % 300 AS INTEGER) AS total_flow,
+        ts_sec
+    FROM readings, generate_series(1, 8) AS i(i)
+)
+"""
+
+# Deterministic max-by key (SURVEY.md §2.4): lexicographic on
+# (zero-padded lane_flow, lane_idx, recorded_timestamp) == the Spark
+# operator's struct(lane_flow, lane_idx, recorded_timestamp) ordering for
+# non-negative flows; unique per group because (station, second) readings
+# are deduplicated in synthesis.
+_MAXBY_KEY = (
+    "lpad(CAST(lane_flow AS VARCHAR), 10, '0') "
+    "|| CAST(lane_idx AS VARCHAR) || recorded_timestamp"
+)
+
+
+def _traffic_max_sql(window_sql: str) -> str:
+    return f"""
+WITH {_TRAFFIC_LANES_CTE},
+win AS (
+    SELECT l.*, {window_sql} AS window_timestamp
+    FROM lanes l{", generate_series(0, 59) AS k(k)" if "k.k" in window_sql else ""}
+)
+SELECT
+    station_id,
+    arg_max(direction, {_MAXBY_KEY}) AS direction,
+    arg_max(freeway, {_MAXBY_KEY}) AS freeway,
+    arg_max(lane_flow, {_MAXBY_KEY}) AS lane_max_flow,
+    arg_max(lane, {_MAXBY_KEY}) AS lane,
+    arg_max(lane_avg_occ, {_MAXBY_KEY}) AS avg_occ,
+    arg_max(lane_avg_speed, {_MAXBY_KEY}) AS avg_speed,
+    arg_max(total_flow, {_MAXBY_KEY}) AS total_flow,
+    arg_max(recorded_timestamp, {_MAXBY_KEY}) AS recorded_timestamp,
+    window_timestamp
+FROM win
+GROUP BY station_id, window_timestamp
+"""
+
+
+# sliding 60-minute windows every 1 minute, epoch-aligned (Spark F.window)
+ORACLES["traffic_max_lane_flow"] = _traffic_max_sql(
+    "make_timestamp(CAST((floor(epoch(ts_sec) / 60) * 60 - k.k * 60 + 3600)"
+    " * 1000000 AS BIGINT))"
+)
+
+# tumbling 60-minute windows
+ORACLES["traffic_max_lane_flow_tumbling"] = _traffic_max_sql(
+    "make_timestamp(CAST((floor(epoch(ts_sec) / 3600) * 3600 + 3600)"
+    " * 1000000 AS BIGINT))"
+)
+
+ORACLES["traffic_lane_info"] = f"""
+WITH {_TRAFFIC_LANES_CTE}
+SELECT station_id, lane, lane_idx, direction, freeway, recorded_timestamp,
+       lane_flow, lane_avg_occ, lane_avg_speed, total_flow,
+       ts_sec AS event_ts
+FROM lanes
+"""
+
+ORACLES["starter_pipeline"] = """
+SELECT upper(v) AS value FROM (VALUES ('Hello'), ('World')) t(v)
+"""
+
+ORACLES["events_tumbling_agg"] = """
+SELECT
+    date_trunc('hour', ts) AS window_start,
+    date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+    event_type,
+    count(*) AS n_events,
+    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_value,
+    CAST(min(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS min_value,
+    CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+ORACLES["events_sliding_agg"] = """
+WITH win AS (
+    SELECT e.*,
+           make_timestamp(CAST((floor(epoch(ts) / 900) * 900 - k.k * 900)
+                               * 1000000 AS BIGINT)) AS window_start
+    FROM events e, generate_series(0, 3) AS k(k)
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM win
+GROUP BY 1, 2, 3
+"""
+
+# session windows: gaps-and-islands; new session when the gap is >= 30 min
+# (Spark session windows are half-open [start, last_ts + gap))
+ORACLES["events_sessionize"] = """
+WITH flagged AS (
+    SELECT user_id, ts, CAST(value AS DECIMAL(18,6)) AS v,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+    SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       CAST(sum(v) AS DOUBLE) AS sum_value,
+       min(ts) AS first_event_ts,
+       max(ts) AS last_event_ts
+FROM sessions
+GROUP BY user_id, sess_id
+"""
+
+# exact-decimal money arithmetic; scales chosen so every product stays
+# exact in both engines (see queries.py DEC discipline)
+_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(18,6))"
+    " * (CAST(1 AS DECIMAL(7,6)) - CAST(l_discount AS DECIMAL(8,6)))"
+)
+
+ORACLES["q1_pricing_summary"] = f"""
+SELECT
+    l_returnflag,
+    l_linestatus,
+    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+    CAST(sum({_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+    CAST(sum({_DISC_PRICE} * (CAST(1 AS DECIMAL(7,6)) + CAST(l_tax AS DECIMAL(8,6)))) AS DOUBLE) AS sum_charge,
+    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
+    count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["q3_shipping_priority"] = f"""
+SELECT
+    l_orderkey,
+    CAST(sum({_DISC_PRICE}) AS DOUBLE) AS revenue,
+    o_orderdate,
+    o_orderpriority
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+ORACLES["q5_local_supplier_volume"] = f"""
+SELECT n_name,
+       CAST(sum({_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+# ------------------------------------------------------- text / dedup / sim
+# Shared fragments mirroring functions/text.py + functions/dedup.py +
+# functions/similarity.py exactly: same tokenizer, same md5-derived 32-bit
+# hash, same pinned left-fold order for double sums (bit-exact parity).
+
+_TOKS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
+_TOKS_CTE = f"toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)"
+
+
+def _hash32_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+# distinct 3-word shingles per doc (dedup.shingles, k=3); scalar range()
+# returns a list, so the shingle enumeration stays expression-level
+# (DuckDB's generate_series table function can't see lateral columns)
+_SHINGLES_CTE = f"""{_TOKS_CTE},
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS shingle
+    FROM toks
+    WHERE len(t) >= 3
+)"""
+
+ORACLES["text_token_stats"] = f"""
+WITH {_TOKS_CTE}
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_distinct_tokens,
+       CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+           / len(t) AS avg_token_len,
+       CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS type_token_ratio
+FROM documents JOIN toks USING (doc_id)
+"""
+
+_SW = {
+    "de": ("der", "die", "und", "das", "den", "von", "zu", "mit", "ist", "nicht"),
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "es", "se", "no"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+}
+
+
+def _hits(lang: str) -> str:
+    arr = ", ".join(f"'{w}'" for w in _SW[lang])
+    return f"len(list_filter(t, x -> list_contains([{arr}], x)))"
+
+
+ORACLES["text_language_id"] = f"""
+WITH {_TOKS_CTE},
+h AS (
+    SELECT doc_id,
+           {", ".join(f"{_hits(lang)} AS hits_{lang}" for lang in sorted(_SW))}
+    FROM toks
+)
+SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+       CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+            {" ".join(f"WHEN hits_{lang} = greatest(hits_de, hits_en, hits_es, hits_fr) THEN '{lang}'" for lang in sorted(_SW))}
+       END AS lang_pred
+FROM h
+"""
+
+ORACLES["text_quality_score"] = f"""
+WITH {_TOKS_CTE},
+m AS (
+    SELECT d.doc_id,
+           length(text) AS _len,
+           len(t) AS _nt,
+           {_hits("en")} AS _stop,
+           length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS _punct,
+           length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS _digit
+    FROM documents d JOIN toks USING (doc_id)
+)
+SELECT doc_id,
+       CAST(_stop AS DOUBLE) / greatest(_nt, 1) AS stopword_ratio,
+       CAST(_punct AS DOUBLE) / greatest(_len, 1) AS punct_ratio,
+       CAST(_digit AS DOUBLE) / greatest(_len, 1) AS digit_ratio,
+       least(CAST(_nt AS DOUBLE) / 256.0, 1.0) AS length_saturation,
+       (CAST(_stop AS DOUBLE) / greatest(_nt, 1)) * 0.5
+         + (1.0 - CAST(_punct AS DOUBLE) / greatest(_len, 1)) * 0.25
+         + least(CAST(_nt AS DOUBLE) / 256.0, 1.0) * 0.25
+         - (CAST(_digit AS DOUBLE) / greatest(_len, 1)) * 0.125 AS quality_score
+FROM m
+"""
+
+ORACLES["text_fingerprint"] = f"""
+WITH {_TOKS_CTE}
+SELECT doc_id,
+       md5(array_to_string(t, ' ')) AS fingerprint_md5,
+       {_hash32_sql("array_to_string(t, ' ')")} AS fingerprint32
+FROM toks
+"""
+
+ORACLES["dedup_exact"] = """
+SELECT min(doc_id) AS doc_id, md5(text) AS content_md5, count(*) AS n_dups
+FROM documents
+GROUP BY md5(text)
+"""
+
+ORACLES["dedup_jaccard_pairs"] = f"""
+WITH {_SHINGLES_CTE},
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.2
+"""
+
+_N_MINHASH, _BAND = 16, 4
+_SIG_COLS = ", ".join(
+    "min({h}) AS mh{i}".format(h=_hash32_sql(f"shingle || '#{i}'"), i=i)
+    for i in range(_N_MINHASH)
+)
+_BAND_MATCH = " OR ".join(
+    "("
+    + " AND ".join(
+        f"a.mh{b * _BAND + r} = b.mh{b * _BAND + r}" for r in range(_BAND)
+    )
+    + ")"
+    for b in range(_N_MINHASH // _BAND)
+)
+_EQ_SUM = " + ".join(
+    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(_N_MINHASH)
+)
+
+ORACLES["dedup_minhash_lsh"] = f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({_EQ_SUM} AS DOUBLE) / {_N_MINHASH} AS est_jaccard
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({_BAND_MATCH})
+"""
+
+_BITS = 32
+_BIT_SUMS = ", ".join(
+    f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(_BITS)
+)
+_SIMHASH = " + ".join(
+    f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+    for j in range(_BITS)
+)
+
+ORACLES["dedup_simhash_pairs"] = f"""
+WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+hashed AS (SELECT doc_id, {_hash32_sql("tk")} AS h FROM tok),
+bits AS (SELECT doc_id, {_BIT_SUMS} FROM hashed GROUP BY doc_id),
+sig AS (SELECT doc_id, {_SIMHASH} AS simhash FROM bits)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# pinned left-fold dot/norm (functions/similarity.py: F.aggregate fold order)
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}),"
+        " x -> x[1] * x[2])), (acc, x) -> acc + x)"
+    )
+
+
+def _norm(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0, list_transform({a},"
+        " x -> x * x)), (acc, x) -> acc + x))"
+    )
+
+
+def _cosine(a: str, b: str) -> str:
+    return f"({_dot(a, b)} / ({_norm(a)} * {_norm(b)}))"
+
+
+_COS = _cosine("qv", "cv")
+
+ORACLES["sim_cosine_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+scored AS (
+    SELECT query_id, neighbor_id, {_COS} AS cosine_sim
+    FROM c, q WHERE neighbor_id <> query_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def _plane_literal(plane_id: int, dim: int = 64) -> str:
+    # mirror similarity.hyperplane exactly (dyadic rationals -> exact doubles)
+    vals = [
+        ((plane_id * 73856093 + d * 19349663 + 83492791) % 2000 - 1000) / 1024.0
+        for d in range(dim)
+    ]
+    return "[" + ", ".join(repr(v) for v in vals) + "]::DOUBLE[]"
+
+
+_BUCKET = " + ".join(
+    f"(CASE WHEN {_dot('v', _plane_literal(p))} >= 0"
+    f" THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+    for p in range(8)
+)
+
+ORACLES["sim_lsh_topk"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_BUCKET} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b),
+scored AS (
+    SELECT query_id, neighbor_id, {_COS} AS cosine_sim
+    FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+_COS_AB = _cosine("va", "vb")
+
+ORACLES["sim_embedding_near_dup"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_cosine("a.v", "b.v")} AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_cosine("a.v", "b.v")} >= 0.4
+"""
+
+ORACLES["top_customers_per_nation"] = """
+WITH ranked AS (
+    SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+           CAST(row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal DESC, c_custkey ASC)
+                AS INTEGER) AS rank_in_nation
+    FROM customer
+)
+SELECT * FROM ranked WHERE rank_in_nation <= 3
+"""

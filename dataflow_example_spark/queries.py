@@ -1,0 +1,323 @@
+"""Driver-facing query registry.
+
+Every entry is ``(spark, sf_dir) -> DataFrame`` over the driver's parquet
+tables, with a matching DuckDB oracle in ``oracles.py`` (same column names,
+same deterministic semantics — SURVEY.md §5 t2).
+
+Float discipline (hash-match requirement): any aggregate over double
+columns whose summation order Spark doesn't pin goes through exact
+DECIMAL arithmetic and is cast to double at the end, so Spark and DuckDB
+produce bit-identical values regardless of execution order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import TrafficConfig
+from .functions import dedup as D
+from .functions import similarity as S
+from .functions import text as T
+from .operators.traffic import extract_flow_info, traffic_pipeline
+from .operators.windows import sessionize, sliding_agg, tumbling_agg
+from .sources.memory import create_strings
+from .synth import synth_traffic_lines
+from .tables import load
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+
+
+def query(name: str) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        return fn
+
+    return deco
+
+
+# money/measure decimal type used for order-independent exact aggregation
+DEC = "decimal(18,6)"
+
+
+def dec(col: str):
+    return F.col(col).cast(DEC)
+
+
+# ---------------------------------------------------------------- reference
+
+
+@query("starter_pipeline")
+def starter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StarterPipeline (StarterPipeline.java:49-69): in-memory strings ->
+    uppercase. Ops 5, 12, 13 of SURVEY.md §2."""
+    return create_strings(spark, ["Hello", "World"]).select(
+        F.upper("value").alias("value")
+    )
+
+
+@query("traffic_lane_info")
+def traffic_lane_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse stage only (ExtractFlowInfoFn, ops 6-8): synthesized PeMS CSV
+    lines -> one row per (reading, lane)."""
+    return extract_flow_info(synth_traffic_lines(spark, sf_dir))
+
+
+@query("traffic_max_lane_flow")
+def traffic_max_lane_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's full analytics graph (TrafficMaxLaneFlow
+    .java:371-396) — parse -> 60min/1min sliding windows -> per-(window,
+    station) max-by -> 10-column projection."""
+    return traffic_pipeline(synth_traffic_lines(spark, sf_dir), TrafficConfig())
+
+
+@query("traffic_max_lane_flow_tumbling")
+def traffic_max_lane_flow_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate slide == duration case (SURVEY.md §2.5): tumbling-window
+    variant of the flagship, exercising the --windowDuration/--windowSlideEvery
+    knobs (TrafficMaxLaneFlow.java:332-344)."""
+    cfg = TrafficConfig(window_duration_minutes=60, window_slide_minutes=60)
+    return traffic_pipeline(synth_traffic_lines(spark, sf_dir), cfg)
+
+
+# ------------------------------------------------------------------ windows
+
+
+@query("events_tumbling_agg")
+def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn("value", dec("value"))
+    out = tumbling_agg(ev, "1 hour", keys=("event_type",))
+    return out.select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        (F.col("sum_value").cast("double") / F.col("n_events")).alias("avg_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
+
+
+@query("events_sliding_agg")
+def events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn("value", dec("value"))
+    out = sliding_agg(ev, "1 hour", "15 minutes", keys=("event_type",))
+    return out.select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+@query("events_sessionize")
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn("value", dec("value"))
+    out = sessionize(ev, "30 minutes", key="user_id")
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "first_event_ts",
+        "last_event_ts",
+    )
+
+
+# ----------------------------------------------------- relational analytics
+
+
+@query("q1_pricing_summary")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape over lineitem: demonstrates filter pushdown + partial
+    aggregation (capabilities the reference gets only from Spark built-ins,
+    SURVEY.md §2.1)."""
+    l = load(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast(DEC)
+    disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
+    charge = disc_price * (one + dec("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("_sq"),
+            F.sum(dec("l_extendedprice")).alias("_sbp"),
+            F.sum(disc_price).alias("_sdp"),
+            F.sum(charge).alias("_sc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sq").cast("double").alias("sum_qty"),
+            F.col("_sbp").cast("double").alias("sum_base_price"),
+            F.col("_sdp").cast("double").alias("sum_disc_price"),
+            F.col("_sc").cast("double").alias("sum_charge"),
+            (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+            (F.col("_sbp").cast("double") / F.col("count_order")).alias("avg_price"),
+            "count_order",
+        )
+    )
+
+
+@query("q3_shipping_priority")
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + aggregate + deterministic top-10. customer is small ->
+    broadcast join; lineitem<->orders shuffles on the join key."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    )
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    )
+    one = F.lit(1).cast(DEC)
+    revenue = F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("_rev"))
+        .select(
+            "l_orderkey",
+            F.col("_rev").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query("q5_local_supplier_volume")
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join through the full star schema; dims broadcast."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    one = F.lit(1).cast(DEC)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(dec("l_extendedprice") * (one - dec("l_discount"))).alias("_rev"))
+        .select("n_name", F.col("_rev").cast("double").alias("revenue"))
+    )
+
+
+# ------------------------------------------------- text analysis (north star)
+
+
+@query("text_token_stats")
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting over documents (shared tokenizer contract)."""
+    return T.token_stats(load(spark, sf_dir, "documents"))
+
+
+@query("text_language_id")
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language heuristic with deterministic tie-break."""
+    return T.language_id(load(spark, sf_dir, "documents"))
+
+
+@query("text_quality_score")
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/punct/stopword-ratio quality scoring."""
+    return T.quality_score(load(spark, sf_dir, "documents"))
+
+
+@query("text_fingerprint")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 document fingerprints over the normalized token stream."""
+    return T.fingerprint(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------- deduplication (north star)
+
+
+@query("dedup_exact")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: hash-groupBy on md5(text)."""
+    return D.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+@query("dedup_jaccard_pairs")
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard >= 0.2."""
+    return D.jaccard_pairs(load(spark, sf_dir, "documents"), k=3, threshold=0.2)
+
+
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (16 hashes, 4x4 bands) with estimated
+    Jaccard — the 100 TB-scale near-dup path."""
+    return D.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+@query("dedup_simhash_pairs")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance <= 3 (32-bit)."""
+    return D.simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# ---------------------------------------------- similarity search (north star)
+
+
+def _query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic query set: the 10 lowest vec_ids."""
+    return (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+
+
+@query("sim_cosine_topk")
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 10 query vectors."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, _query_vectors(spark, sf_dir), k=5)
+
+
+@query("sim_lsh_topk")
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via sign-random-projection buckets + exact re-rank."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, _query_vectors(spark, sf_dir), k=5, n_planes=8, dim=64)
+
+
+@query("sim_embedding_near_dup")
+def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at >= 0.4 (the synthetic
+    embeddings' pairwise cosine tops out near 0.5, so 0.4 yields a
+    non-vacuous near-dup set)."""
+    return S.cosine_near_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@query("top_customers_per_nation")
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window function (rank within partition) — beyond-reference
+    capability (SURVEY.md §2.1: the reference has no analytic windows)."""
+    from pyspark.sql.window import Window
+
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.withColumn("rank_in_nation", F.row_number().over(w))
+        .filter(F.col("rank_in_nation") <= 3)
+        .select("c_nationkey", "c_custkey", "c_name", "c_acctbal", "rank_in_nation")
+    )

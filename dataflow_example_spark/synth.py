@@ -32,13 +32,14 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .schemas import TS_FORMAT_SPARK
+from .tables import load
 
 DIRECTIONS = ("N", "S", "E", "W")
 
 
 def synth_traffic_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet -> one row per (station, second) with eid."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(
             (F.col("user_id") % 50).cast("int").alias("station"),
@@ -77,4 +78,16 @@ def synth_traffic_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     for i in range(1, 9):
         fields.extend(_lane_cols(i))
-    return readings.select(F.concat_ws(",", *fields).alias("value"))
+    lines = readings.select(F.concat_ws(",", *fields).alias("value"))
+    # Two plan hazards, both fixed here rather than in the consumer:
+    # - AQE would coalesce the readings-groupBy shuffle to 1-2 partitions
+    #   on byte size and serialize the ~480x downstream fan-out (8 lanes x
+    #   60 sliding windows). An explicit numPartitions is exempt.
+    # - Catalyst pushes the parse-stage filters (header/size(split)/
+    #   timestamp guards) down through the exchange into this projection,
+    #   re-inlining the 49-field concat_ws once per reference — the fused
+    #   expression blows janino's 64 KB method limit and the whole stage
+    #   falls back to interpreted execution. persist() materializes the
+    #   lines once (InMemoryRelation is a pushdown/collapse barrier), which
+    #   is also what the real pipeline does: read CSV bytes from storage.
+    return lines.repartition(spark.sparkContext.defaultParallelism).persist()

@@ -116,11 +116,9 @@ def test_end_to_end_pipeline_schema(spark):
     assert all(r.lane == "lane8" and r.lane_max_flow == 80 for r in rows)
 
 
-def test_max_by_is_partial_aggregated(spark):
-    # the plan must show a partial HashAggregate before the exchange
+def test_max_is_partial_aggregated(spark):
+    # the plan must show a partial max before the exchange
     # (combiner lifting, SURVEY §4.3)
     df = spark.createDataFrame([lane_row()], LANE_INFO_SCHEMA)
-    plan = max_lane_flow(df).queryExecution().toString() if False else (
-        max_lane_flow(df)._jdf.queryExecution().executedPlan().toString()
-    )
-    assert "partial_max_by" in plan, plan
+    plan = max_lane_flow(df)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan, plan
