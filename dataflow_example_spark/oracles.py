@@ -374,6 +374,49 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+# ------------------------------------------------------------- multimodal
+# The media table is synthesized from documents (payload = UTF-8 text
+# bytes), so md5(text) over VARCHAR equals Python hashlib.md5(payload) —
+# verified byte parity for the ASCII corpus.
+
+_MEDIA_TYPE = (
+    "(['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1]"
+)
+
+ORACLES["mm_media_metadata"] = f"""
+SELECT doc_id,
+       {_MEDIA_TYPE} AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+ORACLES["mm_frame_sample"] = """
+WITH f AS (
+    SELECT doc_id, text,
+           unnest(range(0, octet_length(encode(text)) % 5 + 1)) AS frame_idx
+    FROM documents
+)
+SELECT doc_id, frame_idx,
+       md5(text || CAST(frame_idx AS VARCHAR)) AS frame_md5
+FROM f
+"""
+
+
+def _md5_byte(n: int) -> str:
+    return f"CAST(('0x' || substr(md5(text), {2 * n + 1}, 2)) AS INTEGER)"
+
+
+ORACLES["mm_decode_fake"] = f"""
+SELECT doc_id,
+       {_MEDIA_TYPE} AS media_type,
+       CAST(1 + {_md5_byte(0)} % 64 AS INTEGER) AS width,
+       CAST(1 + {_md5_byte(1)} % 64 AS INTEGER) AS height,
+       CAST(1 + {_md5_byte(2)} % 4 AS INTEGER) AS channels
+FROM documents
+"""
+
+
 # pinned left-fold dot/norm (functions/similarity.py: F.aggregate fold order)
 def _dot(a: str, b: str) -> str:
     return (

@@ -272,6 +272,40 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
 
 
+# --------------------------------------------- multimodal columns (north star)
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.multimodal import as_media_table
+
+    return as_media_table(load(spark, sf_dir, "documents"))
+
+
+@query("mm_media_metadata")
+def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media payloads -> metadata via Arrow-batched mapInPandas."""
+    from .functions.multimodal import media_metadata
+
+    return media_metadata(_media(spark, sf_dir))
+
+
+@query("mm_frame_sample")
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frame sampling: payload -> n_bytes%5+1 frame rows."""
+    from .functions.multimodal import sample_frames
+
+    return sample_frames(_media(spark, sf_dir))
+
+
+@query("mm_decode_fake")
+def mm_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode plumbing with the deterministic fake decoder (no codec libs
+    in this environment; schema/batching identical to a real decoder)."""
+    from .functions.multimodal import decode_media
+
+    return decode_media(_media(spark, sf_dir), allow_fake=True)
+
+
 # ---------------------------------------------- similarity search (north star)
 
 

@@ -1,0 +1,121 @@
+"""Streaming-mode tests (SURVEY.md §5.3): replay a fixture through the
+file-drop source and assert parity with the batch run of the same data —
+the reference's implicit unified-model contract (TrafficMaxLaneFlow.java:
+54-56, 374-382)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dataflow_example_spark.config import TrafficConfig
+from dataflow_example_spark.operators.traffic import traffic_pipeline
+from dataflow_example_spark.sources.injector import inject_file
+from dataflow_example_spark.sources.text import read_text
+from dataflow_example_spark.streaming import run_traffic_stream
+
+
+def _lane(flow, occ, speed):
+    return [str(flow), str(occ), str(speed), "x", "x"]
+
+
+def _line(ts, station, lanes):
+    f = [ts, station, "5", "N", "x", "x", "x", "120", "x", "x", "x"]
+    for lane in lanes:
+        f += lane
+    return ",".join(f)
+
+
+@pytest.fixture
+def fixture_csv(tmp_path):
+    lines = ["Timestamp,header,row"]
+    for minute in range(3):
+        for st in ("S001", "S002"):
+            lanes = [
+                _lane(10 * i + minute, 0.25, 60.5) for i in range(1, 9)
+            ]
+            lines.append(_line(f"01/02/2010 10:0{minute}:00", st, lanes))
+    p = tmp_path / "traffic.csv"
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_injector_filters_and_publishes(spark, tmp_path, fixture_csv):
+    topic = str(tmp_path / "topic")
+    n = inject_file(spark, fixture_csv, topic, chunks=2)
+    assert n == 6  # header dropped
+    republished = spark.read.text(topic)
+    assert republished.count() == 6
+    assert not any(
+        r.value.startswith("Timestamp") for r in republished.collect()
+    )
+
+
+def test_streaming_matches_batch_on_payload_timestamps(
+    spark, tmp_path, fixture_csv
+):
+    """availableNow drain with honor-payload-timestamps == batch run,
+    restricted to windows the watermark has closed."""
+    topic = str(tmp_path / "topic")
+    inject_file(spark, fixture_csv, topic, chunks=2)
+
+    cfg = TrafficConfig(
+        streaming=True,
+        streaming_honor_payload_timestamp=True,
+        watermark_delay="0 seconds",
+        window_duration_minutes=2,
+        window_slide_minutes=1,
+    )
+    q = run_traffic_stream(
+        spark,
+        topic,
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        config=cfg,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    stream_rows = {
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+
+    batch_cfg = TrafficConfig(
+        window_duration_minutes=2, window_slide_minutes=1
+    )
+    batch = traffic_pipeline(read_text(spark, fixture_csv), batch_cfg)
+    # append mode only emits windows with end <= final watermark (= max
+    # event time at delay 0); later windows stay in state unemitted
+    import pyspark.sql.functions as F
+
+    from dataflow_example_spark.operators.traffic import extract_flow_info
+
+    lane_info = extract_flow_info(read_text(spark, fixture_csv))
+    max_event_ts = lane_info.agg(F.max("event_ts")).collect()[0][0]
+    closed = batch.filter(F.col("window_timestamp") <= F.lit(max_event_ts))
+    batch_rows = {tuple(r) for r in closed.collect()}
+
+    assert stream_rows
+    assert stream_rows == batch_rows
+
+
+def test_streaming_ingest_time_mode_runs(spark, tmp_path, fixture_csv):
+    """Default streaming mode (event time = ingest time, the reference's
+    Pub/Sub-publish-time behavior): rows flow, schema matches batch."""
+    topic = str(tmp_path / "topic")
+    inject_file(spark, fixture_csv, topic)
+    cfg = TrafficConfig(streaming=True, watermark_delay="0 seconds")
+    q = run_traffic_stream(
+        spark,
+        topic,
+        output_dir=str(tmp_path / "out2"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        config=cfg,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out2"))
+    batch = traffic_pipeline(read_text(spark, fixture_csv))
+    assert [f.name for f in out.schema.fields] == [
+        f.name for f in batch.schema.fields
+    ]
