@@ -508,3 +508,99 @@ WITH ranked AS (
 )
 SELECT * FROM ranked WHERE rank_in_nation <= 3
 """
+
+# ------------------------------------------------- relational breadth (§2.1)
+
+ORACLES["q6_forecast_revenue"] = """
+SELECT
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+             * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+    count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+ORACLES["q4_late_shipment_priority"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+ORACLES["q13_customer_order_distribution"] = """
+WITH per_cust AS (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT OUTER JOIN (
+        SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT'
+    ) o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+"""
+
+ORACLES["q16_parts_never_ordered"] = """
+SELECT p_brand, count(*) AS never_ordered
+FROM part p
+WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 40
+)
+GROUP BY p_brand
+"""
+
+ORACLES["q22_idle_rich_customers"] = """
+WITH avg_bal AS (
+    SELECT sum(CAST(c_acctbal AS DECIMAL(18,6))) / count(*) AS avg_bal
+    FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey,
+       count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+FROM customer c, avg_bal
+WHERE CAST(c_acctbal AS DECIMAL(18,6)) > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+ORACLES["distinct_order_priorities"] = """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+"""
+
+ORACLES["set_ops_customer_cohorts"] = """
+WITH a AS (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+b AS (
+    SELECT DISTINCT o_custkey AS c_custkey FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+)
+SELECT 'union' AS op, c_custkey FROM (SELECT * FROM a UNION SELECT * FROM b)
+UNION ALL
+SELECT 'intersect' AS op, c_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT 'except' AS op, c_custkey
+FROM (SELECT DISTINCT * FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
+"""
+
+# Spark's grouping_id() for rollup(a, b): 0 = (a,b), 1 = (a), 3 = ()
+ORACLES["rollup_revenue"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_items,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+           AS grouping_level
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""

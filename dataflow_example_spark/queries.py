@@ -340,6 +340,168 @@ def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_near_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+@query("q6_forecast_revenue")
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + filter + global aggregate. The whole
+    predicate reaches the parquet reader as PushedFilters (verified by
+    tools/plan_audit.py) — at 100 TB this is the difference between a
+    full-table read and row-group skipping."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount")).alias("_rev"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(F.col("_rev").cast("double").alias("revenue"), "n_items")
+    )
+
+
+@query("q4_late_shipment_priority")
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-subquery == LEFT SEMI join. Orders with at
+    least one lineitem shipped >30 days after the order date, counted per
+    priority. The semi join shuffles both sides on o_orderkey but emits at
+    most one row per order — no fan-out, dedup-free EXISTS semantics.
+    (The testdata lacks l_commitdate/l_receiptdate, so "late" is defined
+    against o_orderdate — documented adaptation.)"""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    late = l.join(o, l.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(late.select("o_orderkey").distinct()
+               .withColumnRenamed("o_orderkey", "_k"),
+               o.o_orderkey == F.col("_k"), "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query("q13_customer_order_distribution")
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregate — customers
+    with zero orders must appear (the outer join's whole point). First
+    aggregate is per-customer (high cardinality, shuffles on c_custkey);
+    second collapses to ~tens of rows."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@query("q16_parts_never_ordered")
+def q16_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join shape (TPC-H Q16's NOT-IN): parts never ordered in bulk
+    (no lineitem with quantity > 40), counted per brand. LEFT ANTI join —
+    the build side is just the distinct key set, and at scale the
+    distinct-then-anti plan beats NOT IN's null-sensitive rewrite."""
+    p = load(spark, sf_dir, "part")
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 40)
+    return (
+        p.join(l.select("l_partkey").distinct(),
+               p.p_partkey == F.col("l_partkey"), "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("never_ordered"))
+    )
+
+
+@query("q22_idle_rich_customers")
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global avg over positive balances,
+    computed once and broadcast) + anti join against orders. Customers with
+    above-average balance and no urgent orders, per nation."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(dec("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(dec("c_acctbal") > F.col("avg_bal"))
+        .join(o.select("o_custkey").distinct(),
+              c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@query("distinct_order_priorities")
+def distinct_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a join projection (SURVEY.md §2.1: the reference has
+    no distinct) — planned as a hash aggregate with map-side partial."""
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query("set_ops_customer_cohorts")
+def set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT in one result (SURVEY.md §2.1). Cohort A:
+    BUILDING-segment customers; cohort B: customers with any urgent order.
+    Spark plans INTERSECT/EXCEPT as left-semi/left-anti under distinct."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    tag = lambda df, op: df.select(  # noqa: E731
+        F.lit(op).alias("op"), F.col("c_custkey")
+    )
+    return (
+        tag(a.union(b).distinct(), "union")
+        .unionAll(tag(a.intersect(b), "intersect"))
+        .unionAll(tag(a.exceptAll(b).distinct(), "except"))
+    )
+
+
+@query("rollup_revenue")
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-set aggregate (SURVEY.md §2.1) with grouping_id to
+    disambiguate subtotal rows from real NULL keys. One Expand + one
+    aggregate — the multi-set expansion happens before the shuffle, so
+    partial aggregation still applies."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_extendedprice")).alias("_rev"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.grouping_id().alias("grouping_level"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_rev").cast("double").alias("revenue"),
+            "n_items",
+            "grouping_level",
+        )
+    )
+
+
 @query("top_customers_per_nation")
 def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window function (rank within partition) — beyond-reference

@@ -1,0 +1,81 @@
+"""Relational-breadth operator tests (SURVEY.md §2.1 — capabilities the
+reference lacks entirely; all Spark built-ins, each with a DuckDB oracle
+checked by tools/check_oracles.py and the driver's t2 gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataflow_example_spark import oracles, queries
+from tests.conftest import SF_SMOKE
+
+
+def test_every_query_has_an_oracle():
+    """Driver contract: each queries() entry needs an oracle_sql() entry
+    (genuinely non-SQL-expressible ops may be registered as oracle-free,
+    but must do so explicitly)."""
+    missing = set(queries.QUERIES) - set(oracles.ORACLES) - set(
+        getattr(oracles, "ORACLE_FREE", ())
+    )
+    assert not missing, f"queries without oracles: {sorted(missing)}"
+
+
+def test_left_outer_keeps_zero_order_customers(spark):
+    out = queries.QUERIES["q13_customer_order_distribution"](spark, SF_SMOKE)
+    rows = {r.c_count: r.custdist for r in out.collect()}
+    n_customers = (
+        spark.read.parquet(f"{SF_SMOKE}/customer.parquet").count()
+    )
+    assert sum(rows.values()) == n_customers  # outer join drops nobody
+
+
+def test_semi_join_no_fanout(spark):
+    """EXISTS semantics: order_count sums to at most #orders even though
+    matching lineitems are many-per-order."""
+    out = queries.QUERIES["q4_late_shipment_priority"](spark, SF_SMOKE)
+    total = sum(r.order_count for r in out.collect())
+    n_orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").count()
+    assert 0 < total <= n_orders
+
+
+def test_set_ops_identity(spark):
+    """|A ∪ B| = |A ∩ B| + |A \\ B| + |B \\ A| on distinct key sets."""
+    out = queries.QUERIES["set_ops_customer_cohorts"](spark, SF_SMOKE)
+    counts = {
+        r.op: r.n
+        for r in out.groupBy("op").agg(F.count("*").alias("n")).collect()
+    }
+    c = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    b_minus_a = b.exceptAll(a).distinct().count()
+    assert counts["union"] == counts["intersect"] + counts["except"] + b_minus_a
+
+
+def test_rollup_grand_total(spark):
+    out = queries.QUERIES["rollup_revenue"](spark, SF_SMOKE).collect()
+    levels = {r.grouping_level for r in out}
+    assert levels == {0, 1, 3}
+    grand = [r for r in out if r.grouping_level == 3]
+    assert len(grand) == 1
+    detail_sum = sum(r.n_items for r in out if r.grouping_level == 0)
+    assert grand[0].n_items == detail_sum
+
+
+def test_anti_join_complements_semi(spark):
+    """semi(A, B) + anti(A, B) partitions A."""
+    p = spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+    keys = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 40)
+        .select("l_partkey")
+        .distinct()
+    )
+    semi = p.join(keys, p.p_partkey == keys.l_partkey, "leftsemi").count()
+    anti = p.join(keys, p.p_partkey == keys.l_partkey, "left_anti").count()
+    assert semi + anti == p.count()
