@@ -604,3 +604,44 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
+
+# ------------------------------------------------------- temporal joins
+
+# As-of: DuckDB's native ASOF JOIN, right side pre-deduped per (user, ts)
+# by greatest event_id — the operator's documented tie-break.
+ORACLES["events_asof_join"] = """
+WITH purchases AS (
+    SELECT user_id, ts,
+           arg_max(event_id, event_id) AS event_id,
+           arg_max(value, event_id) AS value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, ts
+),
+clicks AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id AS click_id,
+       c.user_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       p.event_id AS purchase_id,
+       p.value AS purchase_value
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+ORACLES["events_range_join"] = """
+WITH clicks AS (
+    SELECT event_id AS click_id, ts AS click_ts
+    FROM events WHERE event_type = 'click'
+),
+bursts AS (
+    SELECT event_id AS burst_id, ts AS burst_start,
+           ts + INTERVAL 1 HOUR AS burst_end
+    FROM events WHERE event_type = 'error' AND value > 90
+)
+SELECT c.click_id, c.click_ts, b.burst_id, b.burst_start, b.burst_end
+FROM clicks c JOIN bursts b
+  ON c.click_ts >= b.burst_start AND c.click_ts < b.burst_end
+"""

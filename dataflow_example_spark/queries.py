@@ -340,6 +340,68 @@ def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_near_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+@query("events_asof_join")
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/joins.py): every click gets the user's most
+    recent purchase at-or-before it. One exchange on user_id — no
+    inequality-join nested loop."""
+    from .operators.joins import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        ts_col="ts",
+        right_cols=["event_id", "value"],
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("ts_asof").alias("purchase_ts"),
+        F.col("event_id_asof").alias("purchase_id"),
+        F.col("value_asof").alias("purchase_value"),
+    )
+
+
+@query("events_range_join")
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators/joins.py): clicks falling inside any
+    error-burst window [error_ts, error_ts + 1h) for errors with
+    value > 90. Hash join on the hour bucket + residual filter — no
+    broadcast-nested-loop."""
+    from .operators.joins import range_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    bursts = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 90))
+        .select(
+            F.col("event_id").alias("burst_id"),
+            F.col("ts").alias("burst_start"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("burst_end"),
+        )
+    )
+    return range_join(
+        clicks,
+        "click_ts",
+        bursts,
+        "burst_start",
+        "burst_end",
+        grain_seconds=3600,
+    )
+
+
 @query("q6_forecast_revenue")
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure scan + filter + global aggregate. The whole
