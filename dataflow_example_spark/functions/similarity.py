@@ -158,6 +158,125 @@ def lsh_topk(
     )
 
 
+def assign_ivf_lists(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cid",
+    centroid_vec_col: str = "cv",
+) -> DataFrame:
+    """Coarse quantization: nearest centroid per vector (by cosine,
+    smallest centroid id on ties) -> inverted-list id.
+
+    Plan shape: broadcast the (always-small) centroid table, fan out
+    C rows per vector, map-side partial max collapses them immediately —
+    at 100 TB this is a single scan with no driver collect and no
+    full-size shuffle (the exchange carries one row per vector).
+    """
+    c = F.broadcast(
+        centroids.select(
+            F.col(centroid_id_col).alias("_cid"),
+            F.col(centroid_vec_col).alias("_cv0"),
+        )
+    )
+    scored = embeddings.crossJoin(c).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.struct(
+            cosine(F.col(vec_col), F.col("_cv0")).alias("s"),
+            (-F.col("_cid")).alias("neg_cid"),
+        ).alias("_sc"),
+    )
+    return (
+        scored.groupBy(id_col, vec_col)
+        .agg(F.max("_sc").alias("_best"))
+        .select(
+            id_col, vec_col, (-F.col("_best.neg_cid")).alias("list_id")
+        )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k via IVF (inverted file) coarse quantization — the scale
+    path beside ``lsh_topk``.
+
+    Centroid "training" here is deterministic seed selection (the
+    ``n_centroids`` lowest-id vectors) so the DuckDB oracle can replicate
+    it; a production deployment swaps in offline k-means centroids — the
+    search plan below is identical either way.
+
+    Search: every vector is assigned to its nearest centroid
+    (``assign_ivf_lists``); each query probes its ``n_probe`` nearest
+    lists; candidates = vectors in probed lists; exact cosine re-rank.
+    Recall < 1 by construction (like any IVF index); both engines compute
+    the same lists, so results match exactly.
+    """
+    from pyspark.sql.window import Window
+
+    centroids = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+
+    lists = assign_ivf_lists(embeddings, centroids, id_col, vec_col)
+
+    # Each query's n_probe nearest centroids (same fan-out/collapse shape).
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("_cs"), F.asc("_cid")
+    )
+    probes = (
+        q.crossJoin(
+            F.broadcast(
+                centroids.select(
+                    F.col("cid").alias("_cid"), F.col("cv").alias("_cv0")
+                )
+            )
+        )
+        .select(
+            "query_id",
+            "_qv",
+            "_cid",
+            cosine(F.col("_qv"), F.col("_cv0")).alias("_cs"),
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "_qv", F.col("_cid").alias("list_id"))
+    )
+
+    # Candidates: vectors in any probed list. The query side is tiny ->
+    # broadcast; the join key is list_id, so only probed lists are read
+    # when the list assignment is materialized partitioned by list_id.
+    scored = (
+        lists.join(F.broadcast(probes), "list_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("_qv"), F.col(vec_col)).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -645,3 +645,44 @@ SELECT c.click_id, c.click_ts, b.burst_id, b.burst_start, b.burst_end
 FROM clicks c JOIN bursts b
   ON c.click_ts >= b.burst_start AND c.click_ts < b.burst_end
 """
+
+# IVF: identical deterministic coarse quantization (seed centroids =
+# vec_id < 16; nearest-by-cosine, smallest cid on ties via lexicographic
+# [cos, -cid] arg_max), probe 4 lists, exact re-rank.
+ORACLES["sim_ivf_topk"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+assign_scored AS (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_cosine("e.v", "c.cv")} DESC, c.cid ASC
+           ) AS rn
+    FROM e, cents c
+),
+assign AS (SELECT vec_id, v, cid AS list_id FROM assign_scored WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+probe_scored AS (
+    SELECT q.query_id, q.qv, c.cid,
+           row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {_cosine("q.qv", "c.cv")} DESC, c.cid ASC
+           ) AS pr
+    FROM q, cents c
+),
+probes AS (
+    SELECT query_id, qv, cid AS list_id FROM probe_scored WHERE pr <= 4
+),
+scored AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           {_cosine("p.qv", "a.v")} AS cosine_sim
+    FROM assign a JOIN probes p ON a.list_id = p.list_id
+    WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""

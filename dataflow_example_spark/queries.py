@@ -332,6 +332,16 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, _query_vectors(spark, sf_dir), k=5, n_planes=8, dim=64)
 
 
+@query("sim_ivf_topk")
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via IVF coarse quantization (16 deterministic centroids,
+    probe 4 lists) + exact re-rank — the second scale path beside LSH."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb, _query_vectors(spark, sf_dir), k=5, n_centroids=16, n_probe=4
+    )
+
+
 @query("sim_embedding_near_dup")
 def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at >= 0.4 (the synthetic

@@ -7,6 +7,8 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMOKE
+
 from dataflow_example_spark.functions.similarity import (
     cosine,
     cosine_near_dup_pairs,
@@ -67,3 +69,38 @@ def test_near_dup_pairs_threshold(spark):
     emb = vecs(spark, [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])])
     out = cosine_near_dup_pairs(emb, threshold=0.99)
     assert [(r.id_a, r.id_b) for r in out.collect()] == [(1, 2)]
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF is approximate by construction; at sf0.001 with 16 lists /
+    4 probes it should still recover most of the exact top-5."""
+    from dataflow_example_spark.functions.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, q, k=5).collect()
+    approx = ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    # every query answered with k rows
+    from collections import Counter
+    per_q = Counter(r.query_id for r in approx)
+    assert set(per_q) == set(range(10)) and all(v == 5 for v in per_q.values())
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"recall@5 = {recall}"
+
+
+def test_ivf_assignment_partitions_all_vectors(spark):
+    from dataflow_example_spark.functions.similarity import assign_ivf_lists
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    lists = assign_ivf_lists(emb, cents)
+    assert lists.count() == emb.count()
+    assert lists.select("vec_id").distinct().count() == emb.count()
+    used = {r.list_id for r in lists.select("list_id").distinct().collect()}
+    assert used <= set(range(16)) and len(used) > 1
