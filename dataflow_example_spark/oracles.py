@@ -686,3 +686,17 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
 """
+
+# Gap-session throttle: first event of each 30-minute session per
+# (user_id, event_type); every event refreshes the clock (lag-based).
+ORACLES["events_throttle"] = """
+WITH ordered AS (
+    SELECT event_id, user_id, event_type, ts, value,
+           lag(ts) OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) AS prev_ts
+    FROM events
+)
+SELECT event_id, user_id, event_type, ts, value
+FROM ordered
+WHERE prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+"""

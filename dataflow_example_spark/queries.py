@@ -350,6 +350,26 @@ def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_near_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+@query("events_throttle")
+def events_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, event_type) gap-session throttling: emit only the first
+    event of each 30-minute session. Batch twin of the custom stateful
+    streaming operator (streaming/stateful.py) — identical semantics,
+    verified for parity in tests/test_stateful_streaming.py."""
+    from .streaming.stateful import throttle_batch
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    return throttle_batch(
+        ev,
+        keys=["user_id", "event_type"],
+        ts_col="ts",
+        gap="30 MINUTES",
+        order_col="event_id",
+    )
+
+
 @query("events_asof_join")
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/joins.py): every click gets the user's most

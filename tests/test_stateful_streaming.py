@@ -1,0 +1,131 @@
+"""Custom stateful streaming operator tests (streaming/stateful.py):
+batch/stream parity for gap-session throttling, cross-batch state
+persistence, and state-timeout hygiene."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from dataflow_example_spark.streaming.stateful import (
+    throttle_batch,
+    throttle_stream,
+)
+
+SCHEMA = "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP, value DOUBLE"
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run_stream(spark, src_dir, ckpt, gap_seconds=1800, files_per_trigger=1):
+    lines = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .json(src_dir)
+        .withWatermark("ts", "0 seconds")
+    )
+    out = throttle_stream(
+        lines,
+        keys=["user_id", "event_type"],
+        ts_col="ts",
+        gap_seconds=gap_seconds,
+        order_col="event_id",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("throttled")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql("SELECT * FROM throttled")
+
+
+def _ev(eid, uid, typ, ts, v=1.0):
+    return {
+        "event_id": eid,
+        "user_id": uid,
+        "event_type": typ,
+        "ts": ts,
+        "value": v,
+    }
+
+
+def test_stream_throttle_single_batch(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_jsonl(
+        src / "a.json",
+        [
+            _ev(1, 1, "click", "2024-01-01T10:00:00"),
+            _ev(2, 1, "click", "2024-01-01T10:10:00"),  # within gap: dropped
+            _ev(3, 1, "click", "2024-01-01T11:00:00"),  # new session
+            _ev(4, 1, "view", "2024-01-01T10:05:00"),   # other key
+            _ev(5, 2, "click", "2024-01-01T10:05:00"),  # other user
+        ],
+    )
+    out = _run_stream(spark, str(src), str(tmp_path / "ck"))
+    assert sorted(r.event_id for r in out.collect()) == [1, 3, 4, 5]
+
+
+def test_stream_throttle_state_spans_batches(spark, tmp_path):
+    """Key seen in batch 1 suppresses its in-gap repeat in batch 2."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_jsonl(src / "a.json", [_ev(1, 1, "click", "2024-01-01T10:00:00")])
+    import time
+
+    time.sleep(0.05)  # distinct mtimes => deterministic file order
+    _write_jsonl(
+        src / "b.json",
+        [
+            _ev(2, 1, "click", "2024-01-01T10:10:00"),  # in gap: dropped
+            _ev(3, 1, "click", "2024-01-01T12:00:00"),  # new session
+        ],
+    )
+    out = _run_stream(spark, str(src), str(tmp_path / "ck"))
+    assert sorted(r.event_id for r in out.collect()) == [1, 3]
+
+
+def test_stream_matches_batch_on_events_replay(spark, tmp_path):
+    """Parity: streaming replay of real events == throttle_batch."""
+    from dataflow_example_spark.tables import load
+
+    ev = (
+        load(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .filter(F.col("user_id") < 10)
+    )
+    rows = [
+        {
+            "event_id": r.event_id,
+            "user_id": r.user_id,
+            "event_type": r.event_type,
+            "ts": r.ts.isoformat(),
+            "value": r.value,
+        }
+        for r in ev.orderBy("ts", "event_id").collect()
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    # split in-order into 3 replay files == 3 micro-batches
+    third = (len(rows) + 2) // 3
+    import time
+
+    for i in range(3):
+        _write_jsonl(src / f"part{i}.json", rows[i * third : (i + 1) * third])
+        time.sleep(0.05)
+    streamed = _run_stream(spark, str(src), str(tmp_path / "ck"))
+    expected = throttle_batch(
+        ev, ["user_id", "event_type"], "ts", "30 MINUTES", "event_id"
+    )
+    got = sorted(r.event_id for r in streamed.collect())
+    want = sorted(r.event_id for r in expected.collect())
+    assert got == want and len(want) > 0
