@@ -1,0 +1,128 @@
+"""Physical-plan audit: asserts the headline queries get the plans a
+100 TB deployment needs (SURVEY.md §4.3). Run after any planner-visible
+change:
+
+    python tools/plan_audit.py            # audit all rules
+    python tools/plan_audit.py q6_forecast_revenue   # subset
+
+Checks, per query:
+- pushdown:   parquet scan shows non-trivial PushedFilters
+- pruned:     ReadSchema reads only the named columns (no SELECT *)
+- broadcast:  BroadcastHashJoin planned (dim tables must not shuffle)
+- no_bnl:     no BroadcastNestedLoopJoin / CartesianProduct anywhere
+- partial:    partial aggregation before the exchange (map-side combine)
+- codegen:    at least one WholeStageCodegen span (not fully interpreted)
+
+Exit code 0 iff every rule holds.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# query -> rules; 'pruned:<n>' bounds the widest parquet ReadSchema field count
+AUDITS: dict[str, list[str]] = {
+    "q6_forecast_revenue": ["pushdown", "pruned:4", "partial", "codegen", "no_bnl"],
+    "q1_pricing_summary": ["pushdown", "pruned:7", "partial", "codegen", "no_bnl"],
+    "q3_shipping_priority": ["broadcast", "partial", "no_bnl", "codegen"],
+    "q5_local_supplier_volume": ["broadcast", "partial", "no_bnl", "codegen"],
+    "q4_late_shipment_priority": ["no_bnl", "partial", "codegen"],
+    "q16_parts_never_ordered": ["no_bnl", "partial", "codegen"],
+    # q22/sim_ivf: BroadcastNestedLoopJoin IS the right plan there — the
+    # build side is a 1-row scalar aggregate / 16-row centroid table, so the
+    # "nested loop" is a constant-width map-side fan-out, not O(n*m).
+    "q22_idle_rich_customers": ["partial", "codegen"],
+    "events_asof_join": ["no_bnl", "codegen"],
+    "events_range_join": ["no_bnl", "codegen"],
+    "events_tumbling_agg": ["partial", "codegen", "no_bnl"],
+    "traffic_max_lane_flow": ["partial", "codegen", "no_bnl"],
+    "dedup_minhash_lsh": ["no_bnl"],
+    "sim_ivf_topk": ["partial"],
+    "top_customers_per_nation": ["pruned:5", "codegen", "no_bnl"],
+}
+
+
+def _plan(df) -> str:
+    qe = df._jdf.queryExecution()
+    return qe.executedPlan().toString() + "\n" + qe.optimizedPlan().toString()
+
+
+def _configure(spark) -> None:
+    # AQE wraps everything in AdaptiveSparkPlan(isFinalPlan=false) whose
+    # string carries no codegen markers; audit the static plan instead.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "2000")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+
+
+def _read_schemas(plan: str) -> list[str]:
+    return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+
+def check(name: str, plan: str, rules: list[str]) -> list[str]:
+    fails = []
+    for rule in rules:
+        if rule == "pushdown":
+            pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+            if not any(p.strip() for p in pushed):
+                fails.append("no PushedFilters reached the scan")
+        elif rule.startswith("pruned:"):
+            limit = int(rule.split(":")[1])
+            widths = [
+                len([f for f in s.split(",") if f.strip()])
+                for s in _read_schemas(plan)
+            ]
+            if not widths:
+                fails.append("no parquet ReadSchema found")
+            elif max(widths) > limit:
+                fails.append(f"scan reads {max(widths)} cols (> {limit})")
+        elif rule == "broadcast":
+            if "BroadcastHashJoin" not in plan:
+                fails.append("no BroadcastHashJoin planned")
+        elif rule == "no_bnl":
+            for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+                if bad in plan:
+                    fails.append(f"{bad} in plan")
+        elif rule == "partial":
+            # map-side combine: a partial-mode hash aggregate node
+            if not re.search(r"HashAggregate.*partial", plan, re.IGNORECASE) and \
+               "partial_" not in plan:
+                fails.append("no partial aggregation before exchange")
+        elif rule == "codegen":
+            # non-AQE plan strings mark codegen stages with "*(n)"
+            if not re.search(r"\*\(\d+\)", plan):
+                fails.append("no WholeStageCodegen span")
+        else:
+            fails.append(f"unknown rule {rule!r}")
+    return fails
+
+
+def main() -> None:
+    from dataflow_example_spark import queries
+    from dataflow_example_spark.session import get_spark
+
+    names = sys.argv[1:] or list(AUDITS)
+    spark = get_spark(app_name="plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    _configure(spark)
+    failed = 0
+    for name in names:
+        df = queries.QUERIES[name](spark, SF_DIR)
+        fails = check(name, _plan(df), AUDITS[name])
+        if fails:
+            failed += 1
+            print(f"FAIL  {name}: " + "; ".join(fails))
+        else:
+            print(f"ok    {name}")
+    print(f"\n{len(names) - failed}/{len(names)} plans pass")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
