@@ -30,7 +30,17 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q4_late_shipment_priority",
+    "q13_customer_order_distribution",
     "top_customers_per_nation",
+    "events_asof_join",
+    "events_range_join",
+    "events_throttle",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    "text_quality_score",
 ]
 
 

@@ -327,8 +327,12 @@ WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.2
 """
 
 _N_MINHASH, _BAND = 16, 4
+# two-word universal scheme (dedup.minhash_signatures): one md5 per
+# shingle, h_i = (h1 + i*h2) mod 2^32
+_H1 = "CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)"
+_H2 = "CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT)"
 _SIG_COLS = ", ".join(
-    "min({h}) AS mh{i}".format(h=_hash32_sql(f"shingle || '#{i}'"), i=i)
+    f"min(({_H1} + {i} * {_H2}) % 4294967296) AS mh{i}"
     for i in range(_N_MINHASH)
 )
 _BAND_MATCH = " OR ".join(
