@@ -142,3 +142,33 @@ def decode_media(media: DataFrame, allow_fake: bool = False) -> DataFrame:
     return media.select("doc_id", "media_type", "payload").mapInPandas(
         decode, DECODE_SCHEMA
     )
+
+
+FEATURES_SCHEMA = "doc_id bigint, media_type string, feature array<double>"
+FEATURE_DIM = 8
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Feature extraction plumbing: payload -> fixed-dim embedding vector
+    via Arrow-batched ``mapInPandas``. A real model (CLIP/wav2vec/...)
+    drops into the same batch loop with identical schema and partitioning;
+    here the deterministic stand-in derives dimension j from md5 byte j
+    (engine-portable, oracle-checkable).
+    """
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            digests = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).digest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "feature": digests.map(
+                        lambda d: [d[j] / 255.0 for j in range(FEATURE_DIM)]
+                    ),
+                }
+            )
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        feats, FEATURES_SCHEMA
+    )

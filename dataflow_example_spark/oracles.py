@@ -704,3 +704,37 @@ SELECT event_id, user_id, event_type, ts, value
 FROM ordered
 WHERE prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
 """
+
+ORACLES["mm_extract_features"] = f"""
+SELECT doc_id,
+       {_MEDIA_TYPE} AS media_type,
+       [{", ".join(f"CAST(('0x' || substr(md5(text), {2 * j + 1}, 2)) AS INTEGER) / 255.0" for j in range(8))}]
+           AS feature
+FROM documents
+"""
+
+ORACLES["events_user_stats"] = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+ORACLES["text_bpe_tokens"] = r"""
+WITH p AS (
+    SELECT doc_id, text,
+           len(regexp_extract_all(lower(text),
+               ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+')) AS n
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS DOUBLE) / n AS chars_per_token
+FROM p
+"""
+
+# Queries whose semantics no portable SQL reproduces (different sketch
+# algorithms, etc.) — the driver records a rows-only check for these.
+ORACLE_FREE = frozenset({"events_approx_distinct"})

@@ -306,6 +306,59 @@ def mm_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(_media(spark, sf_dir), allow_fake=True)
 
 
+@query("mm_extract_features")
+def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing: payload -> 8-dim embedding via
+    mapInPandas (deterministic md5-byte stand-in for a real model)."""
+    from .functions.multimodal import extract_features
+
+    return extract_features(_media(spark, sf_dir))
+
+
+@query("events_user_stats")
+def events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (COUNT(DISTINCT)) per event_type — planned as
+    a two-level aggregate (partial distinct per partition, then final),
+    never a global dedup shuffle of raw rows. The sketch-based scale path
+    (approx_count_distinct / HLL) is events_approx_distinct."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    )
+
+
+@query("events_approx_distinct")
+def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct users per event_type — the
+    mergeable-sketch path for 100 TB cardinality estimation. No DuckDB
+    oracle (different sketch algorithm => different estimates); the driver
+    records the weaker rows-only check, and the test asserts the estimate
+    against the exact count."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+
+
+@query("text_bpe_tokens")
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pretokenization count (GPT-2-style word/number/punct/space
+    classes, lookahead-free so Java regex and RE2 agree): the token-budget
+    estimator for LLM ingest."""
+    pattern = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+"
+    d = load(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.lower("text"), F.lit(pattern), 0)
+    return d.select(
+        "doc_id",
+        F.size(pieces).cast("bigint").alias("n_bpe_tokens"),
+        (F.length("text").cast("double") / F.size(pieces)).alias(
+            "chars_per_token"
+        ),
+    )
+
+
 # ---------------------------------------------- similarity search (north star)
 
 

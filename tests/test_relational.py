@@ -79,3 +79,23 @@ def test_anti_join_complements_semi(spark):
     semi = p.join(keys, p.p_partkey == keys.l_partkey, "leftsemi").count()
     anti = p.join(keys, p.p_partkey == keys.l_partkey, "left_anti").count()
     assert semi + anti == p.count()
+
+
+def test_approx_distinct_close_to_exact(spark):
+    approx = {
+        r.event_type: r.approx_users
+        for r in queries.QUERIES["events_approx_distinct"](spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r.event_type: r.n_users
+        for r in queries.QUERIES["events_user_stats"](spark, SF_SMOKE).collect()
+    }
+    assert set(approx) == set(exact)
+    for t, e in exact.items():
+        assert abs(approx[t] - e) <= max(2, 0.05 * e), (t, approx[t], e)
+
+
+def test_bpe_tokens_nonzero_and_bounded(spark):
+    out = queries.QUERIES["text_bpe_tokens"](spark, SF_SMOKE).collect()
+    assert all(r.n_bpe_tokens > 0 for r in out)
+    assert all(r.chars_per_token >= 1.0 for r in out)
