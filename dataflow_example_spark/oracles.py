@@ -738,3 +738,18 @@ FROM p
 # Queries whose semantics no portable SQL reproduces (different sketch
 # algorithms, etc.) — the driver records a rows-only check for these.
 ORACLE_FREE = frozenset({"events_approx_distinct"})
+
+ORACLES["q18_large_volume_customers"] = """
+WITH big AS (
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 150
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       o_totalprice AS total_price, total_qty
+FROM orders
+JOIN big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""

@@ -592,6 +592,35 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q18_large_volume_customers")
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate used as an IN-subquery
+    (= semi join on the aggregated key set). The heavy lineitem aggregate
+    happens once; its surviving key set is small -> broadcast semi join
+    back onto orders."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey", F.col("_q").cast("double").alias("total_qty"))
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey, "inner")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").alias("total_price"),
+            "total_qty",
+        )
+    )
+
+
 @query("distinct_order_priorities")
 def distinct_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT over a join projection (SURVEY.md §2.1: the reference has
