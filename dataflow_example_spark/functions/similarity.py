@@ -277,6 +277,39 @@ def ivf_topk(
     )
 
 
+def lsh_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs, bucketed: only vectors sharing a
+    sign-projection bucket are compared — the scale path that replaces
+    the O(N^2) cross join with a self-join on the bucket key. Recall < 1
+    (cross-bucket near-dups are missed, as in any single-table LSH);
+    rotate to multi-table LSH for higher recall."""
+    b = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(c, "bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias(
+                "cosine_sim"
+            ),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -284,7 +317,7 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (all-pairs baseline; the
-    bucketed variant composes ``lsh_bucket`` the same way as lsh_topk)."""
+    bucketed scale path is ``lsh_near_dup_pairs``)."""
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (

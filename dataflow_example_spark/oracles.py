@@ -753,3 +753,23 @@ FROM orders
 JOIN big ON o_orderkey = big.l_orderkey
 JOIN customer ON o_custkey = c_custkey
 """
+
+ORACLES["sim_lsh_near_dup"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_BUCKET} AS bucket FROM e)
+SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+       {_cosine("a.v", "bb.v")} AS cosine_sim
+FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+WHERE {_cosine("a.v", "bb.v")} >= 0.4
+"""
+
+ORACLES["sql_interface"] = """
+SELECT n.n_name,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""

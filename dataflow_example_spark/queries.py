@@ -395,6 +395,36 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_lsh_near_dup")
+def sim_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed near-dup pairs (>= 0.4 cosine within shared LSH bucket) —
+    the self-join-on-bucket scale path for embedding dedup."""
+    return S.lsh_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=8, dim=64
+    )
+
+
+@query("sql_interface")
+def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL surface (SURVEY.md §2.1: the reference has no SQL
+    parser; Spark SQL provides one at zero cost): the same star-schema
+    query expressed as ANSI SQL over registered temp views."""
+    for t in ("orders", "customer", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS total_price
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
+
+
 @query("sim_embedding_near_dup")
 def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at >= 0.4 (the synthetic

@@ -119,3 +119,63 @@ def test_streaming_ingest_time_mode_runs(spark, tmp_path, fixture_csv):
     assert [f.name for f in out.schema.fields] == [
         f.name for f in batch.schema.fields
     ]
+
+
+def test_streaming_tumbling_agg_matches_batch(spark, tmp_path):
+    """The generic window operators run unchanged on a streaming input
+    (SURVEY.md §1.4 unified model) — tumbling agg over a JSON event
+    replay equals the batch run on closed windows."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from dataflow_example_spark.operators.windows import tumbling_agg
+    from dataflow_example_spark.tables import load
+
+    ev = (
+        load(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .filter(F.col("user_id") < 20)
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "events.json", "w") as f:
+        for r in ev.collect():
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": r.event_id,
+                        "user_id": r.user_id,
+                        "event_type": r.event_type,
+                        "ts": r.ts.isoformat(),
+                        "value": r.value,
+                    }
+                )
+                + "\n"
+            )
+    schema = "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP, value DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .json(str(src))
+        .withWatermark("ts", "0 seconds")
+    )
+    out = tumbling_agg(stream, "1 hour", keys=("event_type",))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tumbled")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM tumbled")
+
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    batch = tumbling_agg(ev, "1 hour", keys=("event_type",)).filter(
+        F.col("window_end") <= F.lit(max_ts)
+    )
+    key = lambda r: (r.window_start, r.event_type)  # noqa: E731
+    got = {key(r): r.n_events for r in streamed.collect()}
+    want = {key(r): r.n_events for r in batch.collect()}
+    assert got and got == want
