@@ -246,3 +246,64 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pair edges -> (doc_id,
+    cluster_id = min doc_id in component). The step that turns pairwise
+    near-dup evidence into dedup groups.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; rounds double the
+    propagation radius (large-star/small-star style), so iterations ~
+    O(log diameter) — near-dup components are tiny (diameter < 10), so
+    this converges in 2-4 rounds. Each round is one shuffle; the loop is
+    driver-side control flow over lazy plans with a convergence check,
+    the standard Spark pattern for iterative algorithms (same shape as
+    GraphFrames' CC). localCheckpoint() truncates the growing lineage so
+    round N doesn't recompute rounds 1..N-1.
+    """
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

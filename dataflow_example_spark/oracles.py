@@ -773,3 +773,25 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
 """
+
+# Connected components over the LSH pair edges: recursive label walk —
+# every label reachable from a node; component id = min reachable id.
+ORACLES["dedup_clusters"] = f"""
+WITH RECURSIVE {_SHINGLES_CTE.lstrip()},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({_BAND_MATCH})
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+walk(id, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
+)
+SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
+"""

@@ -272,6 +272,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
 
 
+@query("dedup_clusters")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH pair edges -> connected components
+    (iterative min-label propagation; cluster_id = min doc_id). The step
+    that turns pairwise near-dup evidence into drop-lists."""
+    pairs = D.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+    return D.connected_components(pairs)
+
+
 # --------------------------------------------- multimodal columns (north star)
 
 

@@ -64,3 +64,19 @@ def test_simhash_identical_docs_distance_zero(spark):
         max_hamming=0,
     ).collect()
     assert [(r.doc_a, r.doc_b, r.hamming) for r in out] == [(1, 2, 0)]
+
+
+def test_connected_components_known_graph(spark):
+    """Chain 1-2-3-4 (one component), pair 10-11, triangle 20-21-22 with
+    redundant edge — min-label propagation must cross the whole chain."""
+    from dataflow_example_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a LONG, doc_b LONG",
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
