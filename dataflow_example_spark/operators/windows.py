@@ -111,3 +111,31 @@ def sessionize(
             "last_event_ts",
         )
     )
+
+
+def salted_agg(
+    events: DataFrame,
+    keys: Sequence[str],
+    n_salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant aggregation: count/sum per key computed in two
+    phases through a salt column — phase 1 aggregates (key, salt) spreading
+    each hot key over ``n_salt`` reducers, phase 2 merges the partials per
+    key. Results are identical to the direct groupBy (count and sum are
+    decomposable); use when a handful of keys dominate the input (the
+    `events.event_type` shape: 5 values over millions of rows) and AQE
+    skew handling isn't enough. The salt is derived from event_id (any
+    roughly-uniform column works), not random — results stay deterministic.
+    """
+    keys = list(keys)
+    salted = events.withColumn(
+        "_salt", (F.col("event_id") % n_salt).cast("int")
+    )
+    partial = salted.groupBy(*keys, "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("_s"),
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_n").alias("n_events"),
+        F.sum("_s").cast("double").alias("sum_value"),
+    )

@@ -795,3 +795,23 @@ walk(id, label) AS (
 )
 SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id
 """
+
+# salted two-phase == direct aggregate (decomposable aggs); oracle is the
+# direct form — that equality is exactly what the hash-match proves.
+ORACLES["events_salted_agg"] = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+ORACLES["cube_order_stats"] = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+           AS grouping_level
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""

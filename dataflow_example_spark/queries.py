@@ -130,6 +130,33 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_salted_agg")
+def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation through a deterministic salt
+    (operators/windows.py salted_agg): identical results to the direct
+    groupBy, but hot keys spread over 16 reducers in phase 1 — the manual
+    fallback when AQE skew handling isn't enough."""
+    from .operators.windows import salted_agg
+
+    return salted_agg(load(spark, sf_dir, "events"), keys=("event_type",))
+
+
+@query("cube_order_stats")
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-set aggregate (all 4 subtotal combinations of
+    status x priority) with grouping_id — completes the grouping-set
+    family beside rollup_revenue."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+            F.grouping_id().alias("grouping_level"),
+        )
+    )
+
+
 # ----------------------------------------------------- relational analytics
 
 

@@ -179,3 +179,93 @@ def test_streaming_tumbling_agg_matches_batch(spark, tmp_path):
     got = {key(r): r.n_events for r in streamed.collect()}
     want = {key(r): r.n_events for r in batch.collect()}
     assert got and got == want
+
+
+def _replay_events(spark, tmp_path, user_limit=20):
+    import json
+
+    import pyspark.sql.functions as F
+
+    from dataflow_example_spark.tables import load
+
+    ev = (
+        load(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .filter(F.col("user_id") < user_limit)
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "events.json", "w") as f:
+        for r in ev.collect():
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": r.event_id,
+                        "user_id": r.user_id,
+                        "event_type": r.event_type,
+                        "ts": r.ts.isoformat(),
+                        "value": r.value,
+                    }
+                )
+                + "\n"
+            )
+    schema = (
+        "event_id LONG, user_id LONG, event_type STRING, "
+        "ts TIMESTAMP, value DOUBLE"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .json(str(src))
+        .withWatermark("ts", "0 seconds")
+    )
+    return ev, stream
+
+
+def _drain(out, tmp_path, name):
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_sliding_agg_matches_batch(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from dataflow_example_spark.operators.windows import sliding_agg
+
+    ev, stream = _replay_events(spark, tmp_path)
+    _drain(sliding_agg(stream, "1 hour", "15 minutes", keys=("event_type",)),
+           tmp_path, "slid")
+    streamed = spark.sql("SELECT * FROM slid")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    batch = sliding_agg(ev, "1 hour", "15 minutes", keys=("event_type",)).filter(
+        F.col("window_end") <= F.lit(max_ts)
+    )
+    key = lambda r: (r.window_start, r.event_type)  # noqa: E731
+    got = {key(r): r.n_events for r in streamed.collect()}
+    want = {key(r): r.n_events for r in batch.collect()}
+    assert got and got == want
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from dataflow_example_spark.operators.windows import sessionize
+
+    ev, stream = _replay_events(spark, tmp_path, user_limit=10)
+    _drain(sessionize(stream, "30 minutes", key="user_id"), tmp_path, "sess")
+    streamed = spark.sql("SELECT * FROM sess")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # append mode emits sessions closed by the final watermark
+    batch = sessionize(ev, "30 minutes", key="user_id").filter(
+        F.col("session_end") <= F.lit(max_ts)
+    )
+    key = lambda r: (r.user_id, r.session_start)  # noqa: E731
+    got = {key(r): r.n_events for r in streamed.collect()}
+    want = {key(r): r.n_events for r in batch.collect()}
+    assert got and got == want
