@@ -815,3 +815,29 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
+
+ORACLES["events_json_props"] = """
+WITH k AS (
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k
+    FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(k AS DECIMAL(18,6))) AS DOUBLE) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM k
+GROUP BY event_type
+"""
+
+ORACLES["q14_promo_effect"] = f"""
+SELECT 100.0 * CAST(coalesce(sum(CASE WHEN p_type LIKE 'PROMO%'
+                                      THEN {_DISC_PRICE} END),
+                             0) AS DOUBLE)
+           / CAST(sum({_DISC_PRICE}) AS DOUBLE) AS promo_revenue_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-02-01'
+"""

@@ -157,6 +157,50 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_json_props")
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured handling: parse the events.props JSON column with
+    an explicit schema (from_json — typed, codegen-friendly, no
+    per-row schema inference) and aggregate on the extracted field."""
+    ev = load(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("k").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query("q14_promo_effect")
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation (CASE WHEN inside sum)
+    over a lineitem-part join — part is the broadcast side."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    one = F.lit(1).cast(DEC)
+    rev = dec("l_extendedprice") * (one - dec("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev)  # null else
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.coalesce(F.sum(promo), F.lit(0).cast(DEC)).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 # ----------------------------------------------------- relational analytics
 
 
