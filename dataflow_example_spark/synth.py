@@ -54,12 +54,14 @@ def _lane_cols(i: int) -> list[Column]:
     flow = (eid * i) % 100
     occ = ((eid * 7 + i) % 128).cast("double") / F.lit(128.0)
     speed = F.lit(40.0) + ((eid * 13 + i * 5) % 512).cast("double") / F.lit(8.0)
+    # constant fillers pre-joined: concat_ws(',', ..., 'x,x') emits the
+    # same bytes as two separate 'x' args with 1 expression instead of 2 —
+    # 18 fewer codegen expressions per line, faster first-run compile
     return [
         flow.cast("string"),
         occ.cast("string"),
         speed.cast("string"),
-        F.lit("x"),
-        F.lit("x"),
+        F.lit("x,x"),
     ]
 
 
@@ -72,9 +74,9 @@ def synth_traffic_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("S"), F.lpad(F.col("station").cast("string"), 3, "0")),  # 1
         (eid % 5).cast("string"),                                   # 2 freeway
         F.element_at(F.array(*[F.lit(d) for d in DIRECTIONS]), (eid % 4).cast("int") + 1),  # 3
-        F.lit("x"), F.lit("x"), F.lit("x"),                         # 4-6 filler
+        F.lit("x,x,x"),                                             # 4-6 filler
         (eid % 300).cast("string"),                                 # 7 total_flow
-        F.lit("x"), F.lit("x"), F.lit("x"),                         # 8-10 filler
+        F.lit("x,x,x"),                                             # 8-10 filler
     ]
     for i in range(1, 9):
         fields.extend(_lane_cols(i))
