@@ -841,3 +841,28 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1996-02-01'
 """
+
+ORACLES["events_running_sum"] = """
+SELECT user_id, event_id, ts,
+       CAST(row_number() OVER w AS INTEGER) AS seq,
+       CAST(sum(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value,
+       CAST(sum(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS moving_avg_5
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+ORACLES["events_value_percentiles"] = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50_value,
+       quantile_cont(value, 0.9) AS p90_value,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+"""

@@ -157,6 +157,47 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_running_sum")
+def events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based analytic windows: per-user running event count and
+    cumulative value, plus a 5-row moving average — ordered by (ts,
+    event_id) for a total deterministic order. Restricted to purchases to
+    keep the result compact."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-4, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.row_number().over(w).alias("seq"),
+        F.sum(dec("value")).over(cum).cast("double").alias("cum_value"),
+        (
+            F.sum(dec("value")).over(mov).cast("double")
+            / F.count(F.lit(1)).over(mov)
+        ).alias("moving_avg_5"),
+    )
+
+
+@query("events_value_percentiles")
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median/p90) per event_type via the exact
+    percentile aggregate (linear interpolation) — the sketch-free
+    small-group path; at 100 TB cardinalities switch to
+    approx_percentile's mergeable t-digest-style sketch."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("p50_value"),
+        F.percentile("value", F.lit(0.9)).alias("p90_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 @query("events_json_props")
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured handling: parse the events.props JSON column with
