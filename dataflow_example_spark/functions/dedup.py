@@ -71,7 +71,10 @@ def jaccard_pairs(
     threshold: float = 0.2,
     text_col: str = "text",
 ) -> DataFrame:
-    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+    """Near-duplicate pairs by exact n-gram Jaccard similarity — the
+    corpus-wide baseline (quadratic on hot shingles; test-scale only).
+    The scale path is ``jaccard_on_candidates`` over ``minhash_lsh_pairs``
+    output, which evaluates the same measure on a bounded candidate set.
 
     Self-join on shingles -> per-pair intersection counts; union from
     per-doc shingle counts. Exact integer arithmetic; the double division
@@ -86,6 +89,54 @@ def jaccard_pairs(
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_on_candidates(
+    docs: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard, evaluated ONLY on candidate pairs — the
+    verification stage its docstring role assigns to ``jaccard_pairs``,
+    composed with an LSH candidate generator for scale.
+
+    ``candidates``: (doc_a, doc_b) pairs (e.g. ``minhash_lsh_pairs``
+    output). Plan: candidates join shingles on doc_a, then an equi-join on
+    (doc_b, shingle) counts common shingles per pair — work is
+    O(|candidates| x shingles-per-doc), not O(corpus^2); the hot-shingle
+    skew of the corpus-wide self-join never materializes because the
+    shingle join is keyed by (doc_b, shingle), unique per doc.
+    Candidate pairs with zero common shingles drop out (inner join), as
+    they must at any threshold > 0.
+    """
+    sh = shingles(docs, k, text_col).cache()
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    cand = candidates.select("doc_a", "doc_b")
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
@@ -227,12 +278,68 @@ def simhash_pairs(
     bits: int = 32,
     text_col: str = "text",
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash Hamming distance.
+    """Near-duplicate pairs by SimHash Hamming distance — banded bucketing
+    (the scale path), with recall 1 by the pigeonhole principle.
 
-    All-pairs here (correctness baseline / small dims); the scale path
-    buckets signatures by band rotation before comparing — same pattern as
-    minhash_lsh_pairs.
+    Split the ``bits``-bit signature into ``max_hamming + 1`` bands: any
+    pair within Hamming distance ``max_hamming`` differs in at most
+    ``max_hamming`` bit positions, so at least one band is *exactly* equal.
+    Candidates = pairs sharing any exact band (hash self-join on
+    (band_id, band_bits) — never an all-pairs cross join), then one
+    ``bit_count`` residual filter over the full signatures. Result set is
+    identical to the all-pairs baseline (``simhash_pairs_allpairs``,
+    asserted equal in tests); the plan is a shuffle-bounded hash join.
     """
+    n_bands = max_hamming + 1
+    band_bits = -(-bits // n_bands)  # ceil
+    mask = (1 << band_bits) - 1
+    sig = simhash(docs, bits, text_col).cache()
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.*")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_pairs_allpairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    text_col: str = "text",
+) -> DataFrame:
+    """All-pairs SimHash baseline (test-only verifier for the banded
+    ``simhash_pairs``): O(N^2) cross join — never ship this against a
+    full corpus; it exists to assert the banded path loses no pairs."""
     sig = simhash(docs, bits, text_col)
     a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
     b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
@@ -253,40 +360,62 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 20,
+    checkpoint_dir: str | None = None,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Connected components over near-dup pair edges -> (doc_id,
     cluster_id = min doc_id in component). The step that turns pairwise
     near-dup evidence into dedup groups.
 
     Iterative min-label propagation: each round every node adopts the
-    smallest label among itself and its neighbors; rounds double the
-    propagation radius (large-star/small-star style), so iterations ~
-    O(log diameter) — near-dup components are tiny (diameter < 10), so
-    this converges in 2-4 rounds. Each round is one shuffle; the loop is
+    smallest label among itself and its neighbors, so labels advance one
+    hop per round — iterations ~ O(component diameter). Near-dup
+    components are tiny (diameter < 10), so this converges in a few
+    rounds; for graphs with long chains, switch to large-star/small-star
+    contraction (O(log diameter)). Each round is one shuffle; the loop is
     driver-side control flow over lazy plans with a convergence check,
     the standard Spark pattern for iterative algorithms (same shape as
-    GraphFrames' CC). localCheckpoint() truncates the growing lineage so
-    round N doesn't recompute rounds 1..N-1.
+    GraphFrames' CC). Checkpoints truncate the growing lineage so round N
+    doesn't recompute rounds 1..N-1.
+
+    Fault tolerance: when ``checkpoint_dir`` is set, rounds use reliable
+    ``checkpoint()`` against it (survives executor loss — required for
+    hour-long jobs on a real cluster); otherwise ``localCheckpoint()``
+    (fast, lineage-only — fine for short local runs, lost on executor
+    failure).
+
+    If ``max_iters`` is exhausted before convergence the labels are WRONG
+    (components split). ``on_nonconverged`` controls the response:
+    "raise" (default) / "warn" / "ignore".
     """
-    sym = (
+    if on_nonconverged not in ("raise", "warn", "ignore"):
+        raise ValueError(f"bad on_nonconverged: {on_nonconverged!r}")
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _persist(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    sym = _persist(
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = _persist(
         sym.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        new_labels = _persist(
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
@@ -294,7 +423,6 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -305,5 +433,18 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"connected_components did not converge in {max_iters} rounds; "
+            "labels are unreliable (components may be split). Raise "
+            "max_iters — rounds needed ~ component diameter."
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        if on_nonconverged == "warn":
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -101,12 +101,14 @@ def hyperplane(plane_id: int, dim: int) -> list[float]:
     ]
 
 
-def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
-    """Sign-random-projection bucket id: bit p = (vec . plane_p) >= 0."""
+def lsh_bucket(vec: Column, n_planes: int, dim: int, plane_offset: int = 0) -> Column:
+    """Sign-random-projection bucket id: bit p = (vec . plane_{offset+p}) >= 0.
+    ``plane_offset`` selects a disjoint plane set per LSH table (multi-table
+    LSH uses offsets 0, n_planes, 2*n_planes, ...)."""
     v = _to_double(vec)
     acc = F.lit(0).cast("bigint")
     for p in range(n_planes):
-        plane = F.array(*[F.lit(x) for x in hyperplane(p, dim)])
+        plane = F.array(*[F.lit(x) for x in hyperplane(plane_offset + p, dim)])
         acc = acc + F.when(dot(v, plane) >= 0, F.lit(2**p).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
@@ -310,14 +312,80 @@ def lsh_near_dup_pairs(
     )
 
 
+def multi_lsh_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via multi-table LSH — the headline scale
+    path. ``n_tables`` independent sign-projection tables (disjoint plane
+    sets); candidates = pairs sharing a bucket in ANY table; exact cosine
+    re-rank on the deduped candidate set.
+
+    Recall ~ 1 - (1 - p^n_planes)^n_tables for per-plane agreement p —
+    more tables raise recall, more planes per table shrink buckets
+    (candidate volume ~ n_tables * N^2 / 2^n_planes before dedup). At
+    scale, grow ``n_planes`` with N (2^n_planes ~ N / target bucket size)
+    and ``n_tables`` to hold recall. Plan shape: explode to (table_id,
+    bucket) rows -> hash self-join on the compound key -> distinct pairs
+    -> two hash joins to fetch vectors -> cosine filter. No cross join at
+    any stage; bucket skew is bounded by the plane count and handled by
+    AQE skew-join beyond that.
+    """
+    b = embeddings.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"),
+                        lsh_bucket(
+                            F.col(vec_col), n_planes, dim, plane_offset=t * n_planes
+                        ).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(id_col, "tb.*")
+    a, c = b.alias("a"), b.alias("b")
+    cand = (
+        a.join(c, ["table_id", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    ea = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    eb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (all-pairs baseline; the
-    bucketed scale path is ``lsh_near_dup_pairs``)."""
+    """Embedding-cosine near-duplicate pairs — all-pairs O(N^2) cross
+    join; TEST-ONLY recall verifier for the bucketed paths
+    (``lsh_near_dup_pairs``, ``multi_lsh_near_dup_pairs``). Never ship
+    corpus-wide."""
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (

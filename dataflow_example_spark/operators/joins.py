@@ -124,10 +124,13 @@ def range_join(
     (bucket, *keys) with the range predicate as a residual filter.
     """
     keys = list(keys)
+    # floor division (not double-division + truncation): cast('long') on a
+    # double truncates toward zero, which mis-buckets negative epochs
+    # (pre-1970 timestamps) and silently drops their matches.
     g = F.lit(grain_seconds).cast("long")
-    b_probe = (F.unix_timestamp(F.col(ts_col)) / g).cast("long")
-    b_start = (F.unix_timestamp(F.col(start_col)) / g).cast("long")
-    b_end = (F.unix_timestamp(F.col(end_col)) / g).cast("long")
+    b_probe = F.floor(F.unix_timestamp(F.col(ts_col)) / g).cast("long")
+    b_start = F.floor(F.unix_timestamp(F.col(start_col)) / g).cast("long")
+    b_end = F.floor(F.unix_timestamp(F.col(end_col)) / g).cast("long")
 
     iv = intervals.select(
         "*", F.explode(F.sequence(b_start, b_end)).alias("_bucket")

@@ -114,26 +114,33 @@ def sessionize(
 
 
 def salted_agg(
-    events: DataFrame,
+    df: DataFrame,
     keys: Sequence[str],
     n_salt: int = 16,
+    salt_col: str | None = None,
+    value_col: str = "value",
 ) -> DataFrame:
-    """Skew-resistant aggregation: count/sum per key computed in two
-    phases through a salt column — phase 1 aggregates (key, salt) spreading
-    each hot key over ``n_salt`` reducers, phase 2 merges the partials per
-    key. Results are identical to the direct groupBy (count and sum are
-    decomposable); use when a handful of keys dominate the input (the
-    `events.event_type` shape: 5 values over millions of rows) and AQE
-    skew handling isn't enough. The salt is derived from event_id (any
-    roughly-uniform column works), not random — results stay deterministic.
+    """Skew-resistant aggregation: count/sum of ``value_col`` per key
+    computed in two phases through a salt column — phase 1 aggregates
+    (key, salt) spreading each hot key over ``n_salt`` reducers, phase 2
+    merges the partials per key. Results are identical to the direct
+    groupBy (count and sum are decomposable); use when a handful of keys
+    dominate the input (the `events.event_type` shape: 5 values over
+    millions of rows) and AQE skew handling isn't enough.
+
+    The salt is deterministic, never random: ``salt_col`` (any
+    roughly-uniform numeric column, e.g. a row id) when given, else
+    ``F.hash`` over all input columns.
     """
     keys = list(keys)
-    salted = events.withColumn(
-        "_salt", (F.col("event_id") % n_salt).cast("int")
-    )
+    if salt_col is not None:
+        salt = F.pmod(F.col(salt_col).cast("bigint"), F.lit(n_salt))
+    else:
+        salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salt))
+    salted = df.withColumn("_salt", salt.cast("int"))
     partial = salted.groupBy(*keys, "_salt").agg(
         F.count(F.lit(1)).alias("_n"),
-        F.sum(F.col("value").cast("decimal(18,6)")).alias("_s"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("_s"),
     )
     return partial.groupBy(*keys).agg(
         F.sum("_n").alias("n_events"),

@@ -310,22 +310,6 @@ FROM documents
 GROUP BY md5(text)
 """
 
-ORACLES["dedup_jaccard_pairs"] = f"""
-WITH {_SHINGLES_CTE},
-counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-inter AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-)
-SELECT doc_a, doc_b,
-       CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) AS jaccard
-FROM inter
-JOIN counts ca ON ca.doc_id = doc_a
-JOIN counts cb ON cb.doc_id = doc_b
-WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.2
-"""
-
 _N_MINHASH, _BAND = 16, 4
 # two-word universal scheme (dedup.minhash_signatures): one md5 per
 # shingle, h_i = (h1 + i*h2) mod 2^32
@@ -353,6 +337,31 @@ sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST({_EQ_SUM} AS DOUBLE) / {_N_MINHASH} AS est_jaccard
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({_BAND_MATCH})
+"""
+
+# Exact Jaccard evaluated only on the MinHash-LSH candidate pairs —
+# mirrors queries.dedup_jaccard_pairs (LSH generates, exact verifies).
+ORACLES["dedup_jaccard_pairs"] = f"""
+WITH {_SHINGLES_CTE},
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({_BAND_MATCH})
+),
+inter AS (
+    SELECT p.doc_a, p.doc_b, count(*) AS n_common
+    FROM pairs p
+    JOIN sh a ON a.doc_id = p.doc_a
+    JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.2
 """
 
 _BITS = 32
@@ -469,11 +478,17 @@ def _plane_literal(plane_id: int, dim: int = 64) -> str:
     return "[" + ", ".join(repr(v) for v in vals) + "]::DOUBLE[]"
 
 
-_BUCKET = " + ".join(
-    f"(CASE WHEN {_dot('v', _plane_literal(p))} >= 0"
-    f" THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
-    for p in range(8)
-)
+def _bucket_expr(n_planes: int, offset: int = 0, vec: str = "v") -> str:
+    """Sign-projection bucket id over planes [offset, offset + n_planes) —
+    mirrors similarity.lsh_bucket(vec, n_planes, dim, plane_offset)."""
+    return " + ".join(
+        f"(CASE WHEN {_dot(vec, _plane_literal(offset + p))} >= 0"
+        f" THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        for p in range(n_planes)
+    )
+
+
+_BUCKET = _bucket_expr(8)
 
 ORACLES["sim_lsh_topk"] = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -492,14 +507,32 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 5
 """
 
-_COS_AB = _cosine("va", "vb")
+# Multi-table LSH near-dup — mirrors similarity.multi_lsh_near_dup_pairs
+# (8 tables x 4 planes, disjoint plane sets, candidates = shared bucket in
+# any table, exact cosine re-rank).
+_MT_TABLES, _MT_PLANES = 8, 4
+_MT_BUCKETS = "\n    UNION ALL ".join(
+    f"SELECT vec_id, {t} AS table_id,"
+    f" {_bucket_expr(_MT_PLANES, t * _MT_PLANES)} AS bucket FROM e"
+    for t in range(_MT_TABLES)
+)
 
 ORACLES["sim_embedding_near_dup"] = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {_cosine("a.v", "b.v")} AS cosine_sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE {_cosine("a.v", "b.v")} >= 0.4
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (
+    {_MT_BUCKETS}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+    FROM b a JOIN b bb
+      ON a.table_id = bb.table_id AND a.bucket = bb.bucket
+     AND a.vec_id < bb.vec_id
+)
+SELECT id_a, id_b, {_cosine("ea.v", "eb.v")} AS cosine_sim
+FROM cand
+JOIN e ea ON ea.vec_id = id_a
+JOIN e eb ON eb.vec_id = id_b
+WHERE {_cosine("ea.v", "eb.v")} >= 0.4
 """
 
 ORACLES["top_customers_per_nation"] = """
@@ -708,8 +741,7 @@ WHERE prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
 ORACLES["mm_extract_features"] = f"""
 SELECT doc_id,
        {_MEDIA_TYPE} AS media_type,
-       [{", ".join(f"CAST(('0x' || substr(md5(text), {2 * j + 1}, 2)) AS INTEGER) / 255.0" for j in range(8))}]
-           AS feature
+       {", ".join(f"CAST(('0x' || substr(md5(text), {2 * j + 1}, 2)) AS INTEGER) / 255.0 AS f{j}" for j in range(8))}
 FROM documents
 """
 

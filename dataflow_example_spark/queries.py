@@ -138,7 +138,12 @@ def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     fallback when AQE skew handling isn't enough."""
     from .operators.windows import salted_agg
 
-    return salted_agg(load(spark, sf_dir, "events"), keys=("event_type",))
+    return salted_agg(
+        load(spark, sf_dir, "events"),
+        keys=("event_type",),
+        salt_col="event_id",
+        value_col="value",
+    )
 
 
 @query("cube_order_stats")
@@ -367,8 +372,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_jaccard_pairs")
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-gram Jaccard >= 0.2."""
-    return D.jaccard_pairs(load(spark, sf_dir, "documents"), k=3, threshold=0.2)
+    """Near-dup pairs by exact 3-gram Jaccard >= 0.2, evaluated only on
+    MinHash-LSH candidate pairs — the scale composition (LSH generates,
+    exact Jaccard verifies). The corpus-wide self-join baseline
+    (D.jaccard_pairs) stays test-only."""
+    docs = load(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(docs)
+    return D.jaccard_on_candidates(docs, cand, k=3, threshold=0.2)
 
 
 @query("dedup_minhash_lsh")
@@ -380,7 +390,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash_pairs")
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at Hamming distance <= 3 (32-bit)."""
+    """SimHash near-dup pairs at Hamming distance <= 3 (32-bit), via
+    pigeonhole band bucketing (4 exact-match bands -> hash self-join;
+    recall 1, no cross join)."""
     return D.simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
 
 
@@ -430,10 +442,23 @@ def mm_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("mm_extract_features")
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction plumbing: payload -> 8-dim embedding via
-    mapInPandas (deterministic md5-byte stand-in for a real model)."""
-    from .functions.multimodal import extract_features
+    mapInPandas (deterministic md5-byte stand-in for a real model).
 
-    return extract_features(_media(spark, sf_dir))
+    The library API (functions/multimodal.extract_features) returns the
+    vector as ``array<double>``; the driver-facing query flattens it to
+    scalar columns f0..f7 because the correctness harness canonicalizes
+    results with a pandas sort, which cannot order list cells."""
+    from .functions.multimodal import FEATURE_DIM, extract_features
+
+    out = extract_features(_media(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "media_type",
+        *[
+            F.col("feature").getItem(j).alias(f"f{j}")
+            for j in range(FEATURE_DIM)
+        ],
+    )
 
 
 @query("events_user_stats")
@@ -548,10 +573,19 @@ def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sim_embedding_near_dup")
 def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs at >= 0.4 (the synthetic
-    embeddings' pairwise cosine tops out near 0.5, so 0.4 yields a
-    non-vacuous near-dup set)."""
-    return S.cosine_near_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
+    """Embedding near-duplicate pairs at cosine >= 0.4 via multi-table
+    LSH (8 tables x 4 planes): candidates share a bucket in any table,
+    exact cosine re-rank — the scale path; the all-pairs cross join
+    (S.cosine_near_dup_pairs) is demoted to a test-only recall verifier.
+    (The synthetic embeddings' pairwise cosine tops out near 0.5, so 0.4
+    yields a non-vacuous near-dup set.)"""
+    return S.multi_lsh_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        n_tables=8,
+        n_planes=4,
+        dim=64,
+    )
 
 
 @query("events_throttle")

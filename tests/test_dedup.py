@@ -66,6 +66,104 @@ def test_simhash_identical_docs_distance_zero(spark):
     assert [(r.doc_a, r.doc_b, r.hamming) for r in out] == [(1, 2, 0)]
 
 
+def test_simhash_banded_equals_allpairs(spark):
+    """The pigeonhole band join must lose NO pair vs the O(N^2) baseline
+    (recall 1 for Hamming <= max_hamming) and add none."""
+    from dataflow_example_spark.functions.dedup import simhash_pairs_allpairs
+
+    d = docs(
+        spark,
+        [
+            (i, f"alpha beta gamma delta epsilon {w}")
+            for i, w in enumerate(
+                ["zeta", "zeta", "eta", "theta iota", "kappa", "zeta eta"]
+            )
+        ],
+    )
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs(d, max_hamming=3).collect()
+    }
+    allpairs = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs_allpairs(d, max_hamming=3).collect()
+    }
+    assert banded == allpairs
+    assert banded  # non-vacuous: at least the identical docs pair
+
+
+def test_jaccard_on_candidates_matches_baseline(spark):
+    """Candidate-scoped exact Jaccard == corpus-wide baseline restricted
+    to the candidate set (same measure, bounded work)."""
+    from dataflow_example_spark.functions.dedup import (
+        jaccard_on_candidates,
+        minhash_lsh_pairs,
+    )
+
+    d = docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "an entirely different sentence with other words"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ],
+    )
+    cand = minhash_lsh_pairs(d)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_on_candidates(d, cand, threshold=0.2).collect()
+    }
+    base = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(d, threshold=0.2).collect()
+    }
+    cand_set = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    assert got == {p: j for p, j in base.items() if p in cand_set}
+    assert (1, 4) in got and got[(1, 4)] == 1.0
+
+
+def test_connected_components_nonconverged_raises(spark):
+    """A 5-node chain has diameter 4 > max_iters=2 worth of propagation:
+    the default must refuse to return split labels."""
+    import pytest as _pytest
+
+    from dataflow_example_spark.functions.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "doc_a LONG, doc_b LONG"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=2)
+    # warn mode returns (possibly wrong) labels instead of raising
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = connected_components(chain, max_iters=2, on_nonconverged="warn")
+        assert out.count() == 6
+        assert any("did not converge" in str(x.message) for x in w)
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir knob: same answer through reliable checkpoint()
+    (cluster fault-tolerance path)."""
+    from dataflow_example_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a LONG, doc_b LONG"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(
+            edges, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # the reliable checkpoint actually wrote to the dir
+    assert any((tmp_path / "ckpt").iterdir())
+
+
 def test_connected_components_known_graph(spark):
     """Chain 1-2-3-4 (one component), pair 10-11, triangle 20-21-22 with
     redundant edge — min-label propagation must cross the whole chain."""

@@ -113,3 +113,17 @@ def test_range_join_overlapping_intervals_emit_all_pairs(spark):
     )
     out = range_join(probe, "ts", iv, "start", "end", grain_seconds=60)
     assert sorted(r.iid for r in out.collect()) == [10, 11]
+
+
+def test_range_join_pre_epoch_timestamps(spark):
+    """Bucket ids must use floor division: pre-1970 timestamps have
+    negative epochs, and truncate-toward-zero would put a probe and its
+    containing interval in different buckets, silently dropping matches."""
+    t = dt.datetime(1969, 12, 31, 23, 59, 30)  # epoch -30s
+    probe = _left(spark, [(1, "a", t)])
+    iv = _intervals(
+        spark,
+        [(10, "a", dt.datetime(1969, 12, 31, 23, 59, 0), dt.datetime(1970, 1, 1, 0, 1, 0))],
+    )
+    out = range_join(probe, "ts", iv, "start", "end", grain_seconds=60)
+    assert [r.lid for r in out.collect()] == [1]

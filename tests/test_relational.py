@@ -99,3 +99,18 @@ def test_bpe_tokens_nonzero_and_bounded(spark):
     out = queries.QUERIES["text_bpe_tokens"](spark, SF_SMOKE).collect()
     assert all(r.n_bpe_tokens > 0 for r in out)
     assert all(r.chars_per_token >= 1.0 for r in out)
+
+
+def test_salted_agg_generic_table(spark):
+    """salted_agg on an arbitrary table/column set (no event_id column):
+    hash-derived salt, explicit value column — matches the direct groupBy."""
+    from dataflow_example_spark.operators.windows import salted_agg
+
+    df = spark.createDataFrame(
+        [("x", 1.5), ("x", 2.5), ("y", 4.0)], "grp STRING, amount DOUBLE"
+    )
+    got = {
+        r.grp: (r.n_events, r.sum_value)
+        for r in salted_agg(df, keys=("grp",), value_col="amount").collect()
+    }
+    assert got == {"x": (2, 4.0), "y": (1, 4.0)}

@@ -71,6 +71,33 @@ def test_near_dup_pairs_threshold(spark):
     assert [(r.id_a, r.id_b) for r in out.collect()] == [(1, 2)]
 
 
+def test_multi_lsh_near_dup_subset_and_recall(spark):
+    """Multi-table LSH near-dup: every reported pair is a genuine
+    above-threshold pair (verified against the all-pairs baseline), and
+    8 tables recover a healthy fraction of them."""
+    from dataflow_example_spark.functions.similarity import (
+        multi_lsh_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in cosine_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in multi_lsh_near_dup_pairs(
+            emb, threshold=0.4, n_tables=8, n_planes=4, dim=64
+        ).collect()
+    }
+    assert set(got) <= set(exact)
+    for p, c in got.items():
+        assert c == exact[p]  # identical cosine (same pinned fold)
+    if exact:
+        recall = len(got) / len(exact)
+        assert recall >= 0.5, f"recall = {recall}"
+
+
 def test_ivf_topk_recall_vs_exact(spark):
     """IVF is approximate by construction; at sf0.001 with 16 lists /
     4 probes it should still recover most of the exact top-5."""

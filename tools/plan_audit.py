@@ -43,6 +43,10 @@ AUDITS: dict[str, list[str]] = {
     "events_tumbling_agg": ["partial", "codegen", "no_bnl"],
     "traffic_max_lane_flow": ["partial", "codegen", "no_bnl"],
     "dedup_minhash_lsh": ["no_bnl"],
+    "dedup_simhash_pairs": ["no_bnl", "partial"],
+    "dedup_jaccard_pairs": ["no_bnl", "partial"],
+    "sim_embedding_near_dup": ["no_bnl"],
+    "sim_lsh_near_dup": ["no_bnl"],
     "sim_ivf_topk": ["partial"],
     "top_customers_per_nation": ["pruned:5", "codegen", "no_bnl"],
 }
