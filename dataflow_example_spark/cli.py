@@ -48,7 +48,12 @@ def _traffic(args: argparse.Namespace) -> None:
             config=cfg,
             available_now=args.availableNow,
         )
-        query.awaitTermination()
+        # block with the reference's cancel-on-shutdown semantics
+        # (DataflowExampleUtils.java:286-356): Ctrl-C / SIGTERM stops the
+        # query gracefully instead of stranding it
+        from .streaming.shutdown import wait_to_finish
+
+        wait_to_finish(query, spark)
     else:
         out = traffic_pipeline(read_text(spark, args.input), cfg)
         write_table(out, args.output)

@@ -269,3 +269,157 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     got = {key(r): r.n_events for r in streamed.collect()}
     want = {key(r): r.n_events for r in batch.collect()}
     assert got and got == want
+
+
+def test_streaming_late_data_dropped_at_watermark(spark, tmp_path):
+    """Out-of-order replay across the watermark boundary (SURVEY.md §2.5):
+    with a 0-second watermark, an event arriving AFTER its window was
+    closed by a previous micro-batch must be dropped; a late event whose
+    window is still open must be kept. A batch run of the same data counts
+    both — the difference IS the watermark semantics."""
+    import json
+    import os
+    import time
+
+    import pyspark.sql.functions as F
+
+    from dataflow_example_spark.operators.windows import tumbling_agg
+
+    def write_events(path, rows, mtime):
+        with open(path, "w") as f:
+            for eid, ts in rows:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": eid,
+                            "user_id": 1,
+                            "event_type": "click",
+                            "ts": ts,
+                            "value": 1.0,
+                        }
+                    )
+                    + "\n"
+                )
+        os.utime(path, (mtime, mtime))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    now = time.time()
+    # file A: max event time 10:25 -> the 0-delay watermark reaches 10:25
+    # once the NEXT trigger completes (Spark applies the late-record
+    # filter with the watermark computed before the current batch, so the
+    # advance takes effect one full trigger later — hence the spacer file)
+    write_events(
+        src / "a.json",
+        [
+            (1, "2024-01-01T10:00:00"),
+            (2, "2024-01-01T10:05:00"),
+            (3, "2024-01-01T10:12:00"),
+            (4, "2024-01-01T10:25:00"),
+        ],
+        now - 90,
+    )
+    # spacer batch: lets the 10:25 watermark become effective
+    write_events(src / "b.json", [(8, "2024-01-01T10:26:00")], now - 60)
+    # file C (third micro-batch): event 5 is LATE below the 10:25
+    # watermark (its [10:00,10:10) window closed) -> dropped; event 6 is
+    # out-of-order but above the watermark -> kept; event 7 advances the
+    # watermark so [10:20,10:30) closes and emits
+    write_events(
+        src / "c.json",
+        [
+            (5, "2024-01-01T10:05:30"),
+            (6, "2024-01-01T10:22:00"),
+            (7, "2024-01-01T10:40:00"),
+        ],
+        now,
+    )
+
+    schema = (
+        "event_id LONG, user_id LONG, event_type STRING, "
+        "ts TIMESTAMP, value DOUBLE"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withWatermark("ts", "0 seconds")
+    )
+    out = tumbling_agg(stream, "10 minutes", keys=("event_type",))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.window_start.strftime("%H:%M"): r.n_events
+        for r in spark.sql("SELECT * FROM late").collect()
+    }
+    # late event 5 dropped from the closed 10:00 window; out-of-order
+    # event 6 kept in the still-open 10:20 window (with events 4 and 8);
+    # the 10:40 window never closes
+    assert got == {"10:00": 2, "10:10": 1, "10:20": 3}
+
+    # the batch run of the identical data counts the dropped event too
+    batch = tumbling_agg(
+        spark.read.schema(schema).json(str(src)), "10 minutes",
+        keys=("event_type",),
+    )
+    batch_got = {
+        r.window_start.strftime("%H:%M"): r.n_events
+        for r in batch.collect()
+    }
+    assert batch_got["10:00"] == 3  # includes event 5
+
+
+def test_kafka_adapter_gated_on_connector(spark):
+    """Kafka wiring is import-safe without the connector jar; when absent
+    the availability probe says so and stream construction is skipped."""
+    from dataflow_example_spark.sources.kafka import (
+        kafka_available,
+        stream_kafka,
+    )
+
+    if not kafka_available(spark):
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            stream_kafka(spark, "localhost:9092", "traffic").isStreaming
+        _pytest.skip("spark-sql-kafka connector not on the classpath")
+    # with the connector present the adapter yields the engine's
+    # (value, ingest_ts) line contract on an unbounded DataFrame
+    df = stream_kafka(spark, "localhost:9092", "traffic")
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["value", "ingest_ts"]
+
+
+def test_graceful_stop_terminates_streaming_query(spark, tmp_path):
+    """shutdown.stop_all mirrors the reference's shutdown-hook cancel:
+    an open-ended (non-availableNow) query stops cleanly and leaves no
+    active queries on the session."""
+    import json
+
+    from dataflow_example_spark.streaming.shutdown import stop_all
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        f.write(json.dumps({"ts": "2024-01-01T10:00:00", "value": 1.0}) + "\n")
+    stream = spark.readStream.schema("ts TIMESTAMP, value DOUBLE").json(str(src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cancelme")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_cancel"))
+        .start()
+    )
+    q.processAllAvailable()
+    assert q.isActive
+    n = stop_all(spark)
+    assert n >= 1
+    assert not q.isActive
+    assert len(spark.streams.active) == 0
