@@ -611,6 +611,80 @@ WHERE CAST(c_acctbal AS DECIMAL(18,6)) > avg_bal
 GROUP BY c_nationkey
 """
 
+ORACLES["q10_returned_items"] = f"""
+SELECT c_custkey, c_name,
+       CAST(sum({_DISC_PRICE}) AS DOUBLE) AS revenue,
+       c_acctbal, n_name
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+ORACLES["q15_top_supplier"] = f"""
+WITH revenue AS (
+    SELECT l_suppkey, sum({_DISC_PRICE}) AS r
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT max(r) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+ORACLES["q17_small_quantity_revenue"] = """
+WITH avg_q AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) / count(*)
+                AS DECIMAL(18,6)) AS aq
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+            / CAST(7 AS DECIMAL(18,6)) AS DOUBLE) AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avg_q ON avg_q.l_partkey = lineitem.l_partkey
+WHERE p_brand = 'BRAND_1'
+  AND CAST(l_quantity AS DECIMAL(18,6))
+      < CAST(0.2 AS DECIMAL(18,6)) * aq
+"""
+
+ORACLES["q19_disjunctive_predicates"] = f"""
+SELECT CAST(sum({_DISC_PRICE}) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'BRAND_1' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
+   OR (p_brand = 'BRAND_2' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
+   OR (p_brand = 'BRAND_3' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)
+"""
+
+ORACLES["q8_market_share"] = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(coalesce(sum(CASE WHEN n1.n_name = 'NATION_1'
+                              THEN {_DISC_PRICE} END), 0) AS DOUBLE)
+           / CAST(sum({_DISC_PRICE}) AS DOUBLE) AS mkt_share,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region ON n2.n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+"""
+
 ORACLES["distinct_order_priorities"] = """
 SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
 """

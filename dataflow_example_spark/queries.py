@@ -848,6 +848,164 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q10_returned_items")
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer —
+    fact-fact shuffle join (lineitem x orders) with two broadcast dims,
+    top-20 by revenue with deterministic tie-break."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    one = F.lit(1).cast(DEC)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount"))).alias("_rev")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("_rev").cast("double").alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query("q15_top_supplier")
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: derived revenue view + global-max scalar subquery
+    (suppliers matching the maximum quarterly revenue). The max is a
+    1-row broadcast — no second pass over lineitem."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    one = F.lit(1).cast(DEC)
+    revenue = (
+        l.groupBy("l_suppkey")
+        .agg(
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount"))).alias("_r")
+        )
+    )
+    max_r = revenue.agg(F.max("_r").alias("_mr"))
+    return (
+        revenue.join(F.broadcast(max_r), revenue._r == max_r._mr)
+        .join(F.broadcast(s), revenue.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_r").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query("q17_small_quantity_revenue")
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate subquery — lineitems whose
+    quantity is below 20% of their part's average quantity. Planned as a
+    per-part pre-aggregate joined back (de-correlation), never a per-row
+    re-scan; the avg uses exact decimal division for cross-engine parity."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "BRAND_1")
+    avg_q = (
+        l.groupBy("l_partkey")
+        .agg(
+            (F.sum(dec("l_quantity")) / F.count(F.lit(1)))
+            .cast(DEC)
+            .alias("_avg_q")
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(avg_q.withColumnRenamed("l_partkey", "_pk"),
+              l.l_partkey == F.col("_pk"))
+        .filter(dec("l_quantity") < F.lit(0.2).cast(DEC) * F.col("_avg_q"))
+        .agg(
+            (F.sum(dec("l_extendedprice")) / F.lit(7).cast(DEC))
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query("q19_disjunctive_predicates")
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR of three conjunctive predicate blocks over a
+    lineitem-part broadcast join — the optimizer extracts the common
+    p_partkey join key from the disjunction instead of falling back to a
+    nested loop."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    one = F.lit(1).cast(DEC)
+    block = lambda brand, qlo, qhi, szhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("l_quantity") >= qlo)
+        & (F.col("l_quantity") <= qhi)
+        & (F.col("p_size") <= szhi)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(block("BRAND_1", 1, 11, 5) | block("BRAND_2", 10, 20, 10)
+                | block("BRAND_3", 20, 30, 15))
+        .agg(
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query("q8_market_share")
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a target nation's share of regional revenue per
+    year — conditional aggregation over the full star join, every dim
+    broadcast, one fact shuffle (lineitem-orders)."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_ck"), F.col("n_regionkey").alias("_rk")
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    one = F.lit(1).cast(DEC)
+    vol = dec("l_extendedprice") * (one - dec("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_1", vol)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("_sk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("_ck"))
+        .join(F.broadcast(r), F.col("_rk") == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.coalesce(F.sum(target), F.lit(0).cast(DEC)).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 @query("distinct_order_priorities")
 def distinct_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT over a join projection (SURVEY.md §2.1: the reference has
