@@ -1,0 +1,80 @@
+"""Deterministic sampling / splitting for training-data pipelines
+(beyond-reference; BASELINE.json north star).
+
+All decisions are pure functions of (salt, key) through a portable
+md5-derived bucket — no RNG state, so results are identical across runs,
+cluster sizes, AND engines (the DuckDB oracles compute the same buckets).
+That determinism is what makes samples reproducible and train/test splits
+leak-proof: a document's split assignment never changes when the corpus is
+re-partitioned or re-processed.
+
+Scale notes (100 TB): every operator here is a stateless map-side filter /
+projection over one scan — no shuffle, no driver involvement; sampling
+composes with any downstream operator at zero plan cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000  # decision resolution: fractions quantize to 0.01%
+
+
+def hash_bucket(key: Column, salt: str, buckets: int = BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets): first 8 md5 hex digits of
+    (salt || key) as an integer, mod buckets. (DuckDB mirror:
+    CAST(('0x' || substr(md5(salt || key), 1, 8)) AS BIGINT) % buckets.)"""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % buckets
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose bucket falls below
+    fraction * BUCKETS. Unlike ``DataFrame.sample`` (partition-RNG based,
+    changes with partitioning), membership depends only on the key."""
+    return df.filter(
+        hash_bucket(F.col(key_col), salt) < int(fraction * BUCKETS)
+    )
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: str,
+    test_fraction: float = 0.2,
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a 'train'/'test' assignment column keyed on ``key_col`` — the
+    leak-proof split: the same key lands in the same split forever,
+    regardless of partitioning, ordering, or reprocessing."""
+    test = hash_bucket(F.col(key_col), salt) < int(test_fraction * BUCKETS)
+    return df.withColumn(
+        split_col, F.when(test, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing in a
+    corpus: keep 10% of English, 50% of low-resource languages). The
+    per-stratum threshold is a CASE chain — still a single stateless
+    map-side filter."""
+    thr: Column = F.lit(int(default_fraction * BUCKETS))
+    for value, frac in sorted(fractions.items()):
+        thr = (
+            F.when(F.col(strata_col) == value, F.lit(int(frac * BUCKETS)))
+            .otherwise(thr)
+        )
+    return df.filter(hash_bucket(F.col(key_col), salt) < thr)

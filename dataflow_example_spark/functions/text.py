@@ -107,6 +107,113 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window packing primitive of an LLM ingest pipeline
+    (chunk i covers tokens [1 + i*stride, 1 + i*stride + chunk_tokens)).
+
+    Chunk starts step by ``stride`` while they stay <= n_tokens, so every
+    token is covered and consecutive chunks overlap by
+    ``chunk_tokens - stride``; the final chunks may be short. One explode
+    per chunk — no Python, no shuffle (the fan-out is map-side); the token
+    array is materialized before the slice lambda (higher-order functions
+    run interpreted and would otherwise re-tokenize per chunk).
+    """
+    toks = tokens(F.col(text_col))
+    base = docs.select("doc_id", toks.alias("_t")).filter(F.size("_t") > 0)
+    starts = F.sequence(F.lit(1), F.size("_t"), F.lit(stride))
+    chunked = base.select(
+        "doc_id", "_t", F.posexplode(starts).alias("chunk_idx", "_s")
+    )
+    piece = F.slice(F.col("_t"), F.col("_s"), chunk_tokens)
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("bigint").alias("n_chunk_tokens"),
+    )
+
+
+def salient_terms(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Top-k salient terms per document by document-frequency-normalized
+    term frequency: salience = tf * N / df (the log-free TF-IDF variant —
+    rankings match TF-IDF's because ln is monotone; kept log-free so both
+    engines compute bit-identical doubles). Ties break on the term.
+
+    Plan: one explode -> (doc, term) tf aggregate; df is a second
+    aggregate OVER THE TF TABLE (each (doc, term) appears once, so
+    count(*) per term == distinct-doc count — no countDistinct shuffle of
+    raw tokens); N is a 1-row broadcast.
+    """
+    from pyspark.sql.window import Window
+
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.persist()
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * F.col("_n").cast("double")
+                / F.col("df").cast("double")
+            ).alias("salience"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("salience"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "salience", "rank")
+    )
+
+
+def vocab_top_terms(docs: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-k terms by document frequency
+    (ties on the term), with total occurrence counts — the vocabulary /
+    tokenizer-training statistic. Two-level aggregate: (doc, term) dedup
+    first (map-side partial), then per-term counts; at 100 TB this is the
+    standard two-shuffle heavy-hitter plan, and the top-k is a
+    driver-bounded k rows."""
+    from pyspark.sql.window import Window
+
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    per_doc = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    stats = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("tf").alias("total_tf"),
+    )
+    # orderBy + limit plans as TakeOrderedAndProject (each partition keeps
+    # its local top-k, the driver merges k*p rows) — never a global
+    # single-partition window sort over the whole vocabulary. The rank
+    # window then runs over k rows only.
+    topk = stats.orderBy(F.desc("doc_freq"), F.asc("term")).limit(k)
+    w = Window.orderBy(F.desc("doc_freq"), F.asc("term"))
+    return topk.select(
+        "term", "doc_freq", "total_tf", F.row_number().over(w).alias("rank")
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprints: md5 of the normalized token stream (hex), plus
     a 32-bit numeric fingerprint (first 8 hex digits) for compact

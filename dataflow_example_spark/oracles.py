@@ -304,6 +304,118 @@ SELECT doc_id,
 FROM toks
 """
 
+# chunking: starts step by stride while <= n_tokens; final chunks short.
+# DuckDB list slicing t[a:b] is 1-based inclusive and clamps at the end,
+# mirroring Spark's F.slice(_t, s, 64).
+ORACLES["text_chunks"] = f"""
+WITH {_TOKS_CTE},
+starts AS (
+    SELECT doc_id, t, unnest(range(1, len(t) + 1, 48)) AS s
+    FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST((s - 1) / 48 AS INTEGER) AS chunk_idx,
+       array_to_string(t[s : s + 63], ' ') AS chunk_text,
+       CAST(least(64, len(t) - s + 1) AS BIGINT) AS n_chunk_tokens
+FROM starts
+"""
+
+ORACLES["text_salient_terms"] = f"""
+WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+               / CAST(df.df AS DOUBLE) AS salience
+    FROM tf JOIN df USING (term), n
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY salience DESC, term ASC) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf, df, salience, rank FROM ranked WHERE rank <= 3
+"""
+
+ORACLES["text_vocab_top_terms"] = f"""
+WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+per_doc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+stats AS (
+    SELECT term, count(*) AS doc_freq, sum(tf) AS total_tf
+    FROM per_doc GROUP BY term
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (ORDER BY doc_freq DESC, term ASC)
+                   AS INTEGER) AS rank
+    FROM stats
+)
+SELECT term, doc_freq, total_tf, rank FROM ranked WHERE rank <= 100
+"""
+
+
+# deterministic sampling: same md5 bucket arithmetic as functions/sampling.py
+def _bucket_sql(salt: str, key: str = "doc_id") -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8))"
+        " AS BIGINT) % 10000"
+    )
+
+
+ORACLES["docs_hash_sample"] = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {_bucket_sql("sample")} < 1000
+"""
+
+ORACLES["docs_train_test_split"] = f"""
+SELECT doc_id, lang,
+       CASE WHEN {_bucket_sql("split")} < 2000
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+"""
+
+ORACLES["docs_stratified_sample"] = f"""
+SELECT lang, count(*) AS n_docs
+FROM documents
+WHERE {_bucket_sql("strata")}
+      < (CASE WHEN lang = 'en' THEN 1000 ELSE 5000 END)
+GROUP BY lang
+"""
+
+
+def _pivot_sum(t: str) -> str:
+    return (
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN"
+        f" CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sum_{t}"
+    )
+
+
+ORACLES["events_pivot_by_type"] = f"""
+SELECT user_id,
+       {", ".join(_pivot_sum(t) for t in ("click", "error", "purchase", "signup", "view"))}
+FROM events
+GROUP BY user_id
+"""
+
+ORACLES["lineitem_unpivot_measures"] = """
+WITH base AS (
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS DOUBLE) AS quantity,
+           CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+           CAST(l_discount AS DOUBLE) AS discount
+    FROM lineitem WHERE l_orderkey <= 100
+)
+SELECT l_orderkey, l_linenumber, 'quantity' AS measure, quantity AS val FROM base
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'extendedprice', extendedprice FROM base
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', discount FROM base
+"""
+
 ORACLES["dedup_exact"] = """
 SELECT min(doc_id) AS doc_id, md5(text) AS content_md5, count(*) AS n_dups
 FROM documents

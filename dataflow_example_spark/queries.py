@@ -361,6 +361,105 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(load(spark, sf_dir, "documents"))
 
 
+@query("text_chunks")
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, stride 48) —
+    the context-window packing primitive for LLM ingest."""
+    return T.chunk_documents(
+        load(spark, sf_dir, "documents"), chunk_tokens=64, stride=48
+    )
+
+
+@query("text_salient_terms")
+def text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document (df-normalized term frequency,
+    the log-free TF-IDF variant with deterministic tie-break)."""
+    return T.salient_terms(load(spark, sf_dir, "documents"), k=3)
+
+
+@query("text_vocab_top_terms")
+def text_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-100 terms by document
+    frequency with total occurrence counts."""
+    return T.vocab_top_terms(load(spark, sf_dir, "documents"), k=100)
+
+
+@query("docs_hash_sample")
+def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample of documents keyed on doc_id —
+    engine-portable md5 buckets, reproducible across runs/partitionings."""
+    from .functions.sampling import hash_sample
+
+    return hash_sample(
+        load(spark, sf_dir, "documents"), "doc_id", 0.10
+    ).select("doc_id", "lang", "n_chars")
+
+
+@query("docs_train_test_split")
+def docs_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-proof 80/20 train/test assignment keyed on doc_id."""
+    from .functions.sampling import train_test_split
+
+    return train_test_split(
+        load(spark, sf_dir, "documents"), "doc_id", test_fraction=0.2
+    ).select("doc_id", "lang", "split")
+
+
+@query("docs_stratified_sample")
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing stratified sample: keep 10% of English, 50%
+    of everything else (the low-resource upweighting shape)."""
+    from .functions.sampling import stratified_sample
+
+    out = stratified_sample(
+        load(spark, sf_dir, "documents"),
+        strata_col="lang",
+        fractions={"en": 0.10},
+        key_col="doc_id",
+        default_fraction=0.50,
+    )
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query("events_pivot_by_type")
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user value totals spread across event-type columns —
+    the explicit values list keeps the plan static (no distinct-scan
+    planning pass) and the output schema deterministic."""
+    ev = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.sum(dec("value")))
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.col(t).cast("double").alias(f"sum_{t}") for t in types],
+    )
+
+
+@query("lineitem_unpivot_measures")
+def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: the three lineitem measures to long form (bounded to
+    the first 100 orders) — wide-to-long reshaping via the native unpivot
+    operator (a zero-shuffle Expand)."""
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    wide = l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount"],
+        "measure",
+        "val",
+    )
+
+
 # --------------------------------------------------- deduplication (north star)
 
 

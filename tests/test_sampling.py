@@ -1,0 +1,66 @@
+"""Determinism/disjointness tests for functions/sampling.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from dataflow_example_spark.functions.sampling import (
+    hash_sample,
+    stratified_sample,
+    train_test_split,
+)
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_hash_sample_deterministic_and_sized(spark):
+    d = _docs(spark)
+    a = {r.doc_id for r in hash_sample(d, "doc_id", 0.2).collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(d.repartition(7), "doc_id", 0.2).collect()
+    }
+    assert a == b  # partitioning-independent membership
+    n = d.count()
+    assert 0.05 * n <= len(a) <= 0.4 * n  # loose Bernoulli bound
+
+
+def test_hash_sample_nested_fractions(spark):
+    """A 10% sample is a subset of the 20% sample (same salt): thresholds
+    nest, so growing a sample never resamples existing members."""
+    d = _docs(spark)
+    s10 = {r.doc_id for r in hash_sample(d, "doc_id", 0.1).collect()}
+    s20 = {r.doc_id for r in hash_sample(d, "doc_id", 0.2).collect()}
+    assert s10 <= s20
+
+
+def test_train_test_split_partition_and_leakproof(spark):
+    d = _docs(spark)
+    out = train_test_split(d, "doc_id", test_fraction=0.25)
+    rows = out.select("doc_id", "split").collect()
+    assert {r.split for r in rows} == {"train", "test"}
+    assert len(rows) == d.count()  # every row assigned exactly once
+    again = {
+        (r.doc_id, r.split)
+        for r in train_test_split(d.orderBy(F.desc("doc_id")), "doc_id",
+                                  test_fraction=0.25)
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert again == {(r.doc_id, r.split) for r in rows}
+
+
+def test_stratified_sample_per_stratum_rates(spark):
+    d = _docs(spark)
+    out = stratified_sample(
+        d, strata_col="lang", fractions={"en": 1.0}, key_col="doc_id",
+        default_fraction=0.0,
+    )
+    got = {r.lang for r in out.select("lang").distinct().collect()}
+    assert got == {"en"}  # zero default keeps nothing else
+    n_en = d.filter(F.col("lang") == "en").count()
+    assert out.count() == n_en  # fraction 1.0 keeps every English doc

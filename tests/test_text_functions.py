@@ -70,3 +70,43 @@ def test_fingerprint_matches_normalized_stream(spark):
     assert by_id[1].fingerprint32 == by_id[2].fingerprint32
     assert by_id[1].fingerprint_md5 != by_id[3].fingerprint_md5
     assert 0 <= by_id[1].fingerprint32 < 2**32
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    """chunk=4, stride=2 over 7 tokens: starts 1,3,5,7 -> overlapping
+    chunks with a short tail; every token covered."""
+    from dataflow_example_spark.functions.text import chunk_documents
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "")], "doc_id bigint, text string"
+    )
+    out = chunk_documents(d, chunk_tokens=4, stride=2).collect()
+    got = {(r.chunk_idx, r.chunk_text, r.n_chunk_tokens) for r in out}
+    assert got == {
+        (0, "a b c d", 4),
+        (1, "c d e f", 4),
+        (2, "e f g", 3),
+        (3, "g", 1),
+    }
+    assert all(r.doc_id == 1 for r in out)  # empty doc yields no chunks
+
+
+def test_salient_terms_ranking(spark):
+    """A term unique to one doc outranks a corpus-wide term (df in the
+    denominator), ties break alphabetically."""
+    from dataflow_example_spark.functions.text import salient_terms
+
+    d = spark.createDataFrame(
+        [
+            (1, "shared shared unique"),
+            (2, "shared other"),
+            (3, "shared other"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = salient_terms(d, k=2).collect()
+    top1 = {r.doc_id: r.term for r in out if r.rank == 1}
+    # doc 1: unique (tf 1, df 1 -> 3.0) beats shared (tf 2, df 3 -> 2.0)
+    assert top1[1] == "unique"
+    # docs 2/3: other (df 2 -> 1.5) beats shared (df 3 -> 1.0)
+    assert top1[2] == "other" and top1[3] == "other"

@@ -49,6 +49,12 @@ AUDITS: dict[str, list[str]] = {
     "sim_lsh_near_dup": ["no_bnl"],
     "sim_ivf_topk": ["partial"],
     "top_customers_per_nation": ["pruned:5", "codegen", "no_bnl"],
+    "q10_returned_items": ["broadcast", "partial", "no_bnl", "codegen"],
+    "q19_disjunctive_predicates": ["broadcast", "partial", "no_bnl", "codegen"],
+    "q8_market_share": ["broadcast", "partial", "no_bnl", "codegen"],
+    "text_chunks": ["codegen", "no_bnl"],
+    "text_vocab_top_terms": ["partial", "no_bnl"],
+    "events_pivot_by_type": ["partial", "codegen", "no_bnl"],
 }
 
 
