@@ -376,6 +376,45 @@ def multi_lsh_near_dup_pairs(
     )
 
 
+def label_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid of the embedding column, emitted in LONG form
+    (label, pos, centroid) — one row per vector component.
+
+    Plan: posexplode to (label, pos, value) -> hash aggregate per
+    (label, pos). Long form deliberately: downstream consumers
+    (nearest-centroid assignment, drift monitoring) join on (label, pos)
+    anyway. The mean uses the pinned-fold trick (sorted components,
+    sequential double fold) so both engines produce bit-identical values —
+    float->decimal casts tie-break differently across engines on exact
+    half-digit values. Tradeoff: the fold collects each cell's components
+    into one array (cell size = N / n_labels); at extreme cardinality swap
+    to a plain double sum — same answer up to float associativity, no
+    collect — and drop the oracle to a tolerance compare.
+    """
+    comp = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "_v"),
+    )
+    vs = F.sort_array(F.collect_list(F.col("_v").cast("double")))
+    return (
+        comp.groupBy("label", "pos")
+        .agg(vs.alias("_vs"), F.count(F.lit(1)).alias("n_vectors"))
+        .select(
+            "label",
+            "pos",
+            (
+                F.aggregate("_vs", F.lit(0.0), lambda a, x: a + x)
+                / F.col("n_vectors")
+            ).alias("centroid"),
+            "n_vectors",
+        )
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -416,6 +416,48 @@ UNION ALL
 SELECT l_orderkey, l_linenumber, 'discount', discount FROM base
 """
 
+# per-language prefix-sum packing (functions/packing.py): start_offset =
+# sum of earlier docs' token counts in doc_id order; window b holds tokens
+# [b*256, (b+1)*256)
+ORACLES["docs_pack_budget"] = f"""
+WITH {_TOKS_CTE},
+base AS (
+    SELECT d.lang AS "group", d.doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+    FROM documents d JOIN toks USING (doc_id)
+    WHERE len(t) > 0
+),
+offs AS (
+    SELECT *,
+           sum(n_tokens) OVER (PARTITION BY "group" ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS start_offset
+    FROM base
+)
+SELECT "group", doc_id, n_tokens, start_offset,
+       CAST(floor(start_offset / 256) AS BIGINT) AS first_bin,
+       CAST(floor((start_offset + n_tokens - 1) / 256) AS BIGINT) AS last_bin,
+       CAST(floor((start_offset + n_tokens - 1) / 256)
+            - floor(start_offset / 256) + 1 AS BIGINT) AS n_bins
+FROM offs
+"""
+
+# long-form label centroids: pinned fold (sorted components, sequential
+# double sum) mirrors functions/similarity.label_centroids bit-exactly
+ORACLES["emb_label_centroids"] = """
+WITH comp AS (
+    SELECT label,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+)
+SELECT label, pos,
+       list_reduce(list_prepend(0.0, list_sort(list(v))),
+                   (acc, x) -> acc + x) / count(*) AS centroid,
+       count(*) AS n_vectors
+FROM comp
+GROUP BY label, pos
+"""
+
 ORACLES["dedup_exact"] = """
 SELECT min(doc_id) AS doc_id, md5(text) AS content_md5, count(*) AS n_dups
 FROM documents

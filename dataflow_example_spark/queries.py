@@ -460,6 +460,25 @@ def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("docs_pack_budget")
+def docs_pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing: per-language concatenated-stream offsets and
+    the 256-token context windows each document covers — the pretraining
+    loader's concat-and-slice assignment, computed declaratively."""
+    from .functions.packing import pack_documents
+
+    return pack_documents(
+        load(spark, sf_dir, "documents"), budget=256, group_col="lang"
+    )
+
+
+@query("emb_label_centroids")
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long (label, pos, centroid) form —
+    exact-decimal component sums, order-independent."""
+    return S.label_centroids(load(spark, sf_dir, "embeddings"))
+
+
 # --------------------------------------------------- deduplication (north star)
 
 

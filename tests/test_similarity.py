@@ -131,3 +131,18 @@ def test_ivf_assignment_partitions_all_vectors(spark):
     assert lists.select("vec_id").distinct().count() == emb.count()
     used = {r.list_id for r in lists.select("list_id").distinct().collect()}
     assert used <= set(range(16)) and len(used) > 1
+
+
+def test_label_centroids_exact_mean(spark):
+    from dataflow_example_spark.functions.similarity import label_centroids
+
+    emb = vecs(
+        spark,
+        [(1, [1.0, 0.0]), (2, [3.0, 2.0]), (3, [10.0, 4.0])],
+    ).withColumn("label", (F.col("vec_id") <= 2).cast("int"))
+    got = {
+        (r.label, r.pos): (r.centroid, r.n_vectors)
+        for r in label_centroids(emb).collect()
+    }
+    assert got[(1, 0)] == (2.0, 2) and got[(1, 1)] == (1.0, 2)
+    assert got[(0, 0)] == (10.0, 1) and got[(0, 1)] == (4.0, 1)

@@ -423,3 +423,69 @@ def test_graceful_stop_terminates_streaming_query(spark, tmp_path):
     assert n >= 1
     assert not q.isActive
     assert len(spark.streams.active) == 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (watermarked, time-bounded state) over
+    a click/error replay equals the batch range_join of the same data —
+    the unified-model contract extended to two unbounded inputs."""
+    import pyspark.sql.functions as F
+
+    from dataflow_example_spark.operators.joins import range_join
+    from dataflow_example_spark.streaming.joins import stream_interval_join
+    from dataflow_example_spark.tables import load
+
+    ev = (
+        load(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", "event_type", "ts", "value")
+        .filter(F.col("user_id") < 30 if "user_id" in [] else F.lit(True))
+    )
+    clicks_b = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    errors_b = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") > 90)
+    ).select(
+        F.col("event_id").alias("burst_id"),
+        F.col("ts").alias("burst_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("burst_end"),
+    )
+    want = {
+        (r.click_id, r.burst_id)
+        for r in range_join(
+            clicks_b, "click_ts", errors_b, "burst_start", "burst_end",
+            grain_seconds=3600,
+        ).collect()
+    }
+
+    src = tmp_path / "ss_src"
+    src.mkdir()
+    ev.write.mode("overwrite").json(str(src / "events"))
+    schema = "event_id LONG, event_type STRING, ts TIMESTAMP, value DOUBLE"
+    stream = spark.readStream.schema(schema).json(str(src / "events"))
+    clicks_s = stream.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    errors_s = stream.filter(
+        (F.col("event_type") == "error") & (F.col("value") > 90)
+    ).select(
+        F.col("event_id").alias("burst_id"),
+        F.col("ts").alias("burst_start"),
+    )
+    joined = stream_interval_join(
+        clicks_s, "click_ts", errors_s, "burst_start", interval_seconds=3600
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.click_id, r.burst_id)
+        for r in spark.sql("SELECT click_id, burst_id FROM ssjoin").collect()
+    }
+    assert got and got == want

@@ -110,3 +110,27 @@ def test_salient_terms_ranking(spark):
     assert top1[1] == "unique"
     # docs 2/3: other (df 2 -> 1.5) beats shared (df 3 -> 1.0)
     assert top1[2] == "other" and top1[3] == "other"
+
+
+def test_pack_documents_offsets_and_straddle(spark):
+    """Offsets are per-group prefix sums; a doc straddling a window
+    boundary reports every window it covers."""
+    from dataflow_example_spark.functions.packing import pack_documents
+
+    d = spark.createDataFrame(
+        [
+            (1, "en", "a b c"),            # 3 tokens, offset 0, bin 0
+            (2, "en", "d e f g"),          # 4 tokens, offset 3, bins 0-1
+            (3, "en", "h i"),              # 2 tokens, offset 7, bin 1
+            (4, "de", "x y z w"),          # own group, offset 0
+        ],
+        "doc_id bigint, lang string, text string",
+    )
+    out = {
+        r.doc_id: (r.group, r.start_offset, r.first_bin, r.last_bin, r.n_bins)
+        for r in pack_documents(d, budget=4).collect()
+    }
+    assert out[1] == ("en", 0, 0, 0, 1)
+    assert out[2] == ("en", 3, 0, 1, 2)  # straddles windows 0 and 1
+    assert out[3] == ("en", 7, 1, 2, 2)
+    assert out[4] == ("de", 0, 0, 0, 1)
