@@ -45,3 +45,54 @@ def test_write_table_appends(spark, tmp_path):
     write_table(df, path)
     write_table(df, path)
     assert spark.read.parquet(path).count() == 2
+
+
+def test_bucketed_join_needs_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key by the same bucket count join
+    WITHOUT any Exchange — the co-located fact-fact join the bucketed
+    sink exists for."""
+    import pyspark.sql.functions as F
+
+    from dataflow_example_spark.sinks.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+    from dataflow_example_spark.tables import load
+
+    o = load(spark, "/root/testdata/sf0.001", "orders")
+    l = load(spark, "/root/testdata/sf0.001", "lineitem")
+    write_bucketed(o, "orders_b", ["o_orderkey"], num_buckets=8,
+                   sort_cols=["o_orderkey"], path=str(tmp_path / "ob"))
+    write_bucketed(
+        l.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b", ["o_orderkey"], num_buckets=8,
+        sort_cols=["o_orderkey"], path=str(tmp_path / "lb"),
+    )
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at sf0.001 the planner would broadcast (and rightly bypass the
+        # buckets); force the fact-fact SortMergeJoin regime the bucketed
+        # sink exists for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ob, lb = read_bucketed(spark, "orders_b"), read_bucketed(spark, "lineitem_b")
+        joined = ob.join(lb, "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+        assert "Bucketed: true" in plan
+        # and it returns the right answer
+        got = joined.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        want = (
+            o.join(l, o.o_orderkey == l.l_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert {(r.o_orderstatus, r.n) for r in got.collect()} == {
+            (r.o_orderstatus, r.n) for r in want.collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")

@@ -129,3 +129,80 @@ def test_stream_matches_batch_on_events_replay(spark, tmp_path):
     got = sorted(r.event_id for r in streamed.collect())
     want = sorted(r.event_id for r in expected.collect())
     assert got == want and len(want) > 0
+
+
+def test_transform_with_state_running_agg_matches_batch(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas running count/sum per user ==
+    the batch cumulative-window twin on in-order replay.
+
+    The transformWithState Python worker needs a working protobuf
+    install; skip when the container lacks one (the operator itself is
+    plain PySpark and runs on any normally-provisioned cluster)."""
+    import pytest as _pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        _pytest.skip("google.protobuf unavailable: transformWithState "
+                     "worker cannot start in this container")
+    import json
+
+    import pyspark.sql.functions as F
+
+    from dataflow_example_spark.streaming.running import (
+        running_batch,
+        running_stream,
+    )
+    from dataflow_example_spark.tables import load
+
+    ev = (
+        load(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", "user_id", "ts", "value")
+        .filter(F.col("user_id") < 10)
+    )
+    src = tmp_path / "run_src"
+    src.mkdir()
+    with open(src / "events.json", "w") as f:
+        for r in ev.orderBy("ts", "event_id").collect():
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": r.event_id,
+                        "user_id": r.user_id,
+                        "ts": r.ts.isoformat(),
+                        "value": r.value,
+                    }
+                )
+                + "\n"
+            )
+    schema = "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .json(str(src))
+        .withWatermark("ts", "0 seconds")
+    )
+    out = running_stream(
+        stream, keys=["user_id"], ts_col="ts", id_col="event_id",
+        value_col="value",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_run"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.event_id): (r.running_n, r.running_sum)
+        for r in spark.sql("SELECT * FROM running").collect()
+    }
+    want = {
+        (r.user_id, r.event_id): (r.running_n, r.running_sum)
+        for r in running_batch(
+            ev, keys=["user_id"], ts_col="ts", id_col="event_id",
+            value_col="value",
+        ).collect()
+    }
+    assert got and got == want

@@ -489,3 +489,42 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT click_id, burst_id FROM ssjoin").collect()
     }
     assert got and got == want
+
+
+def test_streaming_dedup_first_occurrence(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps exactly one row per content
+    fingerprint; agreement with the batch exact-dedup contract (md5)."""
+    import json
+
+    from dataflow_example_spark.streaming.dedup import dedup_stream
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    rows = [
+        (1, "2024-01-01T10:00:00", "same text"),
+        (2, "2024-01-01T10:01:00", "same text"),      # dup, later
+        (3, "2024-01-01T10:02:00", "other text"),
+        (4, "2024-01-01T10:03:00", "same text"),      # dup again
+    ]
+    with open(src / "a.json", "w") as f:
+        for i, ts, text in rows:
+            f.write(json.dumps({"doc_id": i, "ts": ts, "text": text}) + "\n")
+    stream = spark.readStream.schema(
+        "doc_id LONG, ts TIMESTAMP, text STRING"
+    ).json(str(src))
+    out = dedup_stream(stream, text_col="text", ts_col="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dd")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.content_md5: r.doc_id
+        for r in spark.sql("SELECT * FROM dd").collect()
+    }
+    assert len(got) == 2  # one survivor per distinct content
+    assert set(got.values()) <= {1, 3}  # first occurrences win in-order
