@@ -75,6 +75,22 @@ def _starter(args: argparse.Namespace) -> None:  # noqa: ARG001
         print(row.value)
 
 
+def _query(args: argparse.Namespace) -> None:
+    from .queries import QUERIES
+
+    spark = get_spark(app_name=f"query-{args.name}")
+    if args.list or args.name == "list":
+        for name in sorted(QUERIES):
+            print(name)
+        return
+    df = QUERIES[args.name](spark, args.sfDir)
+    if args.output:
+        write_table(df, args.output)
+        print(f"wrote {args.output}")
+    else:
+        df.show(args.rows, truncate=False)
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="dataflow-example-spark")
     sub = p.add_subparsers(required=True)
@@ -99,6 +115,16 @@ def main(argv: list[str] | None = None) -> None:
 
     s = sub.add_parser("starter", help="StarterPipeline smoke test")
     s.set_defaults(fn=_starter)
+
+    q = sub.add_parser(
+        "query", help="run any registry query ('query list' to enumerate)"
+    )
+    q.add_argument("name", help="query name, or 'list'")
+    q.add_argument("--sfDir", default="/root/testdata/sf0.01")
+    q.add_argument("--output", help="write parquet here instead of show()")
+    q.add_argument("--rows", type=int, default=20)
+    q.add_argument("--list", action="store_true")
+    q.set_defaults(fn=_query)
 
     args = p.parse_args(argv)
     args.fn(args)

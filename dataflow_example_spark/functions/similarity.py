@@ -21,6 +21,7 @@ handles moderate cases; rotate to multi-table LSH beyond that).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -113,6 +114,38 @@ def lsh_bucket(vec: Column, n_planes: int, dim: int, plane_offset: int = 0) -> C
             F.lit(0).cast("bigint")
         )
     return acc
+
+
+def lsh_bucket_fast(
+    vec_col: str, n_planes: int, dim: int, plane_offset: int = 0
+):
+    """Arrow-vectorized twin of ``lsh_bucket``: one numpy matmul per
+    batch ((batch x dim) @ (dim x n_planes) -> sign bits) instead of
+    n_planes interpreted higher-order-function folds per row — the
+    production fast path (~10-50x on wide corpora; HOF lambdas run
+    interpreted, outside codegen).
+
+    Caveat (why the oracle queries use ``lsh_bucket``): numpy sums the
+    dot product in SIMD/pairwise order while ``lsh_bucket`` folds
+    sequentially; a dot within float-noise of zero could sign-flip
+    between the two. Equivalence on real data is asserted in tests; for
+    bit-guaranteed engine parity use ``lsh_bucket``.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [hyperplane(plane_offset + p, dim) for p in range(n_planes)]
+    ).T  # (dim, n_planes)
+    weights = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
+
+    @pandas_udf("bigint")
+    def bucket(v: pd.Series) -> pd.Series:
+        m = np.vstack(v.to_numpy())  # (batch, dim) float32 -> float64
+        bits = m.astype(np.float64) @ planes >= 0  # (batch, n_planes)
+        return pd.Series(bits @ weights)
+
+    return bucket(F.col(vec_col))
 
 
 def lsh_topk(

@@ -43,3 +43,18 @@ def test_cli_inject_and_starter(spark, tmp_path, capsys):
     assert "published 1 lines" in capsys.readouterr().out
     main(["starter"])
     assert capsys.readouterr().out.splitlines() == ["HELLO", "WORLD"]
+
+
+def test_cli_query_subcommand(spark, capsys, tmp_path):
+    from dataflow_example_spark.cli import main
+
+    main(["query", "list"])
+    names = capsys.readouterr().out.split()
+    assert "q1_pricing_summary" in names and len(names) >= 60
+
+    out = str(tmp_path / "q1")
+    main([
+        "query", "q1_pricing_summary",
+        "--sfDir", "/root/testdata/sf0.001", "--output", out,
+    ])
+    assert spark.read.parquet(out).count() > 0

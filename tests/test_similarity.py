@@ -146,3 +146,27 @@ def test_label_centroids_exact_mean(spark):
     }
     assert got[(1, 0)] == (2.0, 2) and got[(1, 1)] == (1.0, 2)
     assert got[(0, 0)] == (10.0, 1) and got[(0, 1)] == (4.0, 1)
+
+
+def test_lsh_bucket_fast_matches_expression(spark):
+    """The Arrow-vectorized bucket (numpy matmul) assigns every vector
+    the same bucket as the expression-level pinned fold on the test
+    corpus, for each of the 8 multi-table plane sets."""
+    from dataflow_example_spark.functions.similarity import (
+        lsh_bucket,
+        lsh_bucket_fast,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    for offset in (0, 4, 28):
+        both = emb.select(
+            "vec_id",
+            lsh_bucket(F.col("embedding"), 4, 64, plane_offset=offset).alias(
+                "slow"
+            ),
+            lsh_bucket_fast("embedding", 4, 64, plane_offset=offset).alias(
+                "fast"
+            ),
+        )
+        bad = both.filter(F.col("slow") != F.col("fast")).count()
+        assert bad == 0
