@@ -995,9 +995,32 @@ SELECT doc_id,
 FROM p
 """
 
+# per-user z-score with exact-decimal moments; the double expressions
+# mirror queries.events_user_zscore shape-for-shape
+ORACLES["events_user_zscore"] = """
+WITH stats AS (
+    SELECT user_id,
+           count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,6))) AS s1,
+           sum(CAST(CAST(value AS DECIMAL(18,6))
+                    * CAST(value AS DECIMAL(18,6)) AS DECIMAL(28,12))) AS s2
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    HAVING count(*) >= 2
+)
+SELECT e.user_id, e.event_id,
+       e.value AS raw_value,
+       (CAST(e.value AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+           / sqrt((CAST(s2 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n))
+                  / (n - 1)) AS zscore
+FROM events e JOIN stats USING (user_id)
+WHERE e.event_type = 'purchase'
+"""
+
 # Queries whose semantics no portable SQL reproduces (different sketch
 # algorithms, etc.) — the driver records a rows-only check for these.
-ORACLE_FREE = frozenset({"events_approx_distinct"})
+ORACLE_FREE = frozenset({"events_approx_distinct", "events_approx_percentiles"})
 
 ORACLES["q18_large_volume_customers"] = """
 WITH big AS (

@@ -606,6 +606,68 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_user_zscore")
+def events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score normalization of event values — the feature-
+    scaling shape. Moments come from exact DECIMAL sums (sum, sum of
+    squares), so mean/variance are order-independent; the final float ops
+    run in a fixed expression shape both engines evaluate identically.
+    Restricted to purchases for a compact result."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    v = dec("value")
+    stats = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("_s1"),
+            F.sum((v * v).cast("decimal(28,12)")).alias("_s2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    mean = F.col("_s1").cast("double") / F.col("n")
+    var = (
+        F.col("_s2").cast("double") - F.col("_s1").cast("double") * mean
+    ) / (F.col("n") - 1)
+    enriched = ev.join(
+        stats.select(
+            "user_id",
+            "n",
+            mean.alias("_mean"),
+            F.sqrt(var).alias("_std"),
+        ),
+        "user_id",
+    )
+    return enriched.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("raw_value"),
+        (
+            (F.col("value").cast("double") - F.col("_mean")) / F.col("_std")
+        ).alias("zscore"),
+    )
+
+
+@query("events_approx_percentiles")
+def events_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch percentiles (approx_percentile) per event_type —
+    the 100 TB path beside the exact percentile query; sketches compose
+    across partitions with one tiny shuffle. Oracle-free like
+    events_approx_distinct (sketch algorithms differ across engines);
+    the test asserts the estimates bracket the exact values."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(1000)).alias(
+            "p50_approx"
+        ),
+        F.percentile_approx("value", F.lit(0.9), F.lit(1000)).alias(
+            "p90_approx"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 @query("text_bpe_tokens")
 def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pretokenization count (GPT-2-style word/number/punct/space

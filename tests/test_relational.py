@@ -114,3 +114,26 @@ def test_salted_agg_generic_table(spark):
         for r in salted_agg(df, keys=("grp",), value_col="amount").collect()
     }
     assert got == {"x": (2, 4.0), "y": (1, 4.0)}
+
+
+def test_approx_percentiles_bracket_exact(spark):
+    """Sketch percentiles land within a tolerance of the exact ones."""
+    from dataflow_example_spark.queries import QUERIES
+
+    approx = {
+        r.event_type: (r.p50_approx, r.p90_approx)
+        for r in QUERIES["events_approx_percentiles"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    exact = {
+        r.event_type: (r.p50_value, r.p90_value)
+        for r in QUERIES["events_value_percentiles"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    for et, (a50, a90) in approx.items():
+        e50, e90 = exact[et]
+        assert abs(a50 - e50) <= max(2.0, 0.05 * abs(e50))
+        assert abs(a90 - e90) <= max(2.0, 0.05 * abs(e90))
