@@ -409,6 +409,111 @@ def multi_lsh_near_dup_pairs(
     )
 
 
+def _assign_to_centroids(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Nearest centroid by cosine (smallest cid on ties) — broadcast
+    fan-out + map-side struct-max collapse, same shape as
+    ``assign_ivf_lists``. ``centroids``: (cid, cv array)."""
+    c = F.broadcast(
+        centroids.select(F.col("cid").alias("_cid"), F.col("cv").alias("_cv"))
+    )
+    scored = embeddings.crossJoin(c).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.struct(
+            cosine(F.col(vec_col), F.col("_cv")).alias("s"),
+            (-F.col("_cid")).alias("neg_cid"),
+        ).alias("_sc"),
+    )
+    return (
+        scored.groupBy(id_col, vec_col)
+        .agg(F.max("_sc").alias("_best"))
+        .select(
+            id_col,
+            vec_col,
+            (-F.col("_best.neg_cid")).cast("bigint").alias("cluster"),
+        )
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (cosine assignment), fixed iterations,
+    deterministic init (the ``k`` lowest-id vectors) — the offline
+    centroid training that ``ivf_topk``'s docstring defers to. Returns
+    the final (id, cluster) assignment.
+
+    Iterative driver-side loop over lazy plans (the same Spark pattern as
+    ``connected_components``): each round is one broadcast fan-out for
+    assignment plus one (cluster, pos)-keyed aggregate for the centroid
+    update. Centroid component means use the pinned sorted fold so the
+    DuckDB oracle replicates every round bit-exactly; empty clusters keep
+    their previous centroid (deterministic, no reseeding).
+
+    Fixed ``iters`` (not convergence-tested) keeps the driver query's
+    work deterministic; library callers can loop until assignments stop
+    changing exactly as connected_components checks labels.
+    """
+    emb = embeddings.select(F.col(id_col), F.col(vec_col))
+    centroids = emb.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("bigint").alias("cid"), F.col(vec_col).alias("cv")
+    )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        comp = assigned.select(
+            "cluster", F.posexplode(F.col(vec_col)).alias("pos", "_v")
+        )
+        means = (
+            comp.groupBy("cluster", "pos")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.col("_v").cast("double"))
+                ).alias("_vs"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .select(
+                "cluster",
+                "pos",
+                (
+                    F.aggregate("_vs", F.lit(0.0), lambda a, x: a + x)
+                    / F.col("_n")
+                ).alias("_m"),
+            )
+        )
+        return (
+            means.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", F.col("_m")))
+                    ),
+                    lambda s: s["_m"],
+                ).alias("cv")
+            )
+            .select(F.col("cluster").alias("cid"), "cv")
+        )
+
+    assigned = _assign_to_centroids(emb, centroids, id_col, vec_col)
+    for _ in range(iters - 1):
+        new_centroids = update(assigned)
+        # empty clusters vanish from `means`; keep their previous centroid
+        kept = centroids.join(new_centroids, "cid", "left_anti")
+        centroids = new_centroids.unionByName(kept).localCheckpoint(
+            eager=True
+        )
+        assigned = _assign_to_centroids(emb, centroids, id_col, vec_col)
+    return assigned.select(id_col, "cluster")
+
+
 def label_centroids(
     embeddings: DataFrame,
     label_col: str = "label",

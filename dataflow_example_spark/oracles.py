@@ -1046,6 +1046,49 @@ FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
 WHERE {_cosine("a.v", "bb.v")} >= 0.4
 """
 
+# spherical k-means, 2 unrolled iterations mirroring similarity.kmeans_assign:
+# assign (cosine argmax, lowest cid ties) -> centroid update (pinned-fold
+# component means, ordered assembly) -> reassign
+ORACLES["sim_kmeans_assign"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, v AS cv FROM e WHERE vec_id < 8),
+a1s AS (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cosine("e.v", "c.cv")} DESC,
+                                       c.cid ASC) AS rn
+    FROM e, c0 c
+),
+a1 AS (SELECT vec_id, v, cid AS cluster FROM a1s WHERE rn = 1),
+comp AS (
+    SELECT cluster,
+           CAST(generate_subscripts(v, 1) - 1 AS INTEGER) AS pos,
+           unnest(v) AS val
+    FROM a1
+),
+m AS (
+    SELECT cluster, pos,
+           list_reduce(list_prepend(0.0, list_sort(list(val))),
+                       (acc, x) -> acc + x) / count(*) AS mval
+    FROM comp GROUP BY cluster, pos
+),
+c1n AS (SELECT cluster AS cid, list(mval ORDER BY pos) AS cv FROM m
+        GROUP BY cluster),
+c1 AS (
+    SELECT cid, cv FROM c1n
+    UNION ALL
+    SELECT cid, cv FROM c0 WHERE cid NOT IN (SELECT cid FROM c1n)
+),
+a2s AS (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cosine("e.v", "c.cv")} DESC,
+                                       c.cid ASC) AS rn
+    FROM e, c1 c
+)
+SELECT vec_id, cid AS cluster FROM a2s WHERE rn = 1
+"""
+
 ORACLES["sql_interface"] = """
 SELECT n.n_name,
        count(*) AS n_orders,

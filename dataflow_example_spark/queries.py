@@ -730,6 +730,14 @@ def sim_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_kmeans_assign")
+def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means (k=8, 2 fixed iterations, deterministic init) —
+    the iterative-algorithm family beside connected components, and the
+    offline centroid training ivf_topk defers to."""
+    return S.kmeans_assign(load(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
 @query("sql_interface")
 def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's SQL surface (SURVEY.md §2.1: the reference has no SQL

@@ -170,3 +170,21 @@ def test_lsh_bucket_fast_matches_expression(spark):
         )
         bad = both.filter(F.col("slow") != F.col("fast")).count()
         assert bad == 0
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    """Two well-separated direction groups: k-means with k=2 puts each
+    group in one cluster after 2 iterations."""
+    from dataflow_example_spark.functions.similarity import kmeans_assign
+
+    rows = []
+    for i in range(20):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 0.0, 0.0, 1.0]
+        rows.append((i, [v + 0.01 * ((i * 7) % 5) * v for v in base]))
+    emb = vecs(spark, rows)
+    got = {
+        r.vec_id: r.cluster for r in kmeans_assign(emb, k=2, iters=2).collect()
+    }
+    evens = {got[i] for i in range(0, 20, 2)}
+    odds = {got[i] for i in range(1, 20, 2)}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds
