@@ -553,6 +553,84 @@ def label_centroids(
     )
 
 
+def center_by_label(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean-centering of embeddings (the grouped feature
+    transform: subtract each label's centroid) via grouped-map
+    ``applyInPandas`` — one Arrow batch per label group, one numpy
+    vectorized pass, no per-row Python.
+
+    This is the canonical applyInPandas shape: a whole-group transform
+    whose output is row-aligned with the input. The equivalent
+    composition of native ops (centroid aggregate + broadcast join +
+    zip_with subtract) is ``center_by_label_native``; equality of the two
+    is asserted in tests. Choose applyInPandas when the per-group math is
+    matrix-shaped (here: one mean + one subtract over the group matrix);
+    choose the native twin when groups are huge (no group materialization).
+    """
+    import numpy as np
+
+    out_schema = (
+        f"{id_col} bigint, {label_col} bigint, centered array<double>"
+    )
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        centered = m - m.mean(axis=0)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                label_col: pdf[label_col],
+                "centered": list(centered),
+            }
+        )
+
+    return embeddings.select(id_col, label_col, vec_col).groupBy(
+        label_col
+    ).applyInPandas(center, out_schema)
+
+
+def center_by_label_native(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Native twin of ``center_by_label``: centroid via plain avg per
+    (label, pos), broadcast join back, zip_with subtract. No group
+    materialization — the scale path for huge groups."""
+    comp = embeddings.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "_v")
+    )
+    cent = (
+        comp.groupBy(label_col, "pos")
+        .agg(F.avg(F.col("_v").cast("double")).alias("_m"))
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", F.col("_m")))),
+                lambda s: s["_m"],
+            ).alias("_centroid")
+        )
+    )
+    return (
+        embeddings.join(F.broadcast(cent), label_col)
+        .select(
+            id_col,
+            label_col,
+            F.zip_with(
+                _to_double(F.col(vec_col)),
+                F.col("_centroid"),
+                lambda a, b: a - b,
+            ).alias("centered"),
+        )
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

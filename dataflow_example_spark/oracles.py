@@ -1046,6 +1046,24 @@ FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
 WHERE {_cosine("a.v", "bb.v")} >= 0.4
 """
 
+ORACLES["emb_center_by_label"] = """
+WITH comp AS (
+    SELECT vec_id, label,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+),
+cent AS (
+    SELECT label, pos,
+           list_reduce(list_prepend(0.0, list_sort(list(v))),
+                       (acc, x) -> acc + x) / count(*) AS centroid
+    FROM comp GROUP BY label, pos
+)
+SELECT c.vec_id, c.label, c.pos, c.v - cent.centroid AS centered
+FROM comp c JOIN cent USING (label, pos)
+WHERE c.pos < 8
+"""
+
 # spherical k-means, 2 unrolled iterations mirroring similarity.kmeans_assign:
 # assign (cosine argmax, lowest cid ties) -> centroid update (pinned-fold
 # component means, ordered assembly) -> reassign

@@ -730,6 +730,26 @@ def sim_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("emb_center_by_label")
+def emb_center_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean-centering in long (vec_id, label, pos, centered)
+    form — the native-ops scale path (the grouped-map applyInPandas twin
+    lives in functions/similarity.center_by_label; equality is
+    test-asserted). Pinned-fold centroids keep the oracle bit-exact.
+    Bounded to the first 8 components for a compact result."""
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "_v")
+    ).filter(F.col("pos") < 8)
+    cent = S.label_centroids(emb).filter(F.col("pos") < 8)
+    return comp.join(cent, ["label", "pos"]).select(
+        "vec_id",
+        "label",
+        "pos",
+        (F.col("_v").cast("double") - F.col("centroid")).alias("centered"),
+    )
+
+
 @query("sim_kmeans_assign")
 def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical k-means (k=8, 2 fixed iterations, deterministic init) —

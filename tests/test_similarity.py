@@ -188,3 +188,35 @@ def test_kmeans_recovers_separated_clusters(spark):
     evens = {got[i] for i in range(0, 20, 2)}
     odds = {got[i] for i in range(1, 20, 2)}
     assert len(evens) == 1 and len(odds) == 1 and evens != odds
+
+
+def test_center_by_label_pandas_matches_native(spark):
+    """Grouped-map applyInPandas centering == native centroid-join twin
+    (tolerance: numpy mean vs avg aggregate differ only in float
+    summation order)."""
+    from dataflow_example_spark.functions.similarity import (
+        center_by_label,
+        center_by_label_native,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    a = {
+        r.vec_id: r.centered for r in center_by_label(emb).collect()
+    }
+    b = {
+        r.vec_id: r.centered
+        for r in center_by_label_native(emb).collect()
+    }
+    assert set(a) == set(b) and len(a) == emb.count()
+    for vid in a:
+        for x, y in zip(a[vid], b[vid]):
+            assert abs(x - y) < 1e-9
+    # centered groups have ~zero mean per component
+    import numpy as np
+
+    lab = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    by_label = {}
+    for vid, vec in a.items():
+        by_label.setdefault(lab[vid], []).append(vec)
+    for vecs_ in by_label.values():
+        assert np.abs(np.mean(np.array(vecs_), axis=0)).max() < 1e-9
