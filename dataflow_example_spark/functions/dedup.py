@@ -367,16 +367,17 @@ def connected_components(
     cluster_id = min doc_id in component). The step that turns pairwise
     near-dup evidence into dedup groups.
 
-    Iterative min-label propagation: each round every node adopts the
-    smallest label among itself and its neighbors, so labels advance one
-    hop per round — iterations ~ O(component diameter). Near-dup
-    components are tiny (diameter < 10), so this converges in a few
-    rounds; for graphs with long chains, switch to large-star/small-star
-    contraction (O(log diameter)). Each round is one shuffle; the loop is
-    driver-side control flow over lazy plans with a convergence check,
-    the standard Spark pattern for iterative algorithms (same shape as
-    GraphFrames' CC). Checkpoints truncate the growing lineage so round N
-    doesn't recompute rounds 1..N-1.
+    Iterative min-label propagation with pointer jumping: each round
+    every node adopts the smallest label among itself and its neighbors
+    (one hop), then shortcuts through its label's label
+    (label'(u) = label(label(u))) — the jump halves remaining
+    pointer-chain depth, so rounds ~ O(log component diameter), the same
+    asymptotics as large-star/small-star contraction with simpler
+    invariants. Each round is two shuffles; the loop is driver-side
+    control flow over lazy plans with a convergence check, the standard
+    Spark pattern for iterative algorithms (same shape as GraphFrames'
+    CC). Checkpoints truncate the growing lineage so round N doesn't
+    recompute rounds 1..N-1.
 
     Fault tolerance: when ``checkpoint_dir`` is set, rounds use reliable
     ``checkpoint()`` against it (survives executor loss — required for
@@ -415,12 +416,26 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        hop = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: label'(u) = label(label(u)). Every label value
+        # is itself a node id, so one self-join halves the remaining
+        # pointer-chain depth — with the one-hop step above, total rounds
+        # are O(log diameter) instead of O(diameter).
+        l1, l2 = hop.alias("l1"), hop.alias("l2")
         new_labels = _persist(
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            l1.join(l2, F.col("l1.label") == F.col("l2.id"), "left")
             .select(
-                "id",
+                F.col("l1.id").alias("id"),
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    F.col("l1.label"),
+                    F.coalesce(F.col("l2.label"), F.col("l1.label")),
                 ).alias("label"),
             )
         )
@@ -439,7 +454,7 @@ def connected_components(
         msg = (
             f"connected_components did not converge in {max_iters} rounds; "
             "labels are unreliable (components may be split). Raise "
-            "max_iters — rounds needed ~ component diameter."
+            "max_iters — rounds needed ~ log2(component diameter) + 2."
         )
         if on_nonconverged == "raise":
             raise RuntimeError(msg)

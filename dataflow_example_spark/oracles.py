@@ -859,6 +859,26 @@ SELECT 'except' AS op, c_custkey
 FROM (SELECT DISTINCT * FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
 """
 
+ORACLES["grouping_sets_revenue"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_items,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+           AS grouping_level
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+ORACLES["events_lead_lag_ntile"] = """
+SELECT event_type, event_id, value AS v,
+       lag(value) OVER w AS prev_v,
+       lead(value) OVER w AS next_v,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM events
+WHERE event_type = 'signup'
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
 # Spark's grouping_id() for rollup(a, b): 0 = (a,b), 1 = (a), 3 = ()
 ORACLES["rollup_revenue"] = """
 SELECT l_returnflag, l_linestatus,

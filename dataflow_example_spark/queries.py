@@ -1245,6 +1245,47 @@ def set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("grouping_sets_revenue")
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind ROLLUP/CUBE):
+    exactly the (returnflag), (linestatus), and () aggregates in one
+    pass — one Expand before the shuffle, partial aggregation intact."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS n_items,
+               CAST(grouping_id() AS BIGINT) AS grouping_level
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query("events_lead_lag_ntile")
+def events_lead_lag_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag navigation plus ntile quartiles per event_type — the
+    remaining analytic-window primitives (ordered by (value, event_id)
+    for a total deterministic order). Restricted to signups for a
+    compact result."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_type",
+        "event_id",
+        F.col("value").alias("v"),
+        F.lag("value").over(w).alias("prev_v"),
+        F.lead("value").over(w).alias("next_v"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 @query("rollup_revenue")
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping-set aggregate (SURVEY.md §2.1) with grouping_id to

@@ -178,3 +178,18 @@ def test_connected_components_known_graph(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_log_rounds_on_long_chain(spark):
+    """Pointer jumping: a 64-node chain (diameter 63) converges well
+    within 12 rounds — plain one-hop propagation would need 63."""
+    from dataflow_example_spark.functions.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "doc_a LONG, doc_b LONG"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(chain, max_iters=12).collect()
+    }
+    assert set(got.values()) == {1} and len(got) == 64
