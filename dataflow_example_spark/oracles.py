@@ -859,6 +859,29 @@ SELECT 'except' AS op, c_custkey
 FROM (SELECT DISTINCT * FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
 """
 
+ORACLES["events_funnel"] = """
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts >= s1.t1
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+    GROUP BY e.user_id
+)
+SELECT count(*) AS n_viewed,
+       count(t2) AS n_clicked_after_view,
+       count(t3) AS n_purchased_after_click
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
 ORACLES["grouping_sets_revenue"] = """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,

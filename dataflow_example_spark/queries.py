@@ -1245,6 +1245,44 @@ def set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_funnel")
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users who viewed, then clicked at or
+    after their first view, then purchased at or after that click —
+    the sequential-pattern shape. Three chained per-user min-aggregates
+    (each step's timestamp conditions on the previous step), no window
+    scan of the raw stream."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_viewed"),
+            F.count("t2").alias("n_clicked_after_view"),
+            F.count("t3").alias("n_purchased_after_click"),
+        )
+    )
+
+
 @query("grouping_sets_revenue")
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the general form behind ROLLUP/CUBE):

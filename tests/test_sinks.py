@@ -96,3 +96,29 @@ def test_bucketed_join_needs_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """partitionBy(lang) write -> a lang-filtered read shows
+    PartitionFilters in the scan and touches only that partition's
+    directory — the partition-pruning contract a 100 TB layout relies
+    on."""
+    import pyspark.sql.functions as F
+
+    from dataflow_example_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "docs_by_lang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    want = docs.filter(F.col("lang") == "en").count()
+    assert back.count() == want
+    import os
+
+    dirs = {d for d in os.listdir(out) if d.startswith("lang=")}
+    assert "lang=en" in dirs and len(dirs) > 1
