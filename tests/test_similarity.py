@@ -220,3 +220,26 @@ def test_center_by_label_pandas_matches_native(spark):
         by_label.setdefault(lab[vid], []).append(vec)
     for vecs_ in by_label.values():
         assert np.abs(np.mean(np.array(vecs_), axis=0)).max() < 1e-9
+
+
+def test_multi_lsh_accelerated_matches_exact_path(spark):
+    """accelerated=True (numpy buckets + numpy cosine) finds the same
+    pairs with cosines equal to ~1e-12 of the pinned-fold path."""
+    from dataflow_example_spark.functions.similarity import (
+        multi_lsh_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    slow = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in multi_lsh_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    fast = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in multi_lsh_near_dup_pairs(
+            emb, threshold=0.4, accelerated=True
+        ).collect()
+    }
+    assert set(slow) == set(fast)
+    for p in slow:
+        assert abs(slow[p] - fast[p]) < 1e-12
