@@ -55,6 +55,14 @@ AUDITS: dict[str, list[str]] = {
     "text_chunks": ["codegen", "no_bnl"],
     "text_vocab_top_terms": ["partial", "no_bnl"],
     "events_pivot_by_type": ["partial", "codegen", "no_bnl"],
+    "events_funnel": ["partial", "codegen", "no_bnl"],
+    "events_user_zscore": ["partial", "codegen", "no_bnl"],
+    "grouping_sets_revenue": ["partial", "codegen", "no_bnl"],
+    "q15_top_supplier": ["partial", "codegen"],
+    "q17_small_quantity_revenue": ["broadcast", "partial", "no_bnl"],
+    "docs_hash_sample": ["pruned:3", "codegen", "no_bnl"],
+    "docs_pack_budget": ["codegen", "no_bnl"],
+    "emb_center_by_label": ["partial", "no_bnl"],
 }
 
 
