@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY
+input, not just the curated fixtures — the banded-SimHash recall
+guarantee, chunking coverage, and sampling partition laws.
+
+Spark-session-per-example would be prohibitive, so examples are
+generated first and run through a shared session (module-scoped via the
+conftest fixture); deadlines are disabled because executor scheduling
+jitter dwarfs hypothesis's defaults.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+
+texts = st.lists(
+    st.sampled_from(WORDS), min_size=0, max_size=12
+).map(" ".join)
+corpora = st.lists(texts, min_size=1, max_size=8)
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(corpus=corpora)
+@_SETTINGS
+def test_simhash_banded_recall_property(spark, corpus):
+    """For any corpus: banded pairs == all-pairs (pigeonhole recall 1)."""
+    from dataflow_example_spark.functions.dedup import (
+        simhash_pairs,
+        simhash_pairs_allpairs,
+    )
+
+    d = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id bigint, text string"
+    )
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs(d, max_hamming=3).collect()
+    }
+    allpairs = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs_allpairs(d, max_hamming=3).collect()
+    }
+    assert banded == allpairs
+
+
+@given(corpus=corpora, chunk=st.integers(2, 6), stride=st.integers(1, 6))
+@_SETTINGS
+def test_chunking_covers_every_token(spark, corpus, chunk, stride):
+    """For any corpus and any chunk/stride: concatenating each doc's
+    chunks at stride offsets reproduces the token stream exactly (no
+    token lost or duplicated at window boundaries when stride >= chunk;
+    every token present at least once when stride < chunk)."""
+    from dataflow_example_spark.functions.text import chunk_documents, tokens
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id bigint, text string"
+    )
+    toks = {
+        r.doc_id: r.t
+        for r in d.select(
+            "doc_id", tokens(F.col("text")).alias("t")
+        ).collect()
+    }
+    out = chunk_documents(d, chunk_tokens=chunk, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        stream = toks[doc_id]
+        # chunk i must equal tokens[i*stride : i*stride + chunk]
+        for r in rows:
+            start = r.chunk_idx * stride
+            want = stream[start : start + chunk]
+            assert r.chunk_text.split(" ") == want
+            assert r.n_chunk_tokens == len(want)
+        # starts step by stride while <= n_tokens -> full coverage
+        assert len(rows) == (len(stream) - 1) // stride + 1
+    for doc_id, stream in toks.items():
+        assert (doc_id in by_doc) == (len(stream) > 0)
+
+
+@given(
+    n=st.integers(1, 60),
+    frac=st.sampled_from([0.0, 0.25, 0.5, 1.0]),
+)
+@_SETTINGS
+def test_split_partitions_exactly(spark, n, frac):
+    """train/test split: every row lands in exactly one side, and the
+    test side equals hash_sample at the same fraction/salt (threshold
+    nesting law)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_example_spark.functions.sampling import (
+        hash_sample,
+        train_test_split,
+    )
+
+    d = spark.range(n).select(F.col("id").alias("doc_id"))
+    out = train_test_split(d, "doc_id", test_fraction=frac, salt="p")
+    rows = out.collect()
+    assert len(rows) == n
+    test_ids = {r.doc_id for r in rows if r.split == "test"}
+    sampled = {
+        r.doc_id for r in hash_sample(d, "doc_id", frac, salt="p").collect()
+    }
+    assert test_ids == sampled

@@ -122,3 +122,35 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
 
     dirs = {d for d in os.listdir(out) if d.startswith("lang=")}
     assert "lang=en" in dirs and len(dirs) > 1
+
+
+def test_foreach_batch_idempotent_writes(spark, tmp_path):
+    """foreachBatch writes each micro-batch to a batch_id-keyed dir with
+    overwrite: draining the same source twice through the same
+    checkpoint produces no duplicates (replays replace themselves)."""
+    import json
+
+    from dataflow_example_spark.sinks.foreach_batch import write_batches
+
+    src = tmp_path / "fb_src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for i in range(10):
+            f.write(json.dumps({"k": i, "v": float(i)}) + "\n")
+
+    def drain():
+        stream = spark.readStream.schema("k LONG, v DOUBLE").json(str(src))
+        q = write_batches(
+            stream,
+            str(tmp_path / "fb_out"),
+            str(tmp_path / "fb_ck"),
+        )
+        q.awaitTermination(120)
+
+    drain()
+    first = spark.read.parquet(str(tmp_path / "fb_out"))
+    assert first.count() == 10
+    drain()  # checkpoint says: nothing new -> no rewrites, no dups
+    again = spark.read.parquet(str(tmp_path / "fb_out"))
+    assert again.count() == 10
+    assert {r.k for r in again.collect()} == set(range(10))
