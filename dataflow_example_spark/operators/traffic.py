@@ -179,6 +179,39 @@ def extract_flow_info(
     return out
 
 
+def traffic_quarantine(df: DataFrame, col: str = "value") -> DataFrame:
+    """Dead-letter routing: the lines ``extract_flow_info`` would drop
+    whole, each with a reason — the quarantine side of the ingest fork
+    (route to a badRecords table for inspection/replay instead of
+    silently vanishing). Reasons, checked in pipeline order:
+
+    - ``header_or_empty``  (filter_header_and_empties)
+    - ``too_few_fields``   (< MIN_FIELDS after Java trailing-split)
+    - ``bad_timestamp``    (field 0 unparseable -> record dropped,
+      TrafficMaxLaneFlow.java:215-221)
+
+    Lane-level prefix truncation (SURVEY.md §2.3 item 3) is NOT a row
+    rejection — those rows emit their valid lane prefix — so it is not
+    quarantined here.
+    """
+    c = F.col(col)
+    items = F.split(F.regexp_replace(c, ",+$", ""), ",")
+    ts_ok = F.try_to_timestamp(
+        items.getItem(0), F.lit(TS_FORMAT_SPARK)
+    ).isNotNull()
+    reason = (
+        F.when(
+            (F.length(c) == 0) | c.startswith("Timestamp"),
+            F.lit("header_or_empty"),
+        )
+        .when(F.size(items) < MIN_FIELDS, F.lit("too_few_fields"))
+        .when(~ts_ok, F.lit("bad_timestamp"))
+    )
+    return df.select(c.alias("line"), reason.alias("reason")).filter(
+        F.col("reason").isNotNull()
+    )
+
+
 # Deterministic max-by tie-break (SURVEY.md §2.4): the reference's MaxFlow
 # uses `flow >= max` over a nondeterministic iteration order
 # (TrafficMaxLaneFlow.java:240-251), so ties are unspecified there. We pin a

@@ -113,6 +113,45 @@ def sessionize(
     )
 
 
+def sessionize_dynamic(
+    events: DataFrame,
+    gaps: dict[str, str],
+    default_gap: str = "30 minutes",
+    gap_key: str = "event_type",
+    key: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session windows with a PER-EVENT gap (``F.session_window`` with a
+    gap expression): each event extends its session by its own type's
+    timeout — e.g. purchases hold a session open longer than views. The
+    reference has nothing comparable; Spark's dynamic-gap sessions make
+    it one declarative aggregation (streaming-capable unchanged).
+
+    Session end = max(event ts + its gap) over the merged events, per
+    Spark's interval-merge semantics.
+    """
+    gap = F.lit(default_gap)
+    for value, g in sorted(gaps.items()):
+        gap = F.when(F.col(gap_key) == value, F.lit(g)).otherwise(gap)
+    win = F.session_window(ts_col, gap)
+    return (
+        events.groupBy(win.alias("session"), key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("first_event_ts"),
+            F.max(ts_col).alias("last_event_ts"),
+        )
+        .select(
+            key,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+            "first_event_ts",
+            "last_event_ts",
+        )
+    )
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],

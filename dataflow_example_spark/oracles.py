@@ -859,6 +859,52 @@ SELECT 'except' AS op, c_custkey
 FROM (SELECT DISTINCT * FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
 """
 
+# dynamic-gap sessions: interval-merge islands — new session when ts
+# clears the running max of previous (ts + own gap); end = max end
+ORACLES["events_sessionize_dynamic"] = """
+WITH g AS (
+    SELECT user_id, ts,
+           ts + CASE WHEN event_type = 'purchase'
+                     THEN INTERVAL 60 MINUTE
+                     ELSE INTERVAL 30 MINUTE END AS ts_end
+    FROM events
+),
+m AS (
+    SELECT *,
+           max(ts_end) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS prev_max_end
+    FROM g
+),
+flagged AS (
+    SELECT *, CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+                   THEN 1 ELSE 0 END AS new_sess
+    FROM m
+),
+sessions AS (
+    SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts_end) AS session_end,
+       count(*) AS n_events,
+       min(ts) AS first_event_ts,
+       max(ts) AS last_event_ts
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+# exact ranking oracle: with 5 distinct values approx_top_k tracks all
+# items exactly, so sketch == exact counts
+ORACLES["events_top_types_sketch"] = """
+SELECT event_type, count(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY n_events DESC, event_type ASC
+"""
+
 ORACLES["events_funnel"] = """
 WITH s1 AS (
     SELECT user_id, min(ts) AS t1 FROM events

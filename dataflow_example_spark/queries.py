@@ -1245,6 +1245,40 @@ def set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_sessionize_dynamic")
+def events_sessionize_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessions: purchases keep a session alive for 60
+    minutes, everything else 30 — per-event gap expressions in
+    F.session_window."""
+    from .operators.windows import sessionize_dynamic
+
+    ev = load(spark, sf_dir, "events")
+    return sessionize_dynamic(
+        ev, gaps={"purchase": "60 minutes"}, default_gap="30 minutes"
+    )
+
+
+@query("events_top_types_sketch")
+def events_top_types_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k heavy-hitter sketch, exploded to long form. With 5
+    distinct values the sketch tracks every item exactly, so the DuckDB
+    oracle is the exact count ranking; at real cardinality the same
+    query returns estimates from a fixed-size mergeable sketch."""
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_v")
+    top = spark.sql(
+        "SELECT approx_top_k(event_type, 5) AS tk FROM events_v"
+    )
+    return (
+        top.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("event_type"),
+            F.col("e.count").alias("n_events"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("event_type"))
+    )
+
+
 @query("events_funnel")
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel analysis: users who viewed, then clicked at or

@@ -119,3 +119,48 @@ def test_filter_header_and_empties(spark):
     )
     vals = [r.value for r in filter_header_and_empties(df).collect()]
     assert vals == ["data,line", "x"]
+
+
+def test_quarantine_routes_rejected_lines_with_reasons(spark):
+    """Dead-letter fork: every whole-row drop lands in quarantine with
+    the right reason; parseable lines (including lane-prefix truncation,
+    which is not a row rejection) do not."""
+    from dataflow_example_spark.operators.traffic import (
+        extract_flow_info,
+        filter_header_and_empties,
+        traffic_quarantine,
+    )
+
+    def row(ts, flows, pad_to=49):
+        f = [""] * pad_to
+        f[0] = ts
+        f[1] = "S1"
+        f[48] = "0"
+        for i, fl in enumerate(flows, start=1):
+            f[6 + 5 * i] = str(fl)
+            f[7 + 5 * i] = "0.5"
+            f[8 + 5 * i] = "55.0"
+        return ",".join(f)
+
+    lines = [
+        "Timestamp,header",                       # header_or_empty
+        "",                                       # header_or_empty
+        ",".join(["x"] * 40),                     # too_few_fields
+        row("not a date", [1]),                   # bad_timestamp
+        row("01/01/2010 10:00:00", [7, 8]),       # good: 2 lanes
+        row("01/01/2010 10:01:00", []),           # good row, 0 valid lanes
+    ]
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    q = {
+        (r.line.split(",")[0] or "<empty>"): r.reason
+        for r in traffic_quarantine(df).collect()
+    }
+    assert q == {
+        "Timestamp": "header_or_empty",
+        "<empty>": "header_or_empty",
+        "x": "too_few_fields",
+        "not a date": "bad_timestamp",
+    }
+    parsed = extract_flow_info(filter_header_and_empties(df)).collect()
+    assert {r.recorded_timestamp for r in parsed} == {"01/01/2010 10:00:00"}
+    assert len(parsed) == 2  # the 2-lane row; 0-lane row emits nothing
