@@ -528,3 +528,54 @@ def test_streaming_dedup_first_occurrence(spark, tmp_path):
     }
     assert len(got) == 2  # one survivor per distinct content
     assert set(got.values()) <= {1, 3}  # first occurrences win in-order
+
+
+def test_custom_python_datasource_batch_and_stream(spark, tmp_path):
+    """Spark 4 Python DataSource API: the traffic_synth source generates
+    parseable lines in batch (partitioned, deterministic) and as an
+    unbounded stream (index offsets, exactly-once replay)."""
+    import time
+
+    from dataflow_example_spark.config import TrafficConfig
+    from dataflow_example_spark.operators.traffic import (
+        extract_flow_info,
+        traffic_pipeline,
+    )
+    from dataflow_example_spark.sources.synth_source import (
+        TrafficSynthDataSource,
+    )
+
+    spark.dataSource.register(TrafficSynthDataSource)
+    df = (
+        spark.read.format("traffic_synth")
+        .option("n_stations", 10)
+        .option("n_minutes", 5)
+        .load()
+    )
+    assert df.count() == 50
+    # every generated line parses: 8 valid lanes per reading
+    assert extract_flow_info(df).count() == 400
+    cfg = TrafficConfig(window_duration_minutes=5, window_slide_minutes=1)
+    assert traffic_pipeline(df, cfg).count() > 0
+
+    stream = (
+        spark.readStream.format("traffic_synth")
+        .option("rows_per_batch", 20)
+        .option("n_stations", 10)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_src")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ds"))
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if spark.sql("SELECT count(*) c FROM synth_src").collect()[0].c >= 40:
+            break
+        time.sleep(0.5)
+    q.stop()
+    got = spark.sql("SELECT count(*) c FROM synth_src").collect()[0].c
+    assert got >= 40  # at least two micro-batches of deterministic lines
