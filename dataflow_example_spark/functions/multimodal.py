@@ -144,6 +144,39 @@ def decode_media(media: DataFrame, allow_fake: bool = False) -> DataFrame:
     )
 
 
+def media_metadata_arrow(media: DataFrame) -> DataFrame:
+    """``mapInArrow`` twin of ``media_metadata``: operates on raw
+    ``pyarrow.RecordBatch`` objects — no pandas conversion layer, which
+    matters for binary payload columns (pandas boxes each payload into a
+    Python bytes object; Arrow keeps them in one contiguous buffer until
+    the digest loop needs them). Same output schema and values as the
+    pandas twin (asserted in tests); prefer this form when batches are
+    dominated by large binaries.
+    """
+    import pyarrow as pa
+
+    def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            payloads = batch.column("payload")
+            md5s = [
+                hashlib.md5(p.as_py()).hexdigest() for p in payloads
+            ]
+            n_bytes = [len(p.as_py()) for p in payloads]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    batch.column("media_type"),
+                    pa.array(n_bytes, type=pa.int64()),
+                    pa.array(md5s, type=pa.string()),
+                ],
+                names=["doc_id", "media_type", "n_bytes", "payload_md5"],
+            )
+
+    return media.select("doc_id", "media_type", "payload").mapInArrow(
+        compute, METADATA_SCHEMA
+    )
+
+
 FEATURES_SCHEMA = "doc_id bigint, media_type string, feature array<double>"
 FEATURE_DIM = 8
 

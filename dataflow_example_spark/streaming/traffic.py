@@ -53,6 +53,26 @@ def traffic_stream(
         include_ingest_ts=True,
         max_files_per_trigger=max_files_per_trigger,
     )
+    # observability: per-micro-batch input line count + header/short-line
+    # reject count, surfaced in every StreamingQueryProgress event
+    # ("observedMetrics" -> "traffic_input") without a second pass —
+    # the accumulator-style job metrics the reference gets from the
+    # Dataflow monitoring UI (SURVEY.md §4.1).
+    from pyspark.sql import functions as F
+
+    lines = lines.observe(
+        "traffic_input",
+        F.count(F.lit(1)).alias("n_lines"),
+        F.coalesce(
+            F.sum(
+                (
+                    (F.length("value") == 0)
+                    | F.col("value").startswith("Timestamp")
+                ).cast("long")
+            ),
+            F.lit(0),  # zero-row micro-batches report 0, not NULL
+        ).alias("n_header_or_empty"),
+    )
     return traffic_pipeline(lines, config, ingest_ts_col="ingest_ts")
 
 

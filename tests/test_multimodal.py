@@ -59,3 +59,19 @@ def test_decode_requires_opt_in_without_codec(media):
         1 + d[1] % 64,
         1 + d[2] % 4,
     )
+
+
+def test_media_metadata_arrow_matches_pandas(spark):
+    """mapInArrow twin produces identical rows to the mapInPandas
+    implementation (same schema, same digests)."""
+    from dataflow_example_spark.functions.multimodal import (
+        as_media_table,
+        media_metadata,
+        media_metadata_arrow,
+    )
+    from dataflow_example_spark.tables import load
+
+    media = as_media_table(load(spark, "/root/testdata/sf0.001", "documents"))
+    a = {tuple(r) for r in media_metadata(media).collect()}
+    b = {tuple(r) for r in media_metadata_arrow(media).collect()}
+    assert a == b and a

@@ -579,3 +579,32 @@ def test_custom_python_datasource_batch_and_stream(spark, tmp_path):
     q.stop()
     got = spark.sql("SELECT count(*) c FROM synth_src").collect()[0].c
     assert got >= 40  # at least two micro-batches of deterministic lines
+
+
+def test_streaming_observe_metrics_surface(spark, tmp_path, fixture_csv):
+    """observe() metrics ride along every micro-batch: the progress
+    events report input line counts and header rejects without a second
+    pass over the data."""
+    from dataflow_example_spark.config import TrafficConfig
+    from dataflow_example_spark.streaming import run_traffic_stream
+
+    topic = str(tmp_path / "obs_topic")
+    inject_file(spark, fixture_csv, topic)
+    q = run_traffic_stream(
+        spark,
+        topic,
+        output_dir=str(tmp_path / "obs_out"),
+        checkpoint_dir=str(tmp_path / "obs_ck"),
+        config=TrafficConfig(streaming=True, watermark_delay="0 seconds"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    observed = [
+        p["observedMetrics"]["traffic_input"]
+        for p in q.recentProgress
+        if p.get("observedMetrics", {}).get("traffic_input")
+    ]
+    assert observed
+    total = sum(m["n_lines"] for m in observed)
+    assert total == 6  # injector drops the header before publishing
+    assert all(m["n_header_or_empty"] == 0 for m in observed)
