@@ -416,6 +416,53 @@ UNION ALL
 SELECT l_orderkey, l_linenumber, 'discount', discount FROM base
 """
 
+# curation composition: exact-dedup reps ∩ quality gate ∩ 50% sample,
+# mirroring each stage's library contract
+ORACLES["docs_curation_pipeline"] = f"""
+WITH {_TOKS_CTE},
+reps AS (
+    SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+m AS (
+    SELECT d.doc_id,
+           length(text) AS _len,
+           len(t) AS _nt,
+           {_hits("en")} AS _stop,
+           length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS _punct,
+           length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS _digit
+    FROM documents d JOIN toks USING (doc_id)
+),
+quality AS (
+    SELECT doc_id FROM m
+    WHERE (CAST(_stop AS DOUBLE) / greatest(_nt, 1)) * 0.5
+          + (1.0 - CAST(_punct AS DOUBLE) / greatest(_len, 1)) * 0.25
+          + least(CAST(_nt AS DOUBLE) / 256.0, 1.0) * 0.25
+          - (CAST(_digit AS DOUBLE) / greatest(_len, 1)) * 0.125 >= 0.3
+)
+SELECT lang, count(*) AS n_docs,
+       sum(CAST(n_chars AS BIGINT)) AS total_chars
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM reps)
+  AND doc_id IN (SELECT doc_id FROM quality)
+  AND {_bucket_sql("curate")} < 5000
+GROUP BY lang
+"""
+
+ORACLES["orders_monthly_growth"] = """
+WITH monthly AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1
+)
+SELECT month,
+       CAST(rev AS DOUBLE) AS revenue,
+       n_orders,
+       CAST(rev - lag(rev) OVER (ORDER BY month) AS DOUBLE) AS mom_delta
+FROM monthly
+"""
+
 # per-language prefix-sum packing (functions/packing.py): start_offset =
 # sum of earlier docs' token counts in doc_id order; window b holds tokens
 # [b*256, (b+1)*256)

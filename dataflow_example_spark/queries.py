@@ -460,6 +460,57 @@ def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("docs_curation_pipeline")
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation composition in ONE declarative
+    plan: exact-dedup (keep each content's min doc_id) -> quality gate
+    (score >= 0.3) -> deterministic 50% sample -> per-language counts.
+    Each stage is the library operator; Catalyst fuses the whole chain —
+    the filters run in the same scan-side stage, the dedup is the only
+    shuffle."""
+    from .functions.sampling import hash_sample
+
+    docs = load(spark, sf_dir, "documents")
+    reps = D.exact_dedup(docs).select("doc_id")
+    quality = T.quality_score(docs).filter(F.col("quality_score") >= 0.3)
+    kept = (
+        docs.join(reps, "doc_id", "leftsemi")
+        .join(quality.select("doc_id"), "doc_id", "leftsemi")
+    )
+    sampled = hash_sample(kept, "doc_id", 0.5, salt="curate")
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+    )
+
+
+@query("orders_monthly_growth")
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series reporting: monthly order revenue with month-over-month
+    delta via lag over the aggregate — the window-over-groupBy
+    composition (aggregate first, then a tiny analytic pass over the
+    month series)."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.sum(dec("o_totalprice")).alias("_rev"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        F.col("_rev").cast("double").alias("revenue"),
+        "n_orders",
+        (F.col("_rev") - F.lag("_rev").over(w)).cast("double").alias(
+            "mom_delta"
+        ),
+    )
+
+
 @query("docs_pack_budget")
 def docs_pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget packing: per-language concatenated-stream offsets and
