@@ -214,6 +214,48 @@ def vocab_top_terms(docs: DataFrame, k: int = 100, text_col: str = "text") -> Da
     )
 
 
+def split_sentences(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sentence segmentation, native path: split on sentence-ending
+    punctuation runs, trim, drop empties — one posexplode, fully
+    codegen. Returns (doc_id, sent_idx, sentence)."""
+    sents = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"[.!?]+"),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    return docs.select(
+        "doc_id", F.posexplode(sents).alias("sent_idx", "sentence")
+    )
+
+
+def sentence_udtf():
+    """Python UDTF twin of ``split_sentences`` (Spark 3.5+/4 @udtf API):
+    the extensibility demo for row-to-rows logic that can't be expressed
+    in column expressions. Row-at-a-time Python — the SLOW path; tests
+    assert it matches the native version, which remains the hot-path
+    implementation. Register with
+    ``spark.udtf.register("split_sentences", sentence_udtf())``."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx: int, sentence: string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            idx = 0
+            for part in re.split(r"[.!?]+", text):
+                part = part.strip()
+                if part:
+                    yield (idx, part)
+                    idx += 1
+
+    return SplitSentences
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprints: md5 of the normalized token stream (hex), plus
     a 32-bit numeric fingerprint (first 8 hex digits) for compact

@@ -1133,6 +1133,21 @@ FROM p
 
 # per-user z-score with exact-decimal moments; the double expressions
 # mirror queries.events_user_zscore shape-for-shape
+ORACLES["events_variant_props"] = """
+WITH k AS (
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k
+    FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(k AS DECIMAL(18,6))) AS DOUBLE) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM k
+GROUP BY event_type
+"""
+
 ORACLES["events_user_zscore"] = """
 WITH stats AS (
     SELECT user_id,

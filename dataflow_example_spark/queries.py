@@ -719,6 +719,29 @@ def events_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_variant_props")
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's VARIANT type: parse_json once,
+    extract typed fields with path expressions — the schema-flexible
+    complement to events_json_props' fixed-schema from_json (VARIANT
+    keeps the full document queryable without declaring a schema; the
+    binary encoding pushes field access into the engine)."""
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_variant_v")
+    return spark.sql(
+        """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(parse_json(props):k::int AS DECIMAL(18,6)))
+                    AS DOUBLE) AS sum_k,
+               MIN(parse_json(props):k::int) AS min_k,
+               MAX(parse_json(props):k::int) AS max_k
+        FROM events_variant_v
+        GROUP BY event_type
+        """
+    )
+
+
 @query("text_bpe_tokens")
 def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pretokenization count (GPT-2-style word/number/punct/space

@@ -134,3 +134,40 @@ def test_pack_documents_offsets_and_straddle(spark):
     assert out[2] == ("en", 3, 0, 1, 2)  # straddles windows 0 and 1
     assert out[3] == ("en", 7, 1, 2, 2)
     assert out[4] == ("de", 0, 0, 0, 1)
+
+
+def test_sentence_udtf_matches_native(spark):
+    """Python UDTF splitter == native transform/filter/posexplode path
+    (the UDTF is the extensibility demo; the native form is the hot
+    path)."""
+    from dataflow_example_spark.functions.text import (
+        sentence_udtf,
+        split_sentences,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "First one. Second!  Third?No space"),
+            (2, "no terminator at all"),
+            (3, "..."),
+        ],
+        "doc_id bigint, text string",
+    )
+    native = {
+        (r.doc_id, r.sent_idx, r.sentence)
+        for r in split_sentences(d).collect()
+    }
+    spark.udtf.register("split_sentences_udtf", sentence_udtf())
+    d.createOrReplaceTempView("udtf_docs")
+    via_udtf = {
+        (r.doc_id, r.sent_idx, r.sentence)
+        for r in spark.sql(
+            """
+            SELECT doc_id, s.sent_idx, s.sentence
+            FROM udtf_docs, LATERAL split_sentences_udtf(text) s
+            """
+        ).collect()
+    }
+    assert native == via_udtf
+    assert (3, 0, "...") not in native  # punctuation-only -> no sentences
+    assert (1, 3, "No space") in native
