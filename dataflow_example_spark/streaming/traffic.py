@@ -76,6 +76,56 @@ def traffic_stream(
     return traffic_pipeline(lines, config, ingest_ts_col="ingest_ts")
 
 
+def run_traffic_stream_with_quarantine(
+    spark: SparkSession,
+    topic_dir: str,
+    output_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    config: TrafficConfig | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Dual-output ingestion: each micro-batch forks once — parseable
+    lines run the full traffic pipeline into ``output_dir``, rejected
+    lines land in ``quarantine_dir`` with their reason
+    (operators.traffic.traffic_quarantine). One foreachBatch query, one
+    source read, both writes idempotent per batch_id — replays replace
+    their own output, so the fork keeps exactly-once on both sides.
+    """
+    from ..operators.traffic import traffic_pipeline as _pipe
+    from ..operators.traffic import traffic_quarantine
+
+    if config is None:
+        config = TrafficConfig(streaming=True)
+    # batch-mode transforms inside foreachBatch: disable streaming-only
+    # paths (each micro-batch is a bounded DataFrame)
+    batch_cfg = TrafficConfig(
+        window_duration_minutes=config.window_duration_minutes,
+        window_slide_minutes=config.window_slide_minutes,
+        streaming=False,
+    )
+    lines = stream_text(spark, topic_dir, include_ingest_ts=False)
+
+    def fork(batch_df, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            _pipe(batch_df, batch_cfg).write.mode("overwrite").parquet(
+                f"{output_dir}/batch_id={batch_id}"
+            )
+            traffic_quarantine(batch_df).write.mode("overwrite").parquet(
+                f"{quarantine_dir}/batch_id={batch_id}"
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = lines.writeStream.foreachBatch(fork).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_traffic_stream(
     spark: SparkSession,
     topic_dir: str,

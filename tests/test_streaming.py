@@ -608,3 +608,34 @@ def test_streaming_observe_metrics_surface(spark, tmp_path, fixture_csv):
     total = sum(m["n_lines"] for m in observed)
     assert total == 6  # injector drops the header before publishing
     assert all(m["n_header_or_empty"] == 0 for m in observed)
+
+
+def test_streaming_quarantine_fork(spark, tmp_path, fixture_csv):
+    """Dual-output ingestion: good lines produce pipeline rows, bad lines
+    land in quarantine with reasons — one source read per micro-batch,
+    both sides idempotent."""
+    from dataflow_example_spark.streaming import (
+        run_traffic_stream_with_quarantine,
+    )
+
+    topic = str(tmp_path / "qf_topic")
+    inject_file(spark, fixture_csv, topic)
+    # drop two malformed lines into the topic alongside the good ones
+    with open(f"{topic}/zz_bad.txt", "w") as f:
+        f.write(",".join(["x"] * 40) + "\n")
+        f.write("garbage-ts," + ",".join(["1"] * 48) + "\n")
+
+    q = run_traffic_stream_with_quarantine(
+        spark,
+        topic,
+        output_dir=str(tmp_path / "qf_out"),
+        quarantine_dir=str(tmp_path / "qf_quar"),
+        checkpoint_dir=str(tmp_path / "qf_ck"),
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "qf_out"))
+    assert out.count() > 0  # good lines flowed through the full pipeline
+    quar = spark.read.parquet(str(tmp_path / "qf_quar"))
+    reasons = sorted(r.reason for r in quar.collect())
+    assert reasons == ["bad_timestamp", "too_few_fields"]
