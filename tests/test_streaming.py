@@ -639,3 +639,100 @@ def test_streaming_quarantine_fork(spark, tmp_path, fixture_csv):
     quar = spark.read.parquet(str(tmp_path / "qf_quar"))
     reasons = sorted(r.reason for r in quar.collect())
     assert reasons == ["bad_timestamp", "too_few_fields"]
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path, fixture_csv):
+    """Kill-and-restart: stop the query after the first micro-batch,
+    restart against the same checkpoint, drain — output equals a single
+    clean run (no loss, no duplicates). The file-source offsets in the
+    checkpoint are the exactly-once contract."""
+    from dataflow_example_spark.config import TrafficConfig
+    from dataflow_example_spark.streaming import run_traffic_stream
+
+    topic = str(tmp_path / "rec_topic")
+    inject_file(spark, fixture_csv, topic, chunks=3)
+    cfg = TrafficConfig(
+        streaming=True,
+        streaming_honor_payload_timestamp=True,
+        watermark_delay="0 seconds",
+        window_duration_minutes=2,
+        window_slide_minutes=1,
+    )
+
+    def start():
+        return run_traffic_stream(
+            spark,
+            topic,
+            output_dir=str(tmp_path / "rec_out"),
+            checkpoint_dir=str(tmp_path / "rec_ck"),
+            config=cfg,
+            available_now=False,
+            processing_time="0 seconds",
+        )
+
+    import time
+
+    q = start()
+    deadline = time.time() + 60
+    while time.time() < deadline and not q.recentProgress:
+        time.sleep(0.25)
+    q.stop()  # interrupt mid-stream (some batches committed, some not)
+    q2 = run_traffic_stream(
+        spark,
+        topic,
+        output_dir=str(tmp_path / "rec_out"),
+        checkpoint_dir=str(tmp_path / "rec_ck"),
+        config=cfg,
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    recovered = {
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "rec_out")).collect()
+    }
+
+    q3 = run_traffic_stream(
+        spark,
+        topic,
+        output_dir=str(tmp_path / "clean_out"),
+        checkpoint_dir=str(tmp_path / "clean_ck"),
+        config=cfg,
+        available_now=True,
+    )
+    q3.awaitTermination(120)
+    clean = {
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "clean_out")).collect()
+    }
+    assert recovered == clean and recovered
+
+
+def test_streaming_update_mode_tumbling(spark, tmp_path):
+    """Update output mode: window aggregates re-emit as they grow
+    (several versions per window), and the LAST version of every window
+    matches the batch result — the low-latency alternative to append's
+    watermark-gated emission. (Session windows reject update mode; the
+    tumbling family supports it.)"""
+    from dataflow_example_spark.operators.windows import tumbling_agg
+
+    ev, stream = _replay_events(spark, tmp_path, user_limit=10)
+    out = tumbling_agg(stream, "1 hour", keys=("event_type",))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tumb_upd")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_upd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode may emit several versions; keep the last per window
+    final = {}
+    for r in spark.sql("SELECT * FROM tumb_upd").collect():
+        final[(r.window_start, r.event_type)] = r.n_events
+    batch = {
+        (r.window_start, r.event_type): r.n_events
+        for r in tumbling_agg(ev, "1 hour", keys=("event_type",)).collect()
+    }
+    # EVERY window appears (update mode is not watermark-gated) with its
+    # final count
+    assert final == batch
