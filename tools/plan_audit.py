@@ -63,6 +63,11 @@ AUDITS: dict[str, list[str]] = {
     "docs_hash_sample": ["pruned:3", "codegen", "no_bnl"],
     "docs_pack_budget": ["codegen", "no_bnl"],
     "emb_center_by_label": ["partial", "no_bnl"],
+    "docs_curation_pipeline": ["partial", "codegen", "no_bnl"],
+    "orders_monthly_growth": ["partial", "codegen", "no_bnl"],
+    "events_variant_props": ["partial", "codegen", "no_bnl"],
+    "events_sessionize_dynamic": ["partial", "codegen", "no_bnl"],
+    "events_top_types_sketch": ["partial", "no_bnl"],
 }
 
 
