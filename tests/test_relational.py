@@ -137,3 +137,48 @@ def test_approx_percentiles_bracket_exact(spark):
         e50, e90 = exact[et]
         assert abs(a50 - e50) <= max(2.0, 0.05 * abs(e50))
         assert abs(a90 - e90) <= max(2.0, 0.05 * abs(e90))
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling: a join with one hot key gets its skewed
+    shuffle partition split at runtime (skew=true in the final adaptive
+    plan) — the engine-level complement to the manual salted_agg path."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = (
+            spark.range(50_000)
+            .select(F.lit(0).alias("k"), F.col("id").alias("payload"))
+            .union(
+                spark.range(700).select(
+                    (F.col("id") % 7 + 1).alias("k"),
+                    F.col("id").alias("payload"),
+                )
+            )
+        )
+        right = spark.createDataFrame(
+            [(i,) for i in range(8)], "k long"
+        ).withColumn("r", F.col("k") * 10)
+        j = left.join(right, "k")
+        rows = j.collect()
+        assert len(rows) == 50_700  # every row matched exactly once
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan  # the hot partition was split
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
