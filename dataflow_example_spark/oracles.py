@@ -416,6 +416,23 @@ UNION ALL
 SELECT l_orderkey, l_linenumber, 'discount', discount FROM base
 """
 
+ORACLES["supplier_name_near_dups"] = """
+SELECT a.s_nationkey, a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS edit_dist
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 2
+"""
+
+ORACLES["nation_segments_agg"] = """
+SELECT c_nationkey,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',')
+           AS segments,
+       count(*) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+"""
+
 # curation composition: exact-dedup reps ∩ quality gate ∩ 50% sample,
 # mirroring each stage's library contract
 ORACLES["docs_curation_pipeline"] = f"""

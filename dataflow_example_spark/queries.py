@@ -460,6 +460,45 @@ def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("supplier_name_near_dups")
+def supplier_name_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate names with BLOCKING — the classic
+    entity-resolution scale pattern: candidate pairs only within a block
+    (same nation), never corpus-wide; levenshtein runs on the bounded
+    block self-join. Threshold <= 2 on synthetic SUPPLIER_n names."""
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, "s_nationkey")
+        .filter(F.col("a.s_suppkey") < F.col("b.s_suppkey"))
+        .select(
+            "s_nationkey",
+            F.col("a.s_suppkey").alias("key_a"),
+            F.col("b.s_suppkey").alias("key_b"),
+            F.levenshtein(F.col("a.s_name"), F.col("b.s_name")).alias(
+                "edit_dist"
+            ),
+        )
+        .filter(F.col("edit_dist") <= 2)
+    )
+
+
+@query("nation_segments_agg")
+def nation_segments_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-valued aggregation: the distinct market segments per nation as
+    a sorted, comma-joined string (collect_set is unordered — sort_array
+    + array_join pins a deterministic, harness-sortable encoding)."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(
+            F.sort_array(F.collect_set("c_mktsegment")), ","
+        ).alias("segments"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
 @query("docs_curation_pipeline")
 def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end corpus-curation composition in ONE declarative
