@@ -736,3 +736,59 @@ def test_streaming_update_mode_tumbling(spark, tmp_path):
     # EVERY window appears (update mode is not watermark-gated) with its
     # final count
     assert final == batch
+
+
+def test_chained_stateful_aggregations_stream(spark, tmp_path):
+    """Two stateful window aggregations chained in ONE streaming query
+    (Spark's multiple-stateful-operator support): 15-minute partials
+    re-aggregated to the hour via window-on-window, which propagates the
+    event-time watermark (grouping on w.start instead would lose it and
+    fail analysis). Result equals the batch double aggregation."""
+    import pyspark.sql.functions as F
+
+    from dataflow_example_spark.tables import load
+
+    ev = (
+        load(spark, "/root/testdata/sf0.001", "events")
+        .select("ts", "value")
+        .filter(F.col("user_id") < 15 if False else F.lit(True))
+    )
+    src = tmp_path / "chain_src"
+    src.mkdir()
+    ev.write.mode("overwrite").json(str(src / "j"))
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, value DOUBLE")
+        .json(str(src / "j"))
+        .withWatermark("ts", "0 seconds")
+    )
+
+    def two_level(df):
+        s1 = df.groupBy(F.window("ts", "15 minutes").alias("w15")).agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        return s1.groupBy(F.window(F.col("w15"), "1 hour").alias("w1h")).agg(
+            F.sum("s").cast("double").alias("total"),
+            F.sum("n").alias("n_events"),
+        )
+
+    q = (
+        two_level(stream)
+        .writeStream.format("memory")
+        .queryName("chained2")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_chain"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["w1h"]["start"], r.total, r.n_events)
+        for r in spark.sql("SELECT * FROM chained2").collect()
+    }
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    batch = two_level(ev).filter(F.col("w1h.end") <= F.lit(max_ts))
+    want = {
+        (r["w1h"]["start"], r.total, r.n_events) for r in batch.collect()
+    }
+    assert got and got == want
