@@ -416,6 +416,26 @@ UNION ALL
 SELECT l_orderkey, l_linenumber, 'discount', discount FROM base
 """
 
+# DuckDB has no width_bucket; the closed-form equivalent for values in
+# [lo, hi): 1 + floor((v - lo) / bin_width)
+ORACLES["part_price_histogram"] = """
+SELECT CAST(1 + floor((p_retailprice - 900.0) / 5.0) AS BIGINT) AS bucket,
+       count(*) AS n_parts,
+       min(p_retailprice) AS min_price,
+       max(p_retailprice) AS max_price
+FROM part
+GROUP BY 1
+"""
+
+ORACLES["docs_source_domains"] = """
+SELECT regexp_extract(source, '^([a-z]+)', 1) AS prefix,
+       CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER) % 4 AS shard,
+       count(*) AS n_docs,
+       sum(CAST(n_chars AS BIGINT)) AS total_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
 ORACLES["supplier_name_near_dups"] = """
 SELECT a.s_nationkey, a.s_suppkey AS key_a, b.s_suppkey AS key_b,
        CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS edit_dist

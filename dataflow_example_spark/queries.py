@@ -460,6 +460,49 @@ def lineitem_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("part_price_histogram")
+def part_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric bucketing: width_bucket histogram of part retail prices
+    (20 equal bins over [900, 1000]) — the deterministic binning
+    primitive behind distribution reporting (histogram_numeric is a
+    sketch; width_bucket is exact)."""
+    p = load(spark, sf_dir, "part")
+    bucket = F.width_bucket(
+        F.col("p_retailprice"), F.lit(900.0), F.lit(1000.0), F.lit(20)
+    )
+    return (
+        p.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+        )
+    )
+
+
+@query("docs_source_domains")
+def docs_source_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction: split the source tag into its alpha prefix and
+    numeric id (regexp_extract groups, typed cast) and roll up by id
+    parity shard — the provenance-parsing shape every crawl corpus
+    needs."""
+    d = load(spark, sf_dir, "documents")
+    prefix = F.regexp_extract("source", r"^([a-z]+)", 1)
+    src_id = F.regexp_extract("source", r"([0-9]+)$", 1).cast("int")
+    return (
+        d.select(
+            prefix.alias("prefix"),
+            src_id.alias("src_id"),
+            "n_chars",
+        )
+        .groupBy("prefix", (F.col("src_id") % 4).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+        )
+    )
+
+
 @query("supplier_name_near_dups")
 def supplier_name_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-duplicate names with BLOCKING — the classic
