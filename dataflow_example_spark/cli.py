@@ -40,14 +40,27 @@ def _traffic(args: argparse.Namespace) -> None:
     )
     if args.streaming:
         # unbounded source = the injector-fed drop directory (SURVEY §3.2)
-        query = run_traffic_stream(
-            spark,
-            topic_dir=args.input,
-            output_dir=args.output,
-            checkpoint_dir=args.checkpoint or args.output + "_checkpoint",
-            config=cfg,
-            available_now=args.availableNow,
-        )
+        if args.quarantine:
+            from .streaming import run_traffic_stream_with_quarantine
+
+            query = run_traffic_stream_with_quarantine(
+                spark,
+                topic_dir=args.input,
+                output_dir=args.output,
+                quarantine_dir=args.quarantine,
+                checkpoint_dir=args.checkpoint or args.output + "_checkpoint",
+                config=cfg,
+                available_now=args.availableNow,
+            )
+        else:
+            query = run_traffic_stream(
+                spark,
+                topic_dir=args.input,
+                output_dir=args.output,
+                checkpoint_dir=args.checkpoint or args.output + "_checkpoint",
+                config=cfg,
+                available_now=args.availableNow,
+            )
         # block with the reference's cancel-on-shutdown semantics
         # (DataflowExampleUtils.java:286-356): Ctrl-C / SIGTERM stops the
         # query gracefully instead of stranding it
@@ -105,6 +118,10 @@ def main(argv: list[str] | None = None) -> None:
     t.add_argument("--honorPayloadTimestamp", action="store_true")
     t.add_argument("--availableNow", action="store_true")
     t.add_argument("--checkpoint")
+    t.add_argument(
+        "--quarantine",
+        help="streaming only: also write rejected lines + reasons here",
+    )
     t.set_defaults(fn=_traffic)
 
     i = sub.add_parser("inject", help="replay a CSV into a drop directory")

@@ -44,6 +44,27 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def exact_dedup_normalized(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalization-insensitive exact dedup: the content key is the md5
+    of the normalized token stream (lowercase, punctuation/whitespace
+    collapsed — the shared tokenizer contract), so documents differing
+    only in case, punctuation, or spacing collapse into one group. The
+    "fuzzy-exact" middle ground between byte-exact dedup and MinHash
+    (CCNet-style paragraph normalization applies the same idea).
+    Same single 16-byte-key shuffle as ``exact_dedup``.
+    """
+    norm_key = F.md5(F.concat_ws(" ", tokens(F.col(text_col))))
+    return (
+        docs.select("doc_id", norm_key.alias("norm_md5"))
+        .groupBy("norm_md5")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("doc_id", "norm_md5", "n_dups")
+    )
+
+
 def shingles(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
     """Distinct k-word shingles per document: (doc_id, shingle).
 

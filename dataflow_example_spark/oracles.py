@@ -548,6 +548,15 @@ FROM documents
 GROUP BY md5(text)
 """
 
+ORACLES["dedup_exact_normalized"] = f"""
+WITH {_TOKS_CTE}
+SELECT min(doc_id) AS doc_id,
+       md5(array_to_string(t, ' ')) AS norm_md5,
+       count(*) AS n_dups
+FROM toks
+GROUP BY md5(array_to_string(t, ' '))
+"""
+
 _N_MINHASH, _BAND = 16, 4
 # two-word universal scheme (dedup.minhash_signatures): one md5 per
 # shingle, h_i = (h1 + i*h2) mod 2^32

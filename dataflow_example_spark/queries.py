@@ -621,6 +621,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(load(spark, sf_dir, "documents"))
 
 
+@query("dedup_exact_normalized")
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-insensitive exact dedup (md5 over the normalized
+    token stream): case/punctuation/whitespace variants collapse."""
+    return D.exact_dedup_normalized(load(spark, sf_dir, "documents"))
+
+
 @query("dedup_jaccard_pairs")
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-gram Jaccard >= 0.2, evaluated only on

@@ -193,3 +193,23 @@ def test_connected_components_log_rounds_on_long_chain(spark):
         for r in connected_components(chain, max_iters=12).collect()
     }
     assert set(got.values()) == {1} and len(got) == 64
+
+
+def test_exact_dedup_normalized_collapses_variants(spark):
+    """Case/punctuation/whitespace variants share one normalized group;
+    genuinely different content does not."""
+    from dataflow_example_spark.functions.dedup import exact_dedup_normalized
+
+    out = exact_dedup_normalized(
+        docs(
+            spark,
+            [
+                (1, "Hello, World!"),
+                (2, "hello   world"),
+                (3, "HELLO WORLD."),
+                (4, "goodbye world"),
+            ],
+        )
+    ).collect()
+    groups = {r.doc_id: r.n_dups for r in out}
+    assert groups == {1: 3, 4: 1}
