@@ -154,3 +154,78 @@ def test_foreach_batch_idempotent_writes(spark, tmp_path):
     again = spark.read.parquet(str(tmp_path / "fb_out"))
     assert again.count() == 10
     assert {r.k for r in again.collect()} == set(range(10))
+
+
+def test_dynamic_partition_pruning_on_fact_join(spark, tmp_path):
+    """A fact table partitioned on the join key is pruned at RUNTIME by
+    the dim filter (dynamicpruningexpression in PartitionFilters) — at
+    100 TB the difference between scanning one partition and all of
+    them, with the filter value only known after the dim scan."""
+    import pyspark.sql.functions as F
+
+    from dataflow_example_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(
+        str(tmp_path / "fact")
+    )
+    dim = spark.createDataFrame(
+        [
+            ("click", "interactive"),
+            ("view", "interactive"),
+            ("purchase", "commerce"),
+            ("signup", "commerce"),
+            ("error", "ops"),
+        ],
+        "event_type string, category string",
+    )
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    j = fact.join(dim.filter(F.col("category") == "ops"), "event_type")
+    n = j.count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert n == ev.filter(F.col("event_type") == "error").count()
+
+
+def test_incremental_running_totals_view(spark, tmp_path):
+    """The foreachBatch merge view accumulates across micro-batches and
+    across separate drains (new files between runs), always equal to the
+    batch aggregate over everything seen so far."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from dataflow_example_spark.sinks.incremental import running_totals_view
+
+    src = tmp_path / "inc_src"
+    src.mkdir()
+
+    def write_file(name, rows):
+        with open(src / name, "w") as f:
+            for et, v in rows:
+                f.write(_json.dumps({"event_type": et, "value": v}) + "\n")
+
+    def drain():
+        stream = spark.readStream.schema(
+            "event_type STRING, value DOUBLE"
+        ).json(str(src))
+        q = running_totals_view(
+            stream, str(tmp_path / "store"), str(tmp_path / "inc_ck")
+        )
+        q.awaitTermination(120)
+
+    write_file("a.json", [("click", 1.0), ("click", 2.0), ("view", 5.0)])
+    drain()
+    got1 = {
+        r.event_type: (r.n_events, r.sum_value)
+        for r in spark.read.parquet(str(tmp_path / "store/data")).collect()
+    }
+    assert got1 == {"click": (2, 3.0), "view": (1, 5.0)}
+
+    write_file("b.json", [("click", 10.0), ("error", 7.0)])
+    drain()  # second run picks up only the new file via the checkpoint
+    got2 = {
+        r.event_type: (r.n_events, r.sum_value)
+        for r in spark.read.parquet(str(tmp_path / "store/data")).collect()
+    }
+    assert got2 == {"click": (3, 13.0), "view": (1, 5.0), "error": (1, 7.0)}
