@@ -1261,6 +1261,40 @@ FROM comp c JOIN cent USING (label, pos)
 WHERE c.pos < 8
 """
 
+# semantic dedup clusters: multi-table LSH pairs -> recursive min-label walk
+ORACLES["sim_semantic_dedup_clusters"] = f"""
+WITH RECURSIVE e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+b AS (
+    {_MT_BUCKETS}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+    FROM b a JOIN b bb
+      ON a.table_id = bb.table_id AND a.bucket = bb.bucket
+     AND a.vec_id < bb.vec_id
+),
+pairs AS (
+    SELECT id_a, id_b
+    FROM cand
+    JOIN e ea ON ea.vec_id = id_a
+    JOIN e eb ON eb.vec_id = id_b
+    WHERE {_cosine("ea.v", "eb.v")} >= 0.4
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(id, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e2.src, w.label FROM edges e2 JOIN walk w ON e2.dst = w.id
+)
+SELECT id AS vec_id, min(label) AS cluster_id FROM walk GROUP BY id
+"""
+
 # spherical k-means, 2 unrolled iterations mirroring similarity.kmeans_assign:
 # assign (cosine argmax, lowest cid ties) -> centroid update (pinned-fold
 # component means, ordered assembly) -> reassign

@@ -913,6 +913,24 @@ def emb_center_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_semantic_dedup_clusters")
+def sim_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup drop-lists: multi-table-LSH near-dup pairs ->
+    connected components -> (vec_id, cluster_id = min member). The
+    embedding-modality twin of dedup_clusters (which does the same over
+    MinHash pairs for text)."""
+    pairs = S.multi_lsh_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        n_tables=8,
+        n_planes=4,
+        dim=64,
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    return D.connected_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
 @query("sim_kmeans_assign")
 def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical k-means (k=8, 2 fixed iterations, deterministic init) —
