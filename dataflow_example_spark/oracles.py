@@ -1458,3 +1458,78 @@ WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
 GROUP BY 1, 2, 3
 """
+
+ORACLES["events_column_profile"] = """
+SELECT column_name, n_rows, n_nulls, n_distinct FROM (
+  SELECT 'event_id' AS column_name, count(*) AS n_rows,
+         sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         count(DISTINCT event_id) AS n_distinct FROM events
+  UNION ALL
+  SELECT 'ts', count(*), sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT ts) FROM events
+  UNION ALL
+  SELECT 'user_id', count(*), sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT user_id) FROM events
+  UNION ALL
+  SELECT 'event_type', count(*),
+         sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT event_type) FROM events
+  UNION ALL
+  SELECT 'value', count(*), sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT value) FROM events
+  UNION ALL
+  SELECT 'props', count(*), sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT props) FROM events
+)
+"""
+
+ORACLES["orders_month_gapfill"] = """
+WITH bounds AS (
+    SELECT date_trunc('month', min(o_orderdate)) AS lo,
+           date_trunc('month', max(o_orderdate)) AS hi
+    FROM orders
+),
+cal AS (
+    SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE)
+        AS month
+    FROM bounds
+),
+monthly AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1
+)
+SELECT cal.month,
+       coalesce(CAST(rev AS DOUBLE), 0.0) AS revenue,
+       coalesce(n_orders, 0) AS n_orders
+FROM cal LEFT JOIN monthly ON cal.month = monthly.month
+"""
+
+ORACLES["lineitem_corr_stats"] = """
+WITH s AS (
+    SELECT l_returnflag,
+           count(*) AS n,
+           sum(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+           sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+           sum(CAST(l_quantity AS DECIMAL(19,6))
+               * CAST(l_extendedprice AS DECIMAL(19,6))) AS sxy,
+           sum(CAST(l_quantity AS DECIMAL(19,6))
+               * CAST(l_quantity AS DECIMAL(19,6))) AS sx2,
+           sum(CAST(l_extendedprice AS DECIMAL(19,6))
+               * CAST(l_extendedprice AS DECIMAL(19,6))) AS sy2
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           AS corr_qty_price,
+       sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_qty
+FROM s
+"""

@@ -1578,3 +1578,99 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank_in_nation") <= 3)
         .select("c_nationkey", "c_custkey", "c_name", "c_acctbal", "rank_in_nation")
     )
+
+
+@query("events_column_profile")
+def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profiler (data-quality audit for a training
+    pipeline): per column of `events`, row count, null count, and exact
+    distinct count, emitted long-form. One aggregate over one scan — the
+    multi-column distincts plan as a single Expand, so the table is read
+    once no matter how many columns are profiled."""
+    ev = load(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+    wide = ev.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', _nn_{c}, _nd_{c}" for c in cols)
+    return wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (column_name, n_nulls, n_distinct)"
+        ),
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct")
+
+
+@query("orders_month_gapfill")
+def orders_month_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: monthly order revenue over the *complete*
+    month range (empty months appear with zero revenue). The calendar is
+    generated with `sequence` from a 1-row min/max aggregate and broadcast
+    to a left join — no driver-side date loop, and the dense calendar is
+    O(months), never O(rows)."""
+    o = load(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.trunc("o_orderdate", "month").alias("month"))
+        .agg(
+            F.sum(dec("o_totalprice")).alias("_rev"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    cal = (
+        o.agg(
+            F.trunc(F.min("o_orderdate"), "month").alias("_lo"),
+            F.trunc(F.max("o_orderdate"), "month").alias("_hi"),
+        )
+        .select(
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr("interval 1 month"))
+            ).alias("month")
+        )
+    )
+    return (
+        cal.join(monthly, "month", "left")
+        .select(
+            "month",
+            F.coalesce(F.col("_rev").cast("double"), F.lit(0.0)).alias(
+                "revenue"
+            ),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+@query("lineitem_corr_stats")
+def lineitem_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample stddev per return flag, built from
+    exact DECIMAL co-moment sums (n, Σx, Σy, Σxy, Σx², Σy²) so the result
+    is order-independent and bit-identical to the oracle — the built-in
+    single-pass `corr`/`stddev` are streaming co-moments whose float
+    rounding depends on partition order, so they can't hash-match across
+    engines. Same shuffle shape as the built-in: one partial-aggregated
+    groupBy."""
+    l = load(spark, sf_dir, "lineitem")
+    x, y = dec("l_quantity"), dec("l_extendedprice")
+    g = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sx2"),
+        F.sum(y * y).alias("_sy2"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sx2, sy2 = F.col("_sx2").cast("double"), F.col("_sy2").cast("double")
+    return g.select(
+        "l_returnflag",
+        "n",
+        ((n * sxy - sx * sy)
+         / F.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+         ).alias("corr_qty_price"),
+        F.sqrt((n * sx2 - sx * sx) / (n * (n - F.lit(1.0)))).alias(
+            "stddev_qty"
+        ),
+    )

@@ -182,3 +182,53 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_column_profile_single_scan(spark):
+    """Profiler reads the table ONCE (multi-column distincts plan as one
+    Expand over one scan), and its null/distinct counts are exact."""
+    out = queries.QUERIES["events_column_profile"](spark, SF_SMOKE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    rows = {r.column_name: r for r in out.collect()}
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    assert rows["event_type"].n_distinct == ev.select("event_type").distinct().count()
+    assert rows["event_id"].n_nulls == ev.filter(F.col("event_id").isNull()).count()
+    assert all(r.n_rows == ev.count() for r in rows.values())
+
+
+def test_month_gapfill_dense_calendar(spark):
+    """Gap-fill emits every month between min and max order date exactly
+    once, with zero revenue for empty months."""
+    out = queries.QUERIES["orders_month_gapfill"](spark, SF_SMOKE).collect()
+    months = sorted(r.month for r in out)
+    assert len(set(months)) == len(months)
+    # dense: consecutive entries differ by exactly one calendar month
+    for a, b in zip(months, months[1:]):
+        assert (b.year * 12 + b.month) - (a.year * 12 + a.month) == 1
+    assert all(r.revenue == 0.0 and r.n_orders == 0
+               for r in out if r.n_orders == 0)
+
+
+def test_corr_stats_match_builtin(spark):
+    """The decimal co-moment formulation agrees with Spark's built-in
+    single-pass corr/stddev to float tolerance (they differ only in
+    summation order)."""
+    out = {
+        r.l_returnflag: r
+        for r in queries.QUERIES["lineitem_corr_stats"](spark, SF_SMOKE).collect()
+    }
+    ref = {
+        r.l_returnflag: r
+        for r in spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(
+            F.corr("l_quantity", "l_extendedprice").alias("c"),
+            F.stddev("l_quantity").alias("s"),
+        )
+        .collect()
+    }
+    assert set(out) == set(ref)
+    for k in out:
+        assert abs(out[k].corr_qty_price - ref[k].c) < 1e-9
+        assert abs(out[k].stddev_qty - ref[k].s) < 1e-9
