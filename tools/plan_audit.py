@@ -68,6 +68,11 @@ AUDITS: dict[str, list[str]] = {
     "events_variant_props": ["partial", "codegen", "no_bnl"],
     "events_sessionize_dynamic": ["partial", "codegen", "no_bnl"],
     "events_top_types_sketch": ["partial", "no_bnl"],
+    "events_column_profile": ["partial", "codegen", "no_bnl"],
+    # gap-fill's calendar side is a 1-row agg exploded to O(months) rows;
+    # the left join against it must still be a hash join, not a BNL.
+    "orders_month_gapfill": ["partial", "codegen", "no_bnl"],
+    "lineitem_corr_stats": ["partial", "codegen", "no_bnl", "pruned:3"],
 }
 
 
