@@ -256,11 +256,19 @@ def sentence_udtf():
     return SplitSentences
 
 
-def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def fingerprint(
+    docs: DataFrame, text_col: str = "text", prefix_tokens: int | None = None
+) -> DataFrame:
     """Content fingerprints: md5 of the normalized token stream (hex), plus
     a 32-bit numeric fingerprint (first 8 hex digits) for compact
-    join/bucket keys."""
-    norm = F.concat_ws(" ", tokens(F.col(text_col)))
+    join/bucket keys. ``prefix_tokens`` fingerprints only the first N
+    normalized tokens — the standard coarse key for eval-leakage /
+    decontamination checks, where near-dups share openings but diverge
+    later."""
+    toks = tokens(F.col(text_col))
+    if prefix_tokens is not None:
+        toks = F.slice(toks, 1, prefix_tokens)
+    norm = F.concat_ws(" ", toks)
     fp = F.md5(norm)
     return docs.select(
         "doc_id",

@@ -1533,3 +1533,20 @@ SELECT l_returnflag, n,
             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_qty
 FROM s
 """
+
+ORACLES["docs_split_decontamination"] = f"""
+WITH {_TOKS_CTE},
+fp AS (
+    SELECT doc_id, md5(array_to_string(t[1:12], ' ')) AS f,
+           CASE WHEN {_bucket_sql("split")} < 2000
+                THEN 'test' ELSE 'train' END AS split
+    FROM toks
+),
+train AS (
+    SELECT f, count(*) AS n_train_matches, min(doc_id) AS first_train_doc
+    FROM fp WHERE split = 'train' GROUP BY f
+)
+SELECT fp.doc_id AS test_doc_id, n_train_matches, first_train_doc
+FROM fp JOIN train ON fp.f = train.f
+WHERE fp.split = 'test'
+"""

@@ -1674,3 +1674,39 @@ def lineitem_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stddev_qty"
         ),
     )
+
+
+@query("docs_split_decontamination")
+def docs_split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: test-split documents whose 12-token
+    normalized prefix fingerprint also appears in the train split (the
+    eval-leakage audit every LLM data pipeline needs before training —
+    prefix keys catch near-dups that share openings but diverge later).
+    Composes the leak-proof hash split with the md5 prefix fingerprint;
+    one shuffle on the 16-byte fingerprint key, train side pre-aggregated
+    to (fingerprint, count, min_doc) before the join so the probe side
+    never fans out."""
+    from .functions.sampling import train_test_split
+    from .functions.text import fingerprint
+
+    docs = load(spark, sf_dir, "documents")
+    fp = fingerprint(docs, prefix_tokens=12).join(
+        train_test_split(docs, "doc_id", test_fraction=0.2).select(
+            "doc_id", "split"
+        ),
+        "doc_id",
+    )
+    train = (
+        fp.filter(F.col("split") == "train")
+        .groupBy("fingerprint_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_matches"),
+            F.min("doc_id").alias("first_train_doc"),
+        )
+    )
+    return (
+        fp.filter(F.col("split") == "test")
+        .select(F.col("doc_id").alias("test_doc_id"), "fingerprint_md5")
+        .join(train, "fingerprint_md5")
+        .select("test_doc_id", "n_train_matches", "first_train_doc")
+    )

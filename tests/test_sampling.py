@@ -64,3 +64,14 @@ def test_stratified_sample_per_stratum_rates(spark):
     assert got == {"en"}  # zero default keeps nothing else
     n_en = d.filter(F.col("lang") == "en").count()
     assert out.count() == n_en  # fraction 1.0 keeps every English doc
+
+
+def test_split_decontamination_flags_cross_split_near_dups(spark):
+    """Every flagged test doc shares its 12-token prefix with >= 1 train
+    doc, and no flagged doc is its own match (splits are disjoint)."""
+    from dataflow_example_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    out = QUERIES["docs_split_decontamination"](spark, SF_SMOKE).collect()
+    assert all(r.n_train_matches >= 1 for r in out)
+    assert all(r.test_doc_id != r.first_train_doc for r in out)

@@ -73,6 +73,7 @@ AUDITS: dict[str, list[str]] = {
     # the left join against it must still be a hash join, not a BNL.
     "orders_month_gapfill": ["partial", "codegen", "no_bnl"],
     "lineitem_corr_stats": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "docs_split_decontamination": ["partial", "codegen", "no_bnl"],
 }
 
 
