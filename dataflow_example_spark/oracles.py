@@ -345,7 +345,7 @@ WITH {_TOKS_CTE},
 tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
 per_doc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
 stats AS (
-    SELECT term, count(*) AS doc_freq, sum(tf) AS total_tf
+    SELECT term, count(*) AS doc_freq, CAST(sum(tf) AS BIGINT) AS total_tf
     FROM per_doc GROUP BY term
 ),
 ranked AS (
@@ -431,7 +431,7 @@ ORACLES["docs_source_domains"] = """
 SELECT regexp_extract(source, '^([a-z]+)', 1) AS prefix,
        CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER) % 4 AS shard,
        count(*) AS n_docs,
-       sum(CAST(n_chars AS BIGINT)) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1, 2
 """
@@ -477,7 +477,7 @@ quality AS (
           - (CAST(_digit AS DOUBLE) / greatest(_len, 1)) * 0.125 >= 0.3
 )
 SELECT lang, count(*) AS n_docs,
-       sum(CAST(n_chars AS BIGINT)) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 WHERE doc_id IN (SELECT doc_id FROM reps)
   AND doc_id IN (SELECT doc_id FROM quality)
@@ -512,9 +512,9 @@ base AS (
 ),
 offs AS (
     SELECT *,
-           sum(n_tokens) OVER (PARTITION BY "group" ORDER BY doc_id
-                               ROWS UNBOUNDED PRECEDING) - n_tokens
-               AS start_offset
+           CAST(sum(n_tokens) OVER (PARTITION BY "group" ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens
+                AS BIGINT) AS start_offset
     FROM base
 )
 SELECT "group", doc_id, n_tokens, start_offset,
@@ -1462,23 +1462,28 @@ GROUP BY 1, 2, 3
 ORACLES["events_column_profile"] = """
 SELECT column_name, n_rows, n_nulls, n_distinct FROM (
   SELECT 'event_id' AS column_name, count(*) AS n_rows,
-         sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
          count(DISTINCT event_id) AS n_distinct FROM events
   UNION ALL
-  SELECT 'ts', count(*), sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END),
+  SELECT 'ts', count(*),
+         CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
          count(DISTINCT ts) FROM events
   UNION ALL
-  SELECT 'user_id', count(*), sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+  SELECT 'user_id', count(*),
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
          count(DISTINCT user_id) FROM events
   UNION ALL
   SELECT 'event_type', count(*),
-         sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+         CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
          count(DISTINCT event_type) FROM events
   UNION ALL
-  SELECT 'value', count(*), sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+  SELECT 'value', count(*),
+         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
          count(DISTINCT value) FROM events
   UNION ALL
-  SELECT 'props', count(*), sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
+  SELECT 'props', count(*),
+         CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
          count(DISTINCT props) FROM events
 )
 """

@@ -28,12 +28,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
-        # default ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and truncate
-        # to microseconds — the same conversion DuckDB applies when it
-        # coerces TIMESTAMP_NS to its micro-precision TIMESTAMP, so oracle
-        # comparisons stay exact.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+        # generations and TIMESTAMP(MICROS) in others, so branch on the
+        # loaded dtype rather than assuming either:
+        #   - long (nanosAsLong in effect): truncate nanos -> micros, the
+        #     same coercion DuckDB applies for TIMESTAMP_NS, so oracle
+        #     comparisons stay exact.
+        #   - timestamp_ntz (micros, isAdjustedToUTC=false): cast to the
+        #     session-zone TIMESTAMP. The session zone is pinned to UTC
+        #     (session.py), so the wall-clock values are unchanged and match
+        #     DuckDB's naive reading.
+        #   - timestamp: pass through.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type == "timestamp_ntz":
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)

@@ -2,9 +2,13 @@
 
 Runs every ``__spark_entry__.queries()`` entry on Spark and its
 ``oracle_sql()`` on DuckDB (views registered over the same sf dir), then
-compares row count, sorted column names, and values (rows sorted by their
-string form, columns compared in name order — floats must match to 1e-12
-relative, everything else exactly; a stricter bar than a value hash).
+compares row count, sorted column names, and a dtype-exact value
+canonicalization: both sides are materialized through pandas, columns are
+compared in name order, rows are sorted by their canonical form, and every
+cell must canonicalize identically — ints and floats are DISTINCT tokens
+(``7`` != ``7.0``), floats compare bit-exact via repr, no tolerance. This
+mirrors the driver's value-hash gate: a DuckDB HUGEINT that lands in pandas
+as float64 fails here exactly as it fails there.
 
 Usage: python tools/check_oracles.py [--sf /root/testdata/sf0.01] [names...]
 """
@@ -12,64 +16,91 @@ Usage: python tools/check_oracles.py [--sf /root/testdata/sf0.01] [names...]
 from __future__ import annotations
 
 import argparse
+import datetime
+import decimal
 import math
 import sys
 import time
 from pathlib import Path
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from dataflow_example_spark.tables import TABLES  # noqa: E402
 
 
-def canon(v):
-    if isinstance(v, float):
-        return f"{v!r}"
-    return repr(v)
+def canon(v) -> str:
+    """Dtype-exact canonical token for one cell.
+
+    Int and float are deliberately distinct ("i:7" vs "f:7.0") so the
+    HUGEINT->float64 drift the driver's hash rejects is rejected here too.
+    """
+    if v is None or v is pd.NaT:
+        return "∅"
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return "∅"  # pandas stores SQL NULL as NaN in float cols
+        return f"f:{f!r}"
+    if isinstance(v, (np.bool_, bool)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (np.integer, int)):
+        return f"i:{int(v)}"
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v}"
+    if isinstance(v, pd.Timestamp):
+        return f"t:{v.isoformat()}"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return f"t:{v.isoformat()}"
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, str):
+        return f"s:{v}"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}={canon(x)}" for k, x in sorted(v.items())) + "}"
+    try:
+        if pd.isna(v):
+            return "∅"
+    except (TypeError, ValueError):
+        pass
+    return f"{type(v).__name__}:{v!r}"
 
 
-def values_equal(a, b) -> bool:
-    if isinstance(a, float) or isinstance(b, float):
-        if a is None or b is None:
-            return a is b
-        fa, fb = float(a), float(b)
-        if math.isnan(fa) and math.isnan(fb):
-            return True
-        return fa == fb or abs(fa - fb) <= 1e-12 * max(abs(fa), abs(fb))
-    return a == b
+def canon_frame(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    """Name-sorted columns, canonical cells, rows sorted canonically."""
+    cols = sorted(df.columns)
+    rows = [
+        tuple(canon(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    rows.sort()
+    return rows
 
 
-def compare(name: str, spark_rows, duck_rows, spark_cols, duck_cols) -> list[str]:
-    problems = []
-    if sorted(spark_cols) != sorted(duck_cols):
-        problems.append(f"columns differ: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+def compare(spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    s_cols, d_cols = sorted(spark_pd.columns), sorted(duck_pd.columns)
+    if s_cols != d_cols:
+        problems.append(f"columns differ: spark={s_cols} duck={d_cols}")
         return problems
-    if len(spark_rows) != len(duck_rows):
-        problems.append(f"row count: spark={len(spark_rows)} duck={len(duck_rows)}")
+    if len(spark_pd) != len(duck_pd):
+        problems.append(f"row count: spark={len(spark_pd)} duck={len(duck_pd)}")
         return problems
-    order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
-    dorder = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
-    s_norm = sorted(
-        (tuple(r[i] for i in order) for r in spark_rows),
-        key=lambda t: tuple(canon(v) for v in t),
-    )
-    d_norm = sorted(
-        (tuple(r[i] for i in dorder) for r in duck_rows),
-        key=lambda t: tuple(canon(v) for v in t),
-    )
+    s_rows, d_rows = canon_frame(spark_pd), canon_frame(duck_pd)
     bad = 0
-    for i, (sr, dr) in enumerate(zip(s_norm, d_norm)):
+    for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
+        if sr == dr:
+            continue
         for c, (sv, dv) in enumerate(zip(sr, dr)):
-            if not values_equal(sv, dv):
+            if sv != dv:
                 if bad < 3:
-                    problems.append(
-                        f"row {i} col {sorted(spark_cols)[c]}: spark={sv!r} duck={dv!r}"
-                    )
+                    problems.append(f"row {i} col {s_cols[c]}: spark={sv} duck={dv}")
                 bad += 1
     if bad:
-        problems.append(f"{bad} mismatched cells / {len(s_norm)} rows")
+        problems.append(f"{bad} mismatched cells / {len(s_rows)} rows")
     return problems
 
 
@@ -96,24 +127,21 @@ def main() -> int:
         t0 = time.time()
         try:
             df = qs[name](spark, args.sf)
-            spark_cols = df.columns
-            spark_rows = [tuple(r) for r in df.collect()]
+            spark_pd = df.toPandas()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {ex}")
             failed.append(name)
             continue
         if name not in osql:
-            print(f"warn  {name}: no oracle (rows-only check) rows={len(spark_rows)}")
+            print(f"warn  {name}: no oracle (rows-only check) rows={len(spark_pd)}")
             continue
         try:
-            res = con.execute(osql[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            duck_pd = con.execute(osql[name]).df()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {ex}")
             failed.append(name)
             continue
-        problems = compare(name, spark_rows, duck_rows, spark_cols, duck_cols)
+        problems = compare(spark_pd, duck_pd)
         dt = time.time() - t0
         if problems:
             print(f"FAIL  {name} ({dt:.1f}s)")
@@ -121,7 +149,7 @@ def main() -> int:
                 print(f"      {p}")
             failed.append(name)
         else:
-            print(f"ok    {name} ({dt:.1f}s, {len(spark_rows)} rows)")
+            print(f"ok    {name} ({dt:.1f}s, {len(spark_pd)} rows)")
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
     return 1 if failed else 0
 
