@@ -484,3 +484,108 @@ def connected_components(
 
             warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    block_col: str,
+    id_col: str,
+    name_col: str,
+    k: int = 2,
+) -> DataFrame:
+    """All pairs within ``block_col`` whose ``name_col`` values are within
+    edit distance ``k`` — PassJoin-style segment blocking (Li/Deng/Feng,
+    "PassJoin: a partition-based method for similarity joins", PVLDB 2012),
+    EXACT: identical output to the naive within-block self-join.
+
+    Pigeonhole: split every string into ``k+1`` segments; any string
+    within edit distance k must contain at least one segment verbatim,
+    shifted by at most k positions. So each string is indexed under its
+    k+1 (length, slot, segment) keys and probed under every substring
+    that could match another string's segment: lengths L' in [L-k, L+k],
+    each slot's position window of +/-k. Candidates = key-equal (index,
+    probe) pairs; the levenshtein verifier runs only on the deduped
+    candidate set.
+
+    Scale: candidate generation is LINEAR fan-out (<= (2k+1)^2 * (k+1)
+    probe keys per row) followed by a hash join on (block, length, slot,
+    segment) — the quadratic term is bounded by per-segment-key block
+    size, not per-``block_col`` size. A coarse block (e.g. nation, 25
+    values over a crawl-scale corpus) stays safe because hot segment keys
+    are rare by construction (segments get longer as strings get longer).
+    The naive within-block join this replaces is quadratic in block size
+    and was the repo's one ER scale hazard.
+    """
+    n_seg = k + 1
+    s = df.select(
+        F.col(block_col).alias("_bk"),
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_nm"),
+        F.length(name_col).alias("_L"),
+    )
+    slots = F.array(*[F.lit(i) for i in range(n_seg)])
+    # even partition: base = L div n_seg, first (L % n_seg) slots get +1;
+    # slot i starts at i*base + min(i, rem) (0-based)
+    seg_len = f"(_L div {n_seg}) + if(_i < _L % {n_seg}, 1, 0)"
+    seg_start = f"_i * (_L div {n_seg}) + least(_i, _L % {n_seg})"
+
+    idx = (
+        s.select("*", F.explode(slots).alias("_i"))
+        .withColumn("_len", F.expr(seg_len))
+        .withColumn("_start", F.expr(seg_start))
+        .select(
+            "_bk",
+            F.col("_L").alias("_kL"),
+            "_i",
+            F.expr("substring(_nm, _start + 1, _len)").alias("_kseg"),
+            F.col("_id").alias("_id_a"),
+        )
+    )
+    probe = (
+        s.select(
+            "*",
+            F.explode(
+                F.expr(f"sequence(greatest(_L - {k}, 1), _L + {k})")
+            ).alias("_Lp"),
+        )
+        .select("*", F.explode(slots).alias("_i"))
+        .withColumn("_len", F.expr(seg_len.replace("_L", "_Lp")))
+        .withColumn("_start", F.expr(seg_start.replace("_L", "_Lp")))
+        .select(
+            "*",
+            F.explode(
+                F.expr(f"sequence(_start - {k}, _start + {k})")
+            ).alias("_s"),
+        )
+        .filter((F.col("_s") >= 0) & (F.col("_s") + F.col("_len") <= F.col("_L")))
+        .select(
+            "_bk",
+            F.col("_Lp").alias("_kL"),
+            "_i",
+            F.expr("substring(_nm, _s + 1, _len)").alias("_kseg"),
+            F.col("_id").alias("_id_b"),
+        )
+    )
+    cand = (
+        idx.join(probe, ["_bk", "_kL", "_i", "_kseg"])
+        .filter(F.col("_id_a") != F.col("_id_b"))
+        .select(
+            "_bk",
+            F.least("_id_a", "_id_b").alias("_ida"),
+            F.greatest("_id_a", "_id_b").alias("_idb"),
+        )
+        .distinct()
+    )
+    na = s.select(F.col("_id").alias("_ida"), F.col("_nm").alias("_nma"))
+    nb = s.select(F.col("_id").alias("_idb"), F.col("_nm").alias("_nmb"))
+    return (
+        cand.join(na, "_ida")
+        .join(nb, "_idb")
+        .select(
+            F.col("_bk").alias(block_col),
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            F.levenshtein("_nma", "_nmb").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= k)
+    )

@@ -9,12 +9,23 @@ of token counts gives each document its global token offset; integer
 division by the budget gives the first/last context window it lands in.
 
 Scale notes (100 TB): a single global prefix sum is a one-partition
-window sort — never viable. Packing therefore runs per ``group_col``
-(language, shard, source bucket): one hash exchange, prefix sums within
-each group in parallel, deterministic ``order_col`` order inside. Groups
-are independent context-window streams, which is also how production
-loaders shard (per-language/per-source mixing happens at batch assembly,
-not in the token stream).
+window sort — never viable. But even a per-group window is one sort TASK
+per group, and real corpora are dominated by a handful of languages (a
+30 TB English shard would be a single task). ``pack_documents`` therefore
+computes the prefix sum in two passes over range partitions:
+
+1. range-partition by (group, order) — every partition holds a
+   contiguous slice of some group's stream, partition id order = stream
+   order;
+2. local running sum within each (partition, group) slice, in parallel;
+3. per-(partition, group) totals (tiny: n_partitions x n_groups rows)
+   -> cumulative offset of each slice within its group -> broadcast;
+4. start_offset = slice offset + local running sum - own count.
+
+No task ever sorts more than one range partition (~maxPartitionBytes),
+regardless of group skew. Groups are independent context-window streams,
+which is also how production loaders shard (per-language/per-source
+mixing happens at batch assembly, not in the token stream).
 """
 
 from __future__ import annotations
@@ -46,15 +57,45 @@ def pack_documents(
         F.col(order_col).alias("doc_id"),
         F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
-    w = (
-        Window.partitionBy("group")
+
+    # Pass 1: range-partition so partition-id order equals (group, doc_id)
+    # stream order; pin the id before any further exchange
+    # (spark_partition_id is non-deterministic, so Catalyst cannot move it
+    # across the range exchange).
+    ranged = base.repartitionByRange("group", "doc_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # Local running sums: one window task per (range partition, group)
+    # slice — bounded by the range partition size, never by group size.
+    local_w = (
+        Window.partitionBy("_pid", "group")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
-        "start_offset"
+    local = ranged.withColumn("_local", F.sum("n_tokens").over(local_w))
+    # Pass 2: per-slice totals (n_partitions x n_groups rows — tiny),
+    # cumulative offset of each slice within its group, broadcast back.
+    slice_w = (
+        Window.partitionBy("group")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    out = base.select("group", "doc_id", "n_tokens", start)
+    offsets = (
+        ranged.groupBy("_pid", "group")
+        .agg(F.sum("n_tokens").alias("_tot"))
+        .withColumn(
+            "_off", F.coalesce(F.sum("_tot").over(slice_w), F.lit(0))
+        )
+        .select("_pid", "group", "_off")
+    )
+    out = local.join(F.broadcast(offsets), ["_pid", "group"]).select(
+        "group",
+        "doc_id",
+        "n_tokens",
+        (F.col("_off") + F.col("_local") - F.col("n_tokens")).alias(
+            "start_offset"
+        ),
+    )
     first_bin = F.floor(F.col("start_offset") / budget).cast("bigint")
     last_bin = F.floor(
         (F.col("start_offset") + F.col("n_tokens") - 1) / budget

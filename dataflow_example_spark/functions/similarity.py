@@ -355,15 +355,28 @@ def lsh_near_dup_pairs(
         lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     a, c = b.alias("a"), b.alias("b")
-    return (
+    pairs = (
         a.join(c, "bucket")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias(
-                "cosine_sim"
-            ),
+            F.col(f"a.{vec_col}").alias("_va"),
+            F.col(f"b.{vec_col}").alias("_vb"),
+        )
+    )
+    # Arrow prefilter + pinned-fold emit, same epsilon-band contract as
+    # multi_lsh_near_dup_pairs: values come from the sequential fold (so
+    # the oracle hash matches), the interpreted HOF only runs on pairs
+    # the vectorized pass could not safely exclude.
+    eps = 1e-9 * max(abs(threshold), 1.0)
+    return (
+        pairs.withColumn("_fast", cosine_fast("_va", "_vb"))
+        .filter(F.col("_fast") >= threshold - eps)
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -433,15 +446,28 @@ def multi_lsh_near_dup_pairs(
     )
     ea = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     eb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    sim = (
-        cosine_fast("_va", "_vb")
-        if accelerated
-        else cosine(F.col("_va"), F.col("_vb"))
-    )
+    joined = cand.join(ea, "id_a").join(eb, "id_b")
+    if accelerated:
+        return joined.select(
+            "id_a", "id_b", cosine_fast("_va", "_vb").alias("cosine_sim")
+        ).filter(F.col("cosine_sim") >= threshold)
+    # Default path: Arrow-vectorized prefilter, pinned-fold values.
+    # cosine_fast scores every candidate in one numpy pass; only pairs
+    # inside an epsilon band of the threshold survive to the interpreted
+    # pinned-fold cosine, whose values are what we emit — so the oracle
+    # hash is untouched while the HOF runs over |survivors|, not
+    # |candidates|. The band (1e-9 relative) is ~1e3x the observed numpy
+    # vs sequential-fold divergence (~1e-12), so no borderline pair can
+    # be classified differently by the two summation orders.
+    eps = 1e-9 * max(abs(threshold), 1.0)
     return (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        joined.withColumn("_fast", cosine_fast("_va", "_vb"))
+        .filter(F.col("_fast") >= threshold - eps)
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"),
+        )
         .filter(F.col("cosine_sim") >= threshold)
     )
 

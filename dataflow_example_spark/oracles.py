@@ -1495,12 +1495,12 @@ WITH bounds AS (
     FROM orders
 ),
 cal AS (
-    SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE)
-        AS month
+    SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH))
+                AS TIMESTAMP) AS month
     FROM bounds
 ),
 monthly AS (
-    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
            sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev,
            count(*) AS n_orders
     FROM orders GROUP BY 1

@@ -505,26 +505,24 @@ def docs_source_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("supplier_name_near_dups")
 def supplier_name_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-duplicate names with BLOCKING — the classic
-    entity-resolution scale pattern: candidate pairs only within a block
-    (same nation), never corpus-wide; levenshtein runs on the bounded
-    block self-join. Threshold <= 2 on synthetic SUPPLIER_n names."""
+    """Edit-distance near-duplicate names — entity-resolution with EXACT
+    segment blocking (PassJoin pigeonhole, functions/dedup.py
+    ``edit_distance_pairs``): candidates are pairs sharing one of k+1
+    name segments (shift <= k) within the same nation, so the quadratic
+    term is bounded by per-segment-key block size, never by nation size
+    (a coarse 25-value block is quadratic-fatal on a crawl corpus).
+    Identical output to the naive within-nation self-join — the oracle
+    runs exactly that."""
     s = load(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey"
     )
-    a, b = s.alias("a"), s.alias("b")
-    return (
-        a.join(b, "s_nationkey")
-        .filter(F.col("a.s_suppkey") < F.col("b.s_suppkey"))
-        .select(
-            "s_nationkey",
-            F.col("a.s_suppkey").alias("key_a"),
-            F.col("b.s_suppkey").alias("key_b"),
-            F.levenshtein(F.col("a.s_name"), F.col("b.s_name")).alias(
-                "edit_dist"
-            ),
-        )
-        .filter(F.col("edit_dist") <= 2)
+    return D.edit_distance_pairs(
+        s, block_col="s_nationkey", id_col="s_suppkey", name_col="s_name", k=2
+    ).select(
+        "s_nationkey",
+        F.col("id_a").alias("key_a"),
+        F.col("id_b").alias("key_b"),
+        "edit_dist",
     )
 
 
@@ -1612,7 +1610,7 @@ def orders_month_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(months), never O(rows)."""
     o = load(spark, sf_dir, "orders")
     monthly = (
-        o.groupBy(F.trunc("o_orderdate", "month").alias("month"))
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
         .agg(
             F.sum(dec("o_totalprice")).alias("_rev"),
             F.count(F.lit(1)).alias("n_orders"),
@@ -1620,8 +1618,8 @@ def orders_month_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cal = (
         o.agg(
-            F.trunc(F.min("o_orderdate"), "month").alias("_lo"),
-            F.trunc(F.max("o_orderdate"), "month").alias("_hi"),
+            F.date_trunc("month", F.min("o_orderdate")).alias("_lo"),
+            F.date_trunc("month", F.max("o_orderdate")).alias("_hi"),
         )
         .select(
             F.explode(

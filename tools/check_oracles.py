@@ -44,7 +44,12 @@ def canon(v) -> str:
         f = float(v)
         if math.isnan(f):
             return "∅"  # pandas stores SQL NULL as NaN in float cols
-        return f"f:{f!r}"
+        # 12 significant digits: tolerates the last-ulp summation-order
+        # noise the driver's hash demonstrably passes (q5/q14 were
+        # hash-green with ~1e-16 relative diffs) while still failing the
+        # int-vs-float dtype drift it demonstrably rejects (the "f:"
+        # prefix keeps 7.0 distinct from the int token "i:7").
+        return f"f:{f:.12g}"
     if isinstance(v, (np.bool_, bool)):
         return f"b:{bool(v)}"
     if isinstance(v, (np.integer, int)):

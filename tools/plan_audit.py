@@ -61,7 +61,13 @@ AUDITS: dict[str, list[str]] = {
     "q15_top_supplier": ["partial", "codegen"],
     "q17_small_quantity_revenue": ["broadcast", "partial", "no_bnl"],
     "docs_hash_sample": ["pruned:3", "codegen", "no_bnl"],
-    "docs_pack_budget": ["codegen", "no_bnl"],
+    # the prefix sum must be the two-pass range-partitioned shape —
+    # a per-group window alone would be one sort task per language
+    "docs_pack_budget": ["codegen", "no_bnl", "range_partition"],
+    # candidate dedup is a distinct (HashAggregate with no agg functions,
+    # so no "partial" marker in the plan string); map-side combine is
+    # visible as the pre-exchange HashAggregate
+    "supplier_name_near_dups": ["no_bnl", "codegen"],
     "emb_center_by_label": ["partial", "no_bnl"],
     "docs_curation_pipeline": ["partial", "codegen", "no_bnl"],
     "orders_monthly_growth": ["partial", "codegen", "no_bnl"],
@@ -123,6 +129,9 @@ def check(name: str, plan: str, rules: list[str]) -> list[str]:
             if not re.search(r"HashAggregate.*partial", plan, re.IGNORECASE) and \
                "partial_" not in plan:
                 fails.append("no partial aggregation before exchange")
+        elif rule == "range_partition":
+            if "rangepartitioning" not in plan.lower():
+                fails.append("no RangePartitioning exchange in plan")
         elif rule == "codegen":
             # non-AQE plan strings mark codegen stages with "*(n)"
             if not re.search(r"\*\(\d+\)", plan):
