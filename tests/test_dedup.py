@@ -213,3 +213,65 @@ def test_exact_dedup_normalized_collapses_variants(spark):
     ).collect()
     groups = {r.doc_id: r.n_dups for r in out}
     assert groups == {1: 3, 4: 1}
+
+
+def test_edit_distance_pairs_equals_naive_blocked_join(spark):
+    """PassJoin segment blocking must be EXACT: identical pairs to the
+    naive within-block self-join, including insert/delete edits that
+    shift segment positions (the case aligned-segment blocking misses)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dataflow_example_spark.functions.dedup import edit_distance_pairs
+
+    rng = random.Random(7)
+    alphabet = "abcde"
+    base = ["".join(rng.choice(alphabet) for _ in range(rng.randint(5, 14)))
+            for _ in range(40)]
+    rows, rid = [], 0
+    for s in base:
+        for block in (0, 1):
+            rows.append((rid, block, s))
+            rid += 1
+            # mutated neighbors: substitution / deletion / insertion / two edits
+            for _ in range(2):
+                t = list(s)
+                for _ in range(rng.randint(1, 2)):
+                    op = rng.choice("sdi")
+                    p = rng.randrange(len(t)) if t else 0
+                    if op == "s" and t:
+                        t[p] = rng.choice(alphabet)
+                    elif op == "d" and len(t) > 1:
+                        del t[p]
+                    else:
+                        t.insert(p, rng.choice(alphabet))
+                rows.append((rid, block, "".join(t)))
+                rid += 1
+    df = spark.createDataFrame(rows, "id bigint, block int, name string")
+
+    got = {
+        (r.block, r.id_a, r.id_b, r.edit_dist)
+        for r in edit_distance_pairs(
+            df, block_col="block", id_col="id", name_col="name", k=2
+        ).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    want = {
+        (r.block, r.id_a, r.id_b, r.edit_dist)
+        for r in (
+            a.join(b, "block")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                "block",
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.levenshtein(F.col("a.name"), F.col("b.name")).alias(
+                    "edit_dist"
+                ),
+            )
+            .filter(F.col("edit_dist") <= 2)
+        ).collect()
+    }
+    assert got == want
+    assert want, "fixture produced no within-threshold pairs"

@@ -389,7 +389,13 @@ def test_kafka_adapter_gated_on_connector(spark):
 
         with _pytest.raises(Exception):
             stream_kafka(spark, "localhost:9092", "traffic").isStreaming
-        _pytest.skip("spark-sql-kafka connector not on the classpath")
+        _pytest.skip(
+            "spark-sql-kafka connector not on the classpath (this "
+            "container has no jar vendored and no network to fetch one; "
+            "on a real deployment add "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13 via --packages "
+            "and this test exercises the live transport)"
+        )
     # with the connector present the adapter yields the engine's
     # (value, ingest_ts) line contract on an unbounded DataFrame
     df = stream_kafka(spark, "localhost:9092", "traffic")

@@ -171,3 +171,49 @@ def test_sentence_udtf_matches_native(spark):
     assert native == via_udtf
     assert (3, 0, "...") not in native  # punctuation-only -> no sentences
     assert (1, 3, "No space") in native
+
+
+def test_pack_documents_two_pass_equals_single_window(spark):
+    """The range-partitioned two-pass prefix sum must equal the
+    straightforward one-window-per-group prefix sum, including when a
+    group's stream spans many range partitions."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dataflow_example_spark.functions.packing import pack_documents
+
+    rows = [
+        (i, "en" if i % 3 else "de", "tok " * (1 + i % 7))
+        for i in range(500)
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+
+    got = {
+        (r.group, r.doc_id): (r.n_tokens, r.start_offset, r.first_bin,
+                              r.last_bin, r.n_bins)
+        for r in pack_documents(d, budget=16).collect()
+    }
+
+    from dataflow_example_spark.functions.text import tokens
+
+    base = d.select(
+        F.col("lang").alias("group"),
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = base.withColumn(
+        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    want = {}
+    for r in ref.collect():
+        first = r.start_offset // 16
+        last = (r.start_offset + r.n_tokens - 1) // 16
+        want[(r.group, r.doc_id)] = (
+            r.n_tokens, r.start_offset, first, last, last - first + 1
+        )
+    assert got == want
