@@ -38,6 +38,76 @@ def entry(spark: SparkSession) -> DataFrame:
     return _queries.QUERIES["traffic_max_lane_flow"](spark, SMOKE_SF_DIR)
 
 
+# The driver's correctness gate samples the FIRST 50 registry entries per
+# round. Round-4 ordering: the SURVEY §2 reference core (always first), then
+# the four queries whose oracles were just fixed (HUGEINT casts — need a
+# driver re-verification), then the 39 queries rounds 1-3 never sampled
+# (all strict-locally green via tools/check_oracles.py). The 39 queries
+# with driver-green history from rounds 1-2 rotate to the tail, so after
+# this round every registry entry has at least one driver-verified record.
+_SAMPLE_FIRST = [
+    # reference core (SURVEY §2 ops 1, 5-13 + window variants)
+    "starter_pipeline",
+    "traffic_lane_info",
+    "traffic_max_lane_flow",
+    "traffic_max_lane_flow_tumbling",
+    "events_tumbling_agg",
+    "events_sliding_agg",
+    "events_sessionize",
+    # oracle-fix re-verification
+    "text_vocab_top_terms",
+    "docs_source_domains",
+    "docs_curation_pipeline",
+    "docs_pack_budget",
+    # never driver-sampled in rounds 1-3 (registry positions 51-89)
+    "events_variant_props",
+    "text_bpe_tokens",
+    "sim_cosine_topk",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "sim_lsh_near_dup",
+    "emb_center_by_label",
+    "sim_semantic_dedup_clusters",
+    "sim_kmeans_assign",
+    "sql_interface",
+    "sim_embedding_near_dup",
+    "events_throttle",
+    "events_asof_join",
+    "events_range_join",
+    "q6_forecast_revenue",
+    "q4_late_shipment_priority",
+    "q7_volume_shipping",
+    "q13_customer_order_distribution",
+    "q16_parts_never_ordered",
+    "q22_idle_rich_customers",
+    "q18_large_volume_customers",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q8_market_share",
+    "distinct_order_priorities",
+    "set_ops_customer_cohorts",
+    "events_sessionize_dynamic",
+    "events_top_types_sketch",
+    "events_funnel",
+    "grouping_sets_revenue",
+    "events_lead_lag_ntile",
+    "rollup_revenue",
+    "top_customers_per_nation",
+    "events_column_profile",
+    "orders_month_gapfill",
+    "lineitem_corr_stats",
+    "docs_split_decontamination",
+]
+
+
+def _ordered_names() -> list[str]:
+    return _SAMPLE_FIRST + [
+        n for n in _queries.QUERIES if n not in _SAMPLE_FIRST
+    ]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (plus the
     beyond-reference operators)."""
@@ -49,9 +119,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: wrap(fn) for name, fn in _queries.QUERIES.items()}
+    return {name: wrap(_queries.QUERIES[name]) for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalents, keyed like ``queries()``."""
-    return dict(_oracles.ORACLES)
+    return {
+        n: _oracles.ORACLES[n]
+        for n in _ordered_names()
+        if n in _oracles.ORACLES
+    }

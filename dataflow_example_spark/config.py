@@ -34,6 +34,13 @@ class TrafficConfig:
     # when True, streaming mode parses the payload timestamp instead of
     # using ingest time (SURVEY.md §2.5 "honor payload timestamp" flag).
     streaming_honor_payload_timestamp: bool = False
+    # Batch-only: persist the parsed lane_info so several window
+    # configurations over the same input (the 60/1 sliding flagship and
+    # the 60/60 tumbling variant) parse the CSV once. Spark's CacheManager
+    # dedups by logical plan, so every pipeline built from the same lines
+    # shares one materialization. Ignored in streaming mode (persist is
+    # undefined on unbounded DataFrames).
+    cache_lane_info: bool = False
 
     @property
     def window_duration(self) -> str:

@@ -71,7 +71,10 @@ def traffic_max_lane_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: the reference's full analytics graph (TrafficMaxLaneFlow
     .java:371-396) — parse -> 60min/1min sliding windows -> per-(window,
     station) max-by -> 10-column projection."""
-    return traffic_pipeline(synth_traffic_lines(spark, sf_dir), TrafficConfig())
+    return traffic_pipeline(
+        synth_traffic_lines(spark, sf_dir),
+        TrafficConfig(cache_lane_info=True),
+    )
 
 
 @query("traffic_max_lane_flow_tumbling")
@@ -79,7 +82,9 @@ def traffic_max_lane_flow_tumbling(spark: SparkSession, sf_dir: str) -> DataFram
     """Degenerate slide == duration case (SURVEY.md §2.5): tumbling-window
     variant of the flagship, exercising the --windowDuration/--windowSlideEvery
     knobs (TrafficMaxLaneFlow.java:332-344)."""
-    cfg = TrafficConfig(window_duration_minutes=60, window_slide_minutes=60)
+    cfg = TrafficConfig(
+        window_duration_minutes=60, window_slide_minutes=60, cache_lane_info=True
+    )
     return traffic_pipeline(synth_traffic_lines(spark, sf_dir), cfg)
 
 
