@@ -78,3 +78,49 @@ def stratified_sample(
             .otherwise(thr)
         )
     return df.filter(hash_bucket(F.col(key_col), salt) < thr)
+
+
+def source_mix_weights(
+    docs: DataFrame,
+    source_col: str = "source",
+    target: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-source sampling weights to move the corpus toward a target
+    mixture (the static domain-reweighting step of pretraining pipelines;
+    DoReMi-style learned weights plug into the same contract).
+
+    ``target`` maps source -> desired share; ``None`` means uniform over
+    the observed sources. Returns (source, n_docs, actual_frac,
+    target_frac, weight) with weight = target_frac / actual_frac — the
+    per-document sampling multiplier downstream samplers feed into
+    ``hash_sample``-style gates.
+
+    Plan shape: one partial-aggregated groupBy on source plus two 1-row
+    global aggregates broadcast back — no full-data second pass, safe at
+    any corpus size.
+    """
+    from pyspark.sql import functions as F
+
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = per.agg(
+        F.sum("n_docs").alias("_total"),
+        F.count(F.lit(1)).alias("_n_sources"),
+    )
+    per = per.crossJoin(F.broadcast(totals))
+    if target is None:
+        target_frac = F.lit(1.0) / F.col("_n_sources")
+    else:
+        m = F.create_map(
+            *[F.lit(x) for kv in target.items() for x in kv]
+        )
+        target_frac = F.coalesce(m[F.col("source")], F.lit(0.0))
+    actual_frac = F.col("n_docs").cast("double") / F.col("_total")
+    return per.select(
+        "source",
+        "n_docs",
+        actual_frac.alias("actual_frac"),
+        target_frac.cast("double").alias("target_frac"),
+        (target_frac.cast("double") / actual_frac).alias("weight"),
+    )

@@ -275,3 +275,91 @@ def fingerprint(
         fp.alias("fingerprint_md5"),
         F.conv(F.substring(fp, 1, 8), 16, 10).cast("bigint").alias("fingerprint32"),
     )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition / boilerplate metrics per document — the Gopher-rules
+    family (Rae et al. 2021, "Scaling Language Models", App. A1.1),
+    adapted to token granularity (the fixtures are single-line):
+
+    - ``dup_token_frac``: 1 - distinct/total tokens (MassiveWeb's
+      duplicate-line fraction, at token level)
+    - ``top_bigram_frac``: fraction of all bigrams taken by the most
+      frequent bigram (Gopher's top-n-gram character fraction)
+    - ``keep``: the composite filter verdict with Gopher-like bounds
+
+    All native expressions; the per-doc bigram mode is an O(d^2) lambda
+    over the (bounded-length) document's own bigram array — document
+    length bounds it, corpus size never does, so the scan stays linear
+    at 100 TB with zero shuffle.
+    """
+    toks = tokens(F.col(text_col))
+    t = docs.select("doc_id", toks.alias("_t"))
+    n = F.size("_t")
+    # guard: sequence(0, n-2) would count DOWN for n < 2
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat(
+                F.element_at("_t", i + 1), F.lit(" "), F.element_at("_t", i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = t.select("doc_id", "_t", grams.alias("_g"))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct("_g"),
+            lambda d: F.size(F.filter("_g", lambda x: x == d)),
+        )
+    )
+    out = g.select(
+        "doc_id",
+        F.size("_t").cast("bigint").alias("n_tokens"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("_t")).cast("double") / F.size("_t")
+        ).alias("dup_token_frac"),
+        F.coalesce(top, F.lit(0)).cast("bigint").alias("top_bigram_count"),
+        F.when(F.size("_g") > 0, top.cast("double") / F.size("_g"))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+    return out.select(
+        "*",
+        (
+            (F.col("n_tokens") >= 5)
+            & (F.col("dup_token_frac") < 0.6)
+            # a bigram seen once is not repetition, whatever its share of
+            # a short document's few bigrams
+            & (
+                (F.col("top_bigram_count") <= 1)
+                | (F.col("top_bigram_frac") < 0.2)
+            )
+        ).alias("keep"),
+    )
+
+
+# portable across Java regex (Spark) and RE2 (DuckDB): no backrefs, no
+# lookaround
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PII_PHONE_RE = "[+][0-9]{8,15}"
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction: count and replace email addresses and
+    E.164-style phone numbers with typed placeholders. Pure regex column
+    expressions (one linear scan, no shuffle); the patterns are written to
+    the common subset of Java regex and RE2 so the DuckDB oracle runs the
+    byte-identical rule."""
+    c = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.regexp_count(c, F.lit(PII_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(c, F.lit(PII_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )

@@ -1555,3 +1555,85 @@ SELECT fp.doc_id AS test_doc_id, n_train_matches, first_train_doc
 FROM fp JOIN train ON fp.f = train.f
 WHERE fp.split = 'test'
 """
+
+
+# token-granular Gopher repetition rules: bigram list via 1-indexed
+# list_transform; per-doc mode count by scanning the doc's own bigram list
+ORACLES["text_repetition_filter"] = f"""
+WITH {_TOKS_CTE},
+g AS (
+    SELECT doc_id, t,
+           CASE WHEN len(t) >= 2
+                THEN list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i + 1])
+                ELSE [] END AS bg
+    FROM toks
+),
+m AS (
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+               AS dup_token_frac,
+           CAST(coalesce(list_max(list_transform(list_distinct(bg),
+                    d -> len(list_filter(bg, x -> x = d)))), 0) AS BIGINT)
+               AS top_bigram_count,
+           CASE WHEN len(bg) > 0
+                THEN CAST(list_max(list_transform(list_distinct(bg),
+                         d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE)
+                     / len(bg)
+                ELSE 0.0 END AS top_bigram_frac
+    FROM g
+)
+SELECT *,
+       (n_tokens >= 5 AND dup_token_frac < 0.6
+        AND (top_bigram_count <= 1 OR top_bigram_frac < 0.2)) AS keep
+FROM m
+"""
+
+# same planted-PII construction and the same Java-regex/RE2-common patterns
+# as queries.text_pii_redact / functions/text.pii_redact
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+_PII_PHONE = "[+][0-9]{8,15}"
+ORACLES["text_pii_redact"] = f"""
+WITH planted AS (
+    SELECT doc_id,
+           CASE
+             WHEN doc_id % 7 = 0 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com now'
+             WHEN doc_id % 11 = 0 THEN
+               text || ' call +431' || lpad(CAST(doc_id % 100000 AS VARCHAR),
+                                            5, '0')
+             ELSE text
+           END AS text
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT)
+           AS n_phones,
+       regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                      '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+FROM planted
+"""
+
+# uniform-target mixture weights; division sequence pinned to match
+# sampling.source_mix_weights (actual = n/total, target = 1/n_sources,
+# weight = target/actual)
+ORACLES["docs_mix_weights"] = """
+WITH per AS (
+    SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (
+    SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+           count(*) AS n_sources
+    FROM per
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_docs AS DOUBLE) / total AS actual_frac,
+       1.0 / n_sources AS target_frac,
+       (1.0 / n_sources) / (CAST(n_docs AS DOUBLE) / total) AS weight
+FROM per, tot
+"""

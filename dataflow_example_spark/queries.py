@@ -1713,3 +1713,56 @@ def docs_split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(train, "fingerprint_md5")
         .select("test_doc_id", "n_train_matches", "first_train_doc")
     )
+
+
+@query("text_repetition_filter")
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules repetition/boilerplate filter (token-granular):
+    duplicate-token fraction, top-bigram fraction, composite keep verdict
+    — one linear codegen scan, no shuffle (functions/text.py
+    repetition_stats)."""
+    return T.repetition_stats(load(spark, sf_dir, "documents"))
+
+
+@query("text_pii_redact")
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over the documents table. The synthetic corpus
+    contains no PII, so the query plants deterministic emails/phones on a
+    doc_id-keyed subset first (both engines build the identical string),
+    then counts and redacts with the shared portable regexes — proving
+    detection, replacement, and pass-through on clean rows."""
+    d = load(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" call +431"),
+                F.lpad((F.col("doc_id") % 100000).cast("string"), 5, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return T.pii_redact(planted)
+
+
+@query("docs_mix_weights")
+def docs_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static domain-mixture reweighting: per-source sampling weight
+    toward a uniform target share (functions/sampling.py
+    source_mix_weights; DoReMi-style learned targets use the same
+    contract)."""
+    from .functions.sampling import source_mix_weights
+
+    return source_mix_weights(load(spark, sf_dir, "documents"))

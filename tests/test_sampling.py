@@ -75,3 +75,25 @@ def test_split_decontamination_flags_cross_split_near_dups(spark):
     out = QUERIES["docs_split_decontamination"](spark, SF_SMOKE).collect()
     assert all(r.n_train_matches >= 1 for r in out)
     assert all(r.test_doc_id != r.first_train_doc for r in out)
+
+
+def test_source_mix_weights_uniform_and_explicit(spark):
+    from dataflow_example_spark.functions.sampling import source_mix_weights
+
+    d = spark.createDataFrame(
+        [(i, "a" if i < 6 else "b") for i in range(8)],
+        "doc_id bigint, source string",
+    )
+    got = {r.source: r for r in source_mix_weights(d).collect()}
+    assert got["a"].n_docs == 6 and got["b"].n_docs == 2
+    assert abs(got["a"].weight - 0.5 / 0.75) < 1e-15
+    assert abs(got["b"].weight - 0.5 / 0.25) < 1e-15
+
+    got2 = {
+        r.source: r
+        for r in source_mix_weights(
+            d, target={"a": 0.9, "b": 0.1}
+        ).collect()
+    }
+    assert abs(got2["a"].target_frac - 0.9) < 1e-15
+    assert abs(got2["b"].weight - 0.1 / 0.25) < 1e-15

@@ -217,3 +217,44 @@ def test_pack_documents_two_pass_equals_single_window(spark):
             r.n_tokens, r.start_offset, first, last, last - first + 1
         )
     assert got == want
+
+
+def test_repetition_stats_known_values(spark):
+    from dataflow_example_spark.functions.text import repetition_stats
+
+    d = spark.createDataFrame(
+        [
+            (1, "a a a b"),           # bigrams: "a a" x2, "a b" -> top 2/3
+            (2, "one two three four five six"),  # all distinct
+            (3, "solo"),              # no bigrams
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(d).collect()}
+    r1 = got[1]
+    assert r1.n_tokens == 4
+    assert abs(r1.dup_token_frac - 0.5) < 1e-15
+    assert r1.top_bigram_count == 2
+    assert abs(r1.top_bigram_frac - 2 / 3) < 1e-15
+    assert not r1.keep  # < 5 tokens
+    r2 = got[2]
+    assert r2.dup_token_frac == 0.0 and r2.keep
+    r3 = got[3]
+    assert r3.top_bigram_count == 0 and r3.top_bigram_frac == 0.0
+
+
+def test_pii_redact_detects_and_passes_through(spark):
+    from dataflow_example_spark.functions.text import pii_redact
+
+    d = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+x@mail.example.org or +43123456789 ok"),
+            (2, "no pii here, just text with an at sign @ alone"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in pii_redact(d).collect()}
+    assert got[1].n_emails == 1 and got[1].n_phones == 1
+    assert got[1].redacted == "reach me at <EMAIL> or <PHONE> ok"
+    assert got[2].n_emails == 0 and got[2].n_phones == 0
+    assert got[2].redacted.endswith("@ alone")
