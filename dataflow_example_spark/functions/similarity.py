@@ -716,3 +716,41 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the memory-compression
+    step in front of large ANN indexes (4x smaller vectors; IVF/LSH
+    bucketing upstream is unchanged, exact re-rank dequantizes).
+
+    scale = max|v| / 127; q_i = floor(v_i/scale + 0.5) (explicit
+    half-up rounding — engine-portable, unlike round()'s half-even vs
+    half-away divergence); zero vectors quantize to zeros with scale 0.
+    Emits the max absolute reconstruction error per vector (bounded by
+    scale/2), the quantity capacity planning needs.
+
+    One linear codegen scan, no shuffle, no Python.
+    """
+    v = _to_double(F.col(vec_col))
+    max_abs = F.array_max(F.transform(v, F.abs))
+    scale = max_abs / F.lit(127.0)
+    q = F.when(scale == 0, F.transform(v, lambda _: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    )
+    out = embeddings.select(
+        F.col(id_col), scale.alias("scale"), q.cast("array<int>").alias("qvec"), v.alias("_v")
+    )
+    err = F.array_max(
+        F.zip_with(
+            "_v",
+            "qvec",
+            lambda x, qi: F.abs(x - qi.cast("double") * F.col("scale")),
+        )
+    )
+    return out.select(
+        id_col, "scale", "qvec", F.coalesce(err, F.lit(0.0)).alias("max_abs_err")
+    )

@@ -1637,3 +1637,33 @@ SELECT source,
        (1.0 / n_sources) / (CAST(n_docs AS DOUBLE) / total) AS weight
 FROM per, tot
 """
+
+
+# symmetric int8 quantization; floor(x/scale + 0.5) is the shared
+# half-up rule (round() diverges between engines on exact halves)
+ORACLES["emb_quantize_int8"] = """
+WITH v AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+    FROM embeddings
+),
+s AS (
+    SELECT vec_id, dv,
+           list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale
+    FROM v
+),
+q AS (
+    SELECT vec_id, dv, scale,
+           CASE WHEN scale = 0
+                THEN list_transform(dv, x -> 0)
+                ELSE list_transform(dv,
+                         x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+           END AS qvec
+    FROM s
+)
+SELECT vec_id, scale, qvec,
+       coalesce(list_max(list_transform(range(1, len(dv) + 1),
+           i -> abs(dv[i] - CAST(qvec[i] AS DOUBLE) * scale))), 0.0)
+           AS max_abs_err
+FROM q
+"""

@@ -1766,3 +1766,11 @@ def docs_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.sampling import source_mix_weights
 
     return source_mix_weights(load(spark, sf_dir, "documents"))
+
+
+@query("emb_quantize_int8")
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column
+    (functions/similarity.quantize_int8): 4x memory for ANN candidate
+    storage, with per-vector max reconstruction error."""
+    return S.quantize_int8(load(spark, sf_dir, "embeddings"))

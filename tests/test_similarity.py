@@ -243,3 +243,25 @@ def test_multi_lsh_accelerated_matches_exact_path(spark):
     assert set(slow) == set(fast)
     for p in slow:
         assert abs(slow[p] - fast[p]) < 1e-12
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    from dataflow_example_spark.functions.similarity import quantize_int8
+
+    d = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 0.5, 127.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, [-0.003, 0.001, 0.002, -0.001]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in quantize_int8(d).collect()}
+    r1 = got[1]
+    assert r1.qvec[3] == 127 and abs(r1.scale - 1.0) < 1e-12
+    assert r1.max_abs_err <= r1.scale / 2 + 1e-12
+    r2 = got[2]
+    assert r2.scale == 0.0 and r2.qvec == [0, 0, 0, 0] and r2.max_abs_err == 0.0
+    r3 = got[3]
+    assert max(abs(q) for q in r3.qvec) == 127
+    assert r3.max_abs_err <= r3.scale / 2 + 1e-12
