@@ -75,14 +75,19 @@ def pack_documents(
     local = ranged.withColumn("_local", F.sum("n_tokens").over(local_w))
     # Pass 2: per-slice totals (n_partitions x n_groups rows — tiny),
     # cumulative offset of each slice within its group, broadcast back.
+    # Totals come from `local` (max of the running sum = slice total), not
+    # from `ranged`: both consumers then depend on the same materialized
+    # (_pid, group) exchange, so the non-deterministic spark_partition_id
+    # is evaluated exactly once — a second branch off the range exchange
+    # could in principle re-plan it with different partition ids.
     slice_w = (
         Window.partitionBy("group")
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
-        ranged.groupBy("_pid", "group")
-        .agg(F.sum("n_tokens").alias("_tot"))
+        local.groupBy("_pid", "group")
+        .agg(F.max("_local").alias("_tot"))
         .withColumn(
             "_off", F.coalesce(F.sum("_tot").over(slice_w), F.lit(0))
         )
