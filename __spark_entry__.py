@@ -54,6 +54,9 @@ _SAMPLE_FIRST = [
     "events_tumbling_agg",
     "events_sliding_agg",
     "events_sessionize",
+    # streaming ops 2-4 proof (injector -> file-drop source -> watermarked
+    # tumbling agg -> parquet sink, availableNow drain vs batch oracle)
+    "streaming_traffic_parity",
     # oracle-fix re-verification
     "text_vocab_top_terms",
     "docs_source_domains",
@@ -69,7 +72,6 @@ _SAMPLE_FIRST = [
     "emb_center_by_label",
     "sim_semantic_dedup_clusters",
     "sim_kmeans_assign",
-    "sql_interface",
     "sim_embedding_near_dup",
     "events_throttle",
     "events_asof_join",

@@ -1667,3 +1667,17 @@ SELECT vec_id, scale, qvec,
            AS max_abs_err
 FROM q
 """
+
+
+# streaming availableNow drain == batch tumbling windows closed by the
+# final watermark (max event time, zero delay): the append-mode emission
+# contract, computable exactly from the batch definition
+ORACLES["streaming_traffic_parity"] = (
+    "SELECT * FROM ("
+    + _traffic_max_sql(
+        "make_timestamp(CAST((floor(epoch(ts_sec) / 3600) * 3600 + 3600)"
+        " * 1000000 AS BIGINT))"
+    )
+    + ") WHERE window_timestamp <= "
+    "(SELECT max(date_trunc('second', ts)) FROM events)"
+)

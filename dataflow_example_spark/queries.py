@@ -1774,3 +1774,51 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/similarity.quantize_int8): 4x memory for ANN candidate
     storage, with per-vector max reconstruction error."""
     return S.quantize_int8(load(spark, sf_dir, "embeddings"))
+
+
+@query("streaming_traffic_parity")
+def streaming_traffic_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible streaming proof (SURVEY §2 ops 2-4): synthesize the
+    PeMS CSV, replay it through the injector into a file-drop topic
+    (op 3), drain it with the streaming pipeline — unbounded source
+    (op 2), watermarked tumbling aggregation, parquet sink (op 4) under
+    availableNow — and return the sink contents. With payload timestamps
+    and a zero watermark delay, append mode emits exactly the windows
+    whose end <= the final watermark (= max event time), which is what
+    the oracle computes from the batch definition: the unified
+    batch/streaming contract, checked end-to-end by the correctness
+    gate rather than only by pytest."""
+    import os
+    import tempfile
+
+    from .sources.injector import inject_file
+    from .streaming.traffic import run_traffic_stream
+
+    base = tempfile.mkdtemp(prefix="dfx_stream_parity_")
+    src = os.path.join(base, "src")
+    topic = os.path.join(base, "topic")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    synth_traffic_lines(spark, sf_dir).coalesce(1).write.mode(
+        "overwrite"
+    ).text(src)
+    inject_file(spark, src, topic, chunks=4)
+
+    cfg = TrafficConfig(
+        window_duration_minutes=60,
+        window_slide_minutes=60,
+        streaming=True,
+        streaming_honor_payload_timestamp=True,
+        watermark_delay="0 seconds",
+    )
+    q = run_traffic_stream(
+        spark,
+        topic,
+        output_dir=out,
+        checkpoint_dir=ckpt,
+        config=cfg,
+        available_now=True,
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out)
