@@ -80,6 +80,12 @@ AUDITS: dict[str, list[str]] = {
     "orders_month_gapfill": ["partial", "codegen", "no_bnl"],
     "lineitem_corr_stats": ["partial", "codegen", "no_bnl", "pruned:3"],
     "docs_split_decontamination": ["partial", "codegen", "no_bnl"],
+    # round-4 operators: linear scans must stay in codegen with pruned
+    # reads; mix-weights is an agg + two broadcast 1-row aggregates
+    "text_repetition_filter": ["codegen", "no_bnl", "pruned:2"],
+    "text_pii_redact": ["codegen", "no_bnl", "pruned:2"],
+    "docs_mix_weights": ["partial", "codegen", "pruned:1"],
+    "emb_quantize_int8": ["codegen", "no_bnl", "pruned:2"],
 }
 
 
