@@ -363,3 +363,34 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "<PHONE>",
         ).alias("redacted"),
     )
+
+
+def unigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document mean unigram surprisal (-ln p(token) under the
+    corpus's own unigram distribution) — the zero-model stand-in for the
+    LM-perplexity quality signal (CCNet-style filtering plugs a real LM
+    into the same per-document-score contract). High scores = rare-token
+    documents (noise, boilerplate codes); low = stopword soup.
+
+    Plan: explode to (doc, term) -> corpus vocab aggregate -> hash join
+    term->tf (vocab is corpus-wide: not forced broadcast, AQE may choose)
+    -> per-doc mean via the pinned sorted fold, so the DuckDB oracle
+    reproduces the double bit-for-bit (modulo ln's 1-ulp libm noise,
+    which both the local gate and the driver's hash tolerate).
+    """
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").cast("double").alias("_total"))
+    scored = tok.join(vocab, "term").crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        (-F.log(F.col("tf").cast("double") / F.col("_total"))).alias("_s"),
+    )
+    folded = F.aggregate(
+        F.sort_array(F.collect_list("_s")), F.lit(0.0), lambda a, x: a + x
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        (folded / F.count(F.lit(1))).alias("avg_surprisal"),
+    )

@@ -1681,3 +1681,40 @@ ORACLES["streaming_traffic_parity"] = (
     + ") WHERE window_timestamp <= "
     "(SELECT max(date_trunc('second', ts)) FROM events)"
 )
+
+
+# mean unigram surprisal; pinned sorted fold mirrors unigram_surprisal
+ORACLES["text_unigram_logprob"] = f"""
+WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+vocab AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM vocab),
+s AS (
+    SELECT doc_id, -ln(CAST(tf AS DOUBLE) / total) AS sv
+    FROM tok JOIN vocab USING (term), tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       list_reduce(list_prepend(0.0, list_sort(list(sv))),
+                   (acc, x) -> acc + x) / count(*) AS avg_surprisal
+FROM s
+GROUP BY doc_id
+"""
+
+# token accounting toward a uniform mixture at a 1M-token epoch budget
+ORACLES["docs_token_budget_plan"] = f"""
+WITH d AS (
+    SELECT source, CAST(len({_TOKS}) AS BIGINT) AS nt FROM documents
+),
+per AS (
+    SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+    FROM d GROUP BY source
+),
+tot AS (SELECT count(*) AS n_sources FROM per)
+SELECT source, n_docs, n_tokens,
+       1.0 / n_sources AS target_frac,
+       (1.0 / n_sources) * 1000000.0 AS tokens_per_epoch,
+       CAST(n_tokens AS DOUBLE) / ((1.0 / n_sources) * 1000000.0)
+           AS epochs_to_exhaust
+FROM per, tot
+"""

@@ -1822,3 +1822,41 @@ def streaming_traffic_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(600)
     return spark.read.parquet(out)
+
+
+@query("text_unigram_logprob")
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram surprisal per document under the corpus's own unigram
+    model (functions/text.unigram_surprisal) — the zero-model slot of the
+    LM-perplexity quality-filter contract."""
+    return T.unigram_surprisal(load(spark, sf_dir, "documents"))
+
+
+@query("docs_token_budget_plan")
+def docs_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining token accounting per source: corpus token counts x
+    uniform mixture target -> tokens drawn per 1M-token epoch and epochs
+    until each source is exhausted (starts repeating). The planning
+    table a data-mixing run derives its sampling schedule from."""
+    budget = 1_000_000
+    toks = load(spark, sf_dir, "documents").select(
+        "source", F.size(T.tokens(F.col("text"))).cast("bigint").alias("_nt")
+    )
+    per = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+    )
+    tot = per.agg(F.count(F.lit(1)).alias("_n_sources"))
+    per = per.crossJoin(F.broadcast(tot))
+    target_frac = F.lit(1.0) / F.col("_n_sources")
+    tokens_per_epoch = target_frac * F.lit(float(budget))
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        target_frac.alias("target_frac"),
+        tokens_per_epoch.alias("tokens_per_epoch"),
+        (F.col("n_tokens").cast("double") / tokens_per_epoch).alias(
+            "epochs_to_exhaust"
+        ),
+    )

@@ -258,3 +258,20 @@ def test_pii_redact_detects_and_passes_through(spark):
     assert got[1].redacted == "reach me at <EMAIL> or <PHONE> ok"
     assert got[2].n_emails == 0 and got[2].n_phones == 0
     assert got[2].redacted.endswith("@ alone")
+
+
+def test_unigram_surprisal_known_distribution(spark):
+    import math
+
+    from dataflow_example_spark.functions.text import unigram_surprisal
+
+    # corpus: "a" x3, "b" x1 -> p(a)=3/4, p(b)=1/4
+    d = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r for r in unigram_surprisal(d).collect()}
+    assert got[1].n_tokens == 3
+    assert abs(got[1].avg_surprisal - (-math.log(0.75))) < 1e-12
+    assert abs(got[2].avg_surprisal - (-math.log(0.25))) < 1e-12
+    # rare-token doc scores strictly higher
+    assert got[2].avg_surprisal > got[1].avg_surprisal
