@@ -86,6 +86,10 @@ AUDITS: dict[str, list[str]] = {
     "text_pii_redact": ["codegen", "no_bnl", "pruned:2"],
     "docs_mix_weights": ["partial", "codegen", "pruned:1"],
     "emb_quantize_int8": ["codegen", "no_bnl", "pruned:2"],
+    # unigram_logprob's BNL is the 1-row corpus-total broadcast (constant
+    # width), the same allow-listed shape as q22's scalar subquery
+    "text_unigram_logprob": ["partial", "codegen", "pruned:2"],
+    "docs_token_budget_plan": ["partial", "codegen", "pruned:2"],
 }
 
 
