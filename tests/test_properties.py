@@ -113,3 +113,51 @@ def test_split_partitions_exactly(spark, n, frac):
         r.doc_id for r in hash_sample(d, "doc_id", frac, salt="p").collect()
     }
     assert test_ids == sampled
+
+
+_TOKEN_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    " \t.,;:!?-_/()[]{}'\"@#$%^&*+=|\\~`<>\n"
+    "äöüßéñçàø漢字カナ"
+)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=_TOKEN_ALPHABET, max_size=40),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_tokenizer_contract_matches_duckdb(spark, texts):
+    """The tokenizer (lower -> split on non-[a-z0-9] runs -> drop empties)
+    is the contract ~30 oracles build on; Spark's expression and the
+    DuckDB fragment must agree token-for-token on arbitrary input,
+    including unicode that lowercases outside [a-z0-9] (it must all act
+    as separator)."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from dataflow_example_spark.functions.text import tokens
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: list(r.t)
+        for r in df.select("doc_id", tokens(F.col("text")).alias("t")).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    want = {
+        i: list(t)
+        for i, t in con.execute(
+            "SELECT doc_id, list_filter(string_split_regex(lower(text),"
+            " '[^a-z0-9]+'), x -> x <> '') FROM documents"
+        ).fetchall()
+    }
+    assert got == want
