@@ -1718,3 +1718,19 @@ SELECT source, n_docs, n_tokens,
            AS epochs_to_exhaust
 FROM per, tot
 """
+
+
+# winsorization at p05/p95 per event_type; quantile_cont matches Spark's
+# exact interpolating percentile (parity proven by events_value_percentiles)
+ORACLES["events_winsorize"] = """
+WITH bounds AS (
+    SELECT event_type,
+           quantile_cont(value, 0.05) AS lo,
+           quantile_cont(value, 0.95) AS hi
+    FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, value,
+       least(greatest(value, lo), hi) AS value_winsorized,
+       (value < lo OR value > hi) AS clipped
+FROM events e JOIN bounds USING (event_type)
+"""

@@ -1860,3 +1860,29 @@ def docs_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "epochs_to_exhaust"
         ),
     )
+
+
+@query("events_winsorize")
+def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group outlier clipping (winsorization at p05/p95): group bounds
+    from the exact percentile aggregate, broadcast back, clip with
+    least/greatest — the standard feature-cleaning transform before
+    training-data export. Two passes over the data, no full-data sort; at
+    100 TB swap the exact percentile for approx_percentile's mergeable
+    sketch (same plan shape, same clip stage)."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("_lo"),
+        F.percentile("value", F.lit(0.95)).alias("_hi"),
+    )
+    return ev.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("_lo")), F.col("_hi")).alias(
+            "value_winsorized"
+        ),
+        ((F.col("value") < F.col("_lo")) | (F.col("value") > F.col("_hi"))).alias(
+            "clipped"
+        ),
+    )
