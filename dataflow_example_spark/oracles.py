@@ -1734,3 +1734,26 @@ SELECT event_id, e.event_type, value,
        (value < lo OR value > hi) AS clipped
 FROM events e JOIN bounds USING (event_type)
 """
+
+
+# pairwise source vocabulary Jaccard (inclusion-exclusion on distinct
+# (source, term) sets)
+ORACLES["docs_source_vocab_overlap"] = f"""
+WITH st AS (
+    SELECT DISTINCT source, unnest({_TOKS}) AS term FROM documents
+),
+sizes AS (SELECT source, count(*) AS n_terms FROM st GROUP BY source),
+inter AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_common
+    FROM st a JOIN st b USING (term)
+    WHERE a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_common,
+       CAST(n_common AS DOUBLE) / (sa.n_terms + sb.n_terms - n_common)
+           AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+"""

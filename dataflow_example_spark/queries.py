@@ -1886,3 +1886,50 @@ def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clipped"
         ),
     )
+
+
+@query("docs_source_vocab_overlap")
+def docs_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-level vocabulary Jaccard — the corpus-diagnostics
+    matrix behind dataset mixing decisions (near-identical sources are
+    mixing-redundant). Plan: distinct (source, term) — one shuffle —
+    then a self-join on term (fan-out bounded by n_sources^2 per term,
+    never by corpus size) -> intersection counts -> Jaccard from
+    inclusion-exclusion. At very large vocabularies swap the exact
+    distinct set for per-source MinHash signatures (same output
+    contract)."""
+    st = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n_terms"))
+    a, b = st.alias("a"), st.alias("b")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_terms").alias("_na")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_terms").alias("_nb")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
