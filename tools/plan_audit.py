@@ -90,6 +90,8 @@ AUDITS: dict[str, list[str]] = {
     # width), the same allow-listed shape as q22's scalar subquery
     "text_unigram_logprob": ["partial", "codegen", "pruned:2"],
     "docs_token_budget_plan": ["partial", "codegen", "pruned:2"],
+    "events_winsorize": ["broadcast", "partial", "codegen", "no_bnl"],
+    "docs_source_vocab_overlap": ["partial", "no_bnl", "pruned:2"],
 }
 
 
