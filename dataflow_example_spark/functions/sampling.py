@@ -124,3 +124,34 @@ def source_mix_weights(
         target_frac.cast("double").alias("target_frac"),
         (target_frac.cast("double") / actual_frac).alias("weight"),
     )
+
+
+def cap_per_group(
+    docs: DataFrame,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    cap: int = 100,
+    salt: str = "cap",
+) -> DataFrame:
+    """Cap any one group's contribution at ``cap`` rows, chosen
+    deterministically (md5-hash order, key tiebreak) — the per-domain
+    contribution cap of crawl pipelines (no domain may dominate the
+    corpus), engine-portable and stable across runs/cluster sizes.
+
+    One window sort per group; groups above executor-task size should
+    pre-filter with [[hash_sample]] first (cap/|group| rate) so the sort
+    input is near the cap, not the raw group.
+    """
+    from pyspark.sql.window import Window
+
+    order_key = F.md5(
+        F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        order_key.asc(), F.col(key_col).asc()
+    )
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

@@ -1757,3 +1757,16 @@ FROM inter
 JOIN sizes sa ON sa.source = source_a
 JOIN sizes sb ON sb.source = source_b
 """
+
+
+# per-source cap: same md5-order row_number rule
+ORACLES["docs_cap_per_source"] = """
+SELECT doc_id, source, lang, n_chars FROM (
+    SELECT doc_id, source, lang, n_chars,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+) WHERE rn <= 10
+"""

@@ -1933,3 +1933,18 @@ def docs_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query("docs_cap_per_source")
+def docs_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source contribution cap (10 docs per source, md5
+    order): the no-domain-dominates rule of crawl curation
+    (functions/sampling.cap_per_group)."""
+    from .functions.sampling import cap_per_group
+
+    return cap_per_group(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "n_chars"
+        ),
+        cap=10,
+    )

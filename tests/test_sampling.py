@@ -97,3 +97,24 @@ def test_source_mix_weights_uniform_and_explicit(spark):
     }
     assert abs(got2["a"].target_frac - 0.9) < 1e-15
     assert abs(got2["b"].weight - 0.1 / 0.25) < 1e-15
+
+
+def test_cap_per_group_deterministic_and_bounded(spark):
+    from dataflow_example_spark.functions.sampling import cap_per_group
+
+    d = spark.createDataFrame(
+        [(i, "a" if i < 30 else "b") for i in range(40)],
+        "doc_id bigint, source string",
+    )
+    out1 = cap_per_group(d, cap=5)
+    rows1 = sorted((r.source, r.doc_id) for r in out1.collect())
+    counts = {}
+    for s, _ in rows1:
+        counts[s] = counts.get(s, 0) + 1
+    assert counts == {"a": 5, "b": 5}
+    # deterministic across invocations
+    rows2 = sorted((r.source, r.doc_id) for r in cap_per_group(d, cap=5).collect())
+    assert rows1 == rows2
+    # groups under the cap pass through whole
+    out3 = cap_per_group(d, cap=50)
+    assert out3.count() == 40
