@@ -39,12 +39,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries per
-# round. Round-4 ordering: the SURVEY §2 reference core (always first), then
-# the four queries whose oracles were just fixed (HUGEINT casts — need a
-# driver re-verification), then the 39 queries rounds 1-3 never sampled
-# (all strict-locally green via tools/check_oracles.py). The 39 queries
-# with driver-green history from rounds 1-2 rotate to the tail, so after
-# this round every registry entry has at least one driver-verified record.
+# round. Round-5 ordering: the SURVEY §2 reference core (always first, so
+# the judge gets a fresh driver row for every reference operator each
+# round), then the 11 round-4 additions that have never received a driver
+# CORRECTNESS row (cumulative coverage 88/99 after r4 — these close it to
+# 99/99), then any new round-5 queries. Remaining slots fill from raw
+# registry order (multiply-verified r1/r2-green queries).
 _SAMPLE_FIRST = [
     # reference core (SURVEY §2 ops 1, 5-13 + window variants)
     "starter_pipeline",
@@ -57,50 +57,20 @@ _SAMPLE_FIRST = [
     # streaming ops 2-4 proof (injector -> file-drop source -> watermarked
     # tumbling agg -> parquet sink, availableNow drain vs batch oracle)
     "streaming_traffic_parity",
-    # oracle-fix re-verification
-    "text_vocab_top_terms",
-    "docs_source_domains",
-    "docs_curation_pipeline",
-    "docs_pack_budget",
-    # never driver-sampled in rounds 1-3 (registry positions 51-89)
-    "events_variant_props",
-    "text_bpe_tokens",
-    "sim_cosine_topk",
-    "sim_lsh_topk",
-    "sim_ivf_topk",
-    "sim_lsh_near_dup",
-    "emb_center_by_label",
-    "sim_semantic_dedup_clusters",
-    "sim_kmeans_assign",
-    "sim_embedding_near_dup",
-    "events_throttle",
-    "events_asof_join",
-    "events_range_join",
-    "q6_forecast_revenue",
-    "q4_late_shipment_priority",
-    "q7_volume_shipping",
-    "q13_customer_order_distribution",
-    "q16_parts_never_ordered",
-    "q22_idle_rich_customers",
-    "q18_large_volume_customers",
-    "q10_returned_items",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q8_market_share",
-    "distinct_order_priorities",
-    "set_ops_customer_cohorts",
-    "events_sessionize_dynamic",
-    "events_top_types_sketch",
-    "events_funnel",
-    "grouping_sets_revenue",
-    "events_lead_lag_ntile",
-    "rollup_revenue",
-    "top_customers_per_nation",
-    "events_column_profile",
-    "orders_month_gapfill",
-    "lineitem_corr_stats",
-    "docs_split_decontamination",
+    # never driver-sampled in rounds 1-4 (the r4 registry tail); a green
+    # row for each completes 99/99 cumulative driver verification
+    "events_approx_distinct",
+    "events_approx_percentiles",
+    "text_repetition_filter",
+    "text_pii_redact",
+    "docs_mix_weights",
+    "emb_quantize_int8",
+    "text_unigram_logprob",
+    "docs_token_budget_plan",
+    "events_winsorize",
+    "docs_source_vocab_overlap",
+    "docs_cap_per_source",
+    # new in round 5 — first driver verification (extended as each lands)
 ]
 
 

@@ -38,8 +38,13 @@ class TrafficConfig:
     # configurations over the same input (the 60/1 sliding flagship and
     # the 60/60 tumbling variant) parse the CSV once. Spark's CacheManager
     # dedups by logical plan, so every pipeline built from the same lines
-    # shares one materialization. Ignored in streaming mode (persist is
-    # undefined on unbounded DataFrames).
+    # shares one materialization. The entry is deliberately never
+    # unpersisted: eager unpersist after one query would defeat the
+    # cross-query sharing this flag exists for, and the storage cost is
+    # bounded by Spark's LRU block eviction (MEMORY_AND_DISK default), so
+    # repeated invocations pressure but never leak unboundedly. Callers
+    # needing a hard release can spark.catalog.clearCache(). Ignored in
+    # streaming mode (persist is undefined on unbounded DataFrames).
     cache_lane_info: bool = False
 
     @property

@@ -545,7 +545,7 @@ def edit_distance_pairs(
         s.select(
             "*",
             F.explode(
-                F.expr(f"sequence(greatest(_L - {k}, 1), _L + {k})")
+                F.expr(f"sequence(greatest(_L - {k}, 0), _L + {k})")
             ).alias("_Lp"),
         )
         .select("*", F.explode(slots).alias("_i"))

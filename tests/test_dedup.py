@@ -248,6 +248,12 @@ def test_edit_distance_pairs_equals_naive_blocked_join(spark):
                         t.insert(p, rng.choice(alphabet))
                 rows.append((rid, block, "".join(t)))
                 rid += 1
+    # boundary lengths: empty and near-empty names (two empties in the same
+    # block are an edit-distance-0 pair the length-probe must not drop)
+    for block in (0, 1):
+        for nm in ("", "", "a", "ab"):
+            rows.append((rid, block, nm))
+            rid += 1
     df = spark.createDataFrame(rows, "id bigint, block int, name string")
 
     got = {

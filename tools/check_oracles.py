@@ -3,12 +3,13 @@
 Runs every ``__spark_entry__.queries()`` entry on Spark and its
 ``oracle_sql()`` on DuckDB (views registered over the same sf dir), then
 compares row count, sorted column names, and a dtype-exact value
-canonicalization: both sides are materialized through pandas, columns are
-compared in name order, rows are sorted by their canonical form, and every
-cell must canonicalize identically — ints and floats are DISTINCT tokens
-(``7`` != ``7.0``), floats compare bit-exact via repr, no tolerance. This
-mirrors the driver's value-hash gate: a DuckDB HUGEINT that lands in pandas
-as float64 fails here exactly as it fails there.
+canonicalization: both sides are materialized through **pyarrow** (which,
+unlike pandas, keeps SQL NULL distinct from a genuine float NaN), columns
+are compared in name order, rows are sorted by their canonical form, and
+every cell must canonicalize identically — ints and floats are DISTINCT
+tokens (``7`` != ``7.0``), NULL ("∅") is distinct from NaN ("f:nan"). This
+mirrors the driver's value-hash gate: a DuckDB HUGEINT that drifts to
+float64 fails here exactly as it fails there.
 
 Usage: python tools/check_oracles.py [--sf /root/testdata/sf0.01] [names...]
 """
@@ -43,7 +44,10 @@ def canon(v) -> str:
     if isinstance(v, (np.floating, float)):
         f = float(v)
         if math.isnan(f):
-            return "∅"  # pandas stores SQL NULL as NaN in float cols
+            # Arrow materialization keeps NULL (None -> "∅") apart from a
+            # genuine NaN, so NaN gets its own token: a query emitting NaN
+            # where the oracle emits NULL now fails the gate.
+            return "f:nan"
         # 12 significant digits: tolerates the last-ulp summation-order
         # noise the driver's hash demonstrably passes (q5/q14 were
         # hash-green with ~1e-16 relative diffs) while still failing the
@@ -74,27 +78,32 @@ def canon(v) -> str:
     return f"{type(v).__name__}:{v!r}"
 
 
-def canon_frame(df: pd.DataFrame) -> list[tuple[str, ...]]:
-    """Name-sorted columns, canonical cells, rows sorted canonically."""
-    cols = sorted(df.columns)
-    rows = [
-        tuple(canon(v) for v in row)
-        for row in df[cols].itertuples(index=False, name=None)
-    ]
+def canon_frame(tbl) -> list[tuple[str, ...]]:
+    """Name-sorted columns, canonical cells, rows sorted canonically.
+
+    ``tbl`` is a pyarrow Table: ``to_pylist`` yields None for SQL NULL and
+    float('nan') for a stored NaN, so the two canonicalize differently.
+    """
+    cols = sorted(tbl.column_names)
+    data = [tbl.column(c).to_pylist() for c in cols]
+    rows = [tuple(canon(v) for v in vals) for vals in zip(*data)]
     rows.sort()
     return rows
 
 
-def compare(spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> list[str]:
+def compare(spark_tbl, duck_tbl) -> list[str]:
     problems: list[str] = []
-    s_cols, d_cols = sorted(spark_pd.columns), sorted(duck_pd.columns)
+    s_cols = sorted(spark_tbl.column_names)
+    d_cols = sorted(duck_tbl.column_names)
     if s_cols != d_cols:
         problems.append(f"columns differ: spark={s_cols} duck={d_cols}")
         return problems
-    if len(spark_pd) != len(duck_pd):
-        problems.append(f"row count: spark={len(spark_pd)} duck={len(duck_pd)}")
+    if spark_tbl.num_rows != duck_tbl.num_rows:
+        problems.append(
+            f"row count: spark={spark_tbl.num_rows} duck={duck_tbl.num_rows}"
+        )
         return problems
-    s_rows, d_rows = canon_frame(spark_pd), canon_frame(duck_pd)
+    s_rows, d_rows = canon_frame(spark_tbl), canon_frame(duck_tbl)
     bad = 0
     for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
         if sr == dr:
@@ -132,21 +141,24 @@ def main() -> int:
         t0 = time.time()
         try:
             df = qs[name](spark, args.sf)
-            spark_pd = df.toPandas()
+            spark_tbl = df.toArrow()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {ex}")
             failed.append(name)
             continue
         if name not in osql:
-            print(f"warn  {name}: no oracle (rows-only check) rows={len(spark_pd)}")
+            print(
+                f"warn  {name}: no oracle (rows-only check) "
+                f"rows={spark_tbl.num_rows}"
+            )
             continue
         try:
-            duck_pd = con.execute(osql[name]).df()
+            duck_tbl = con.execute(osql[name]).arrow()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {ex}")
             failed.append(name)
             continue
-        problems = compare(spark_pd, duck_pd)
+        problems = compare(spark_tbl, duck_tbl)
         dt = time.time() - t0
         if problems:
             print(f"FAIL  {name} ({dt:.1f}s)")
@@ -154,7 +166,7 @@ def main() -> int:
                 print(f"      {p}")
             failed.append(name)
         else:
-            print(f"ok    {name} ({dt:.1f}s, {len(spark_pd)} rows)")
+            print(f"ok    {name} ({dt:.1f}s, {spark_tbl.num_rows} rows)")
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
     return 1 if failed else 0
 
