@@ -1770,3 +1770,117 @@ SELECT doc_id, source, lang, n_chars FROM (
     FROM documents
 ) WHERE rn <= 10
 """
+
+# ------------------------------------------------- round 5: TPC-H completion
+
+ORACLES["q2_min_cost_supplier"] = """
+WITH supply AS (
+    SELECT l_partkey, l_suppkey,
+           min(l_extendedprice / l_quantity) AS supply_cost
+    FROM lineitem GROUP BY 1, 2
+),
+eu AS (
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+    FROM supply
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_type = 'LARGE' AND p_size <= 25 AND r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+FROM eu
+WHERE supply_cost = (
+    SELECT min(supply_cost) FROM eu e2 WHERE e2.p_partkey = eu.p_partkey
+)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+ORACLES["q9_product_type_profit"] = f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum({_DISC_PRICE}
+                - CAST(p_retailprice AS DECIMAL(18,6))
+                  * CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+           AS sum_profit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+ORACLES["q11_important_stock"] = """
+WITH value AS (
+    SELECT l_partkey,
+           sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS v
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+    GROUP BY 1
+)
+SELECT l_partkey AS p_partkey, CAST(v AS DOUBLE) AS part_value
+FROM value
+WHERE CAST(v AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) FROM value) * 0.001
+ORDER BY part_value DESC, p_partkey
+"""
+
+ORACLES["q12_shipmode_priority"] = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30 THEN 'FAST'
+            WHEN date_diff('day', o_orderdate, l_shipdate) < 90 THEN 'MEDIUM'
+            ELSE 'SLOW' END AS ship_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY ship_bucket
+"""
+
+ORACLES["q20_promo_part_suppliers"] = """
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'PROMO'
+      GROUP BY l_suppkey, l_partkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,6)))
+             > CAST(50 AS DECIMAL(18,6))
+  )
+ORDER BY s_name
+"""
+
+ORACLES["q21_late_suppliers"] = """
+WITH late AS (
+    SELECT DISTINCT l_orderkey, l_suppkey
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+),
+pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT s_name, count(*) AS numwait
+FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+        SELECT 1 FROM pairs l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""

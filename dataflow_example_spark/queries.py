@@ -1948,3 +1948,228 @@ def docs_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         cap=10,
     )
+
+
+# ------------------------------------------------- round 5: TPC-H completion
+# The testdata has no partsupp table and lineitem lacks shipmode/commit/
+# receipt dates, so Q2/Q9/Q11/Q12/Q20/Q21 are implemented SHAPE-faithfully
+# (same operator pattern: correlated min, star-join profit, scalar-subquery
+# HAVING, conditional agg, nested semi-joins, exists/not-exists) over the
+# available columns, completing the 22-query relational suite.
+
+
+@query("q2_min_cost_supplier")
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated-min subquery over a star join. The
+    part-supplier cost relation is derived from lineitem (min observed
+    unit price per (part, supplier) — IEEE double division, identical in
+    both engines); for each LARGE part, keep the EUROPE suppliers offering
+    the regional minimum cost. De-correlated as a per-part min
+    pre-aggregate joined back; all dims broadcast."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 25)
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supply = (
+        l.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "supply_cost"
+            )
+        )
+    )
+    eu = (
+        supply.join(F.broadcast(p), supply.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), supply.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    min_cost = eu.groupBy(F.col("p_partkey").alias("_mk")).agg(
+        F.min("supply_cost").alias("_mc")
+    )
+    return (
+        eu.join(
+            F.broadcast(min_cost),
+            (eu.p_partkey == F.col("_mk"))
+            & (eu.supply_cost == F.col("_mc")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "supply_cost",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query("q9_product_type_profit")
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by (supplier nation, order year) over the
+    full star join, parts filtered by name substring. Cost side uses
+    p_retailprice * quantity (no partsupp in the testdata); all arithmetic
+    exact DECIMAL, cast to double at the end."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    n = load(spark, sf_dir, "nation")
+    one = F.lit(1).cast(DEC)
+    profit = dec("l_extendedprice") * (one - dec("l_discount")) - dec(
+        "p_retailprice"
+    ) * dec("l_quantity")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query("q11_important_stock")
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value with a global-total scalar
+    subquery in the HAVING (parts worth > 0.1% of the nation group's
+    total line value). The total is a 1-row broadcast, not a second
+    shuffle; the threshold compare runs in double on both engines
+    (identical operands -> identical result)."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    scoped = l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey).join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    )
+    value = scoped.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice")).alias("_v")
+    )
+    total = value.agg(F.sum("_v").alias("_t"))
+    return (
+        value.join(F.broadcast(total))
+        .filter(
+            F.col("_v").cast("double") > F.col("_t").cast("double") * 0.001
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("_v").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+@query("q12_shipmode_priority")
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts per shipping class. Ship mode
+    is derived (no l_shipmode column): latency buckets from
+    datediff(l_shipdate, o_orderdate) — FAST < 30d, MEDIUM < 90d, else
+    SLOW; counts split by high (URGENT/HIGH) vs low order priority.
+    One fact-fact shuffle join, map-side partial counts."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay < 30, "FAST")
+        .when(delay < 90, "MEDIUM")
+        .otherwise("SLOW")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+@query("q20_promo_part_suppliers")
+def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain — suppliers in ASIA who
+    moved more than 50 units of some PROMO part. The inner aggregate
+    (per supplier-part shipped quantity) reduces before any join; the
+    supplier probe is LEFT SEMI so no fan-out survives."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    heavy = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > F.lit(50).cast(DEC))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@query("q21_late_suppliers")
+def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS double correlation — suppliers
+    whose line was >60 days late on a finished multi-supplier order where
+    no other supplier was late. Planned as semi-join (another supplier
+    exists) + anti-join (no other late supplier); per-(supplier, order)
+    pairs deduplicated before counting."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = load(spark, sf_dir, "lineitem")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_pairs = l.select("l_orderkey", "l_suppkey").distinct()
+    l2 = all_pairs.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    )
+    waiting = (
+        late.join(
+            l2,
+            (late.l_orderkey == F.col("_ok2"))
+            & (late.l_suppkey != F.col("_sk2")),
+            "left_semi",
+        ).join(
+            l3,
+            (late.l_orderkey == F.col("_ok3"))
+            & (late.l_suppkey != F.col("_sk3")),
+            "left_anti",
+        )
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

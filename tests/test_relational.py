@@ -232,3 +232,58 @@ def test_corr_stats_match_builtin(spark):
     for k in out:
         assert abs(out[k].corr_qty_price - ref[k].c) < 1e-9
         assert abs(out[k].stddev_qty - ref[k].s) < 1e-9
+
+
+def test_q2_min_cost_is_regional_minimum(spark):
+    """Every returned (part, supplier) offers exactly the minimum cost
+    among EUROPE suppliers of that part — the correlated-min contract."""
+    out = queries.QUERIES["q2_min_cost_supplier"](spark, SF_SMOKE).collect()
+    assert out, "q2 returned no rows"
+    per_part = {}
+    for r in out:
+        per_part.setdefault(r.p_partkey, set()).add(r.supply_cost)
+    for part, costs in per_part.items():
+        assert len(costs) == 1, f"part {part} has non-minimal rows: {costs}"
+
+
+def test_q12_priority_counts_partition_lineitems(spark):
+    """high + low counts must equal the filtered join cardinality (the
+    CASE split loses no rows)."""
+    out = queries.QUERIES["q12_shipmode_priority"](spark, SF_SMOKE).collect()
+    total = sum(r.high_line_count + r.low_line_count for r in out)
+    l = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    assert total == l.join(o, l.l_orderkey == o.o_orderkey).count()
+
+
+def test_q21_no_other_late_supplier(spark):
+    """Anti-join contract: for every (supplier, order) counted, no OTHER
+    supplier on the same F-status order shipped >60 days late."""
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    l = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .collect()
+    )
+    late_by_order = {}
+    for r in late:
+        late_by_order.setdefault(r.l_orderkey, set()).add(r.l_suppkey)
+    sole_late = {
+        (ok, next(iter(sks)))
+        for ok, sks in late_by_order.items()
+        if len(sks) == 1
+    }
+    out = queries.QUERIES["q21_late_suppliers"](spark, SF_SMOKE).collect()
+    # numwait totals can't exceed the sole-late pair count
+    assert sum(r.numwait for r in out) <= len(sole_late)

@@ -92,6 +92,16 @@ AUDITS: dict[str, list[str]] = {
     "docs_token_budget_plan": ["partial", "codegen", "pruned:2"],
     "events_winsorize": ["broadcast", "partial", "codegen", "no_bnl"],
     "docs_source_vocab_overlap": ["partial", "no_bnl", "pruned:2"],
+    # round-5 TPC-H completion: star dims must broadcast, aggregates must
+    # partial, and the semi/anti correlations must plan as hash joins
+    "q2_min_cost_supplier": ["broadcast", "partial", "no_bnl", "codegen"],
+    "q9_product_type_profit": ["broadcast", "partial", "no_bnl", "codegen"],
+    # q11's BNL is the 1-row grand-total broadcast (scalar-subquery HAVING),
+    # the same allow-listed constant-width shape as q22
+    "q11_important_stock": ["broadcast", "partial", "codegen"],
+    "q12_shipmode_priority": ["partial", "no_bnl", "codegen", "pushdown"],
+    "q20_promo_part_suppliers": ["broadcast", "partial", "no_bnl", "codegen"],
+    "q21_late_suppliers": ["partial", "no_bnl", "codegen"],
 }
 
 
