@@ -71,6 +71,7 @@ _SAMPLE_FIRST = [
     "docs_source_vocab_overlap",
     "docs_cap_per_source",
     # new in round 5 — first driver verification (extended as each lands)
+    "streaming_dedup_parity",
     "q2_min_cost_supplier",
     "q9_product_type_profit",
     "q11_important_stock",

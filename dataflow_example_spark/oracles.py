@@ -1884,3 +1884,8 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 100
 """
+
+ORACLES["streaming_dedup_parity"] = """
+SELECT DISTINCT md5(text) AS content_md5, n_chars
+FROM documents
+"""

@@ -2173,3 +2173,49 @@ def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+@query("streaming_dedup_parity")
+def streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leg of the dedup family (VERDICT r4 #6): replay the
+    documents table with injected duplicates through a parquet file-drop
+    topic, dedup with ``dropDuplicatesWithinWatermark`` on the content
+    fingerprint (streaming/dedup.dedup_stream), drain under availableNow
+    into a parquet sink, and return the sink contents. The projection
+    keeps only columns functionally dependent on the fingerprint
+    (content_md5, n_chars), so the arbitrary-kept-row semantics of
+    streaming dedup cannot leak nondeterminism; the oracle is the batch
+    DISTINCT over the same fingerprint."""
+    import os
+    import tempfile
+
+    from .streaming.dedup import run_dedup_stream
+
+    base = tempfile.mkdtemp(prefix="dfx_dedup_parity_")
+    topic = os.path.join(base, "topic")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    docs = load(spark, sf_dir, "documents")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    feed = docs.unionByName(dups).withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("doc_id") % 3600
+        ),
+    )
+    feed.repartition(4).write.mode("overwrite").parquet(topic)
+
+    q = run_dedup_stream(
+        spark,
+        topic,
+        output_dir=out,
+        checkpoint_dir=ckpt,
+        schema=feed.schema,
+        watermark="1 day",
+        select_cols=["content_md5", "n_chars"],
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out)

@@ -31,3 +31,38 @@ def dedup_stream(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["content_md5"])
     )
+
+
+def run_dedup_stream(
+    spark,
+    topic_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+    select_cols: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Drain a parquet file-drop topic through ``dedup_stream`` into a
+    parquet sink (append mode, checkpointed = exactly-once). Mirrors
+    ``streaming.traffic.run_traffic_stream`` for the dedup family;
+    ``select_cols`` projects the emitted row to columns functionally
+    dependent on the dedup key so replays and batch order cannot change
+    the result."""
+    stream = spark.readStream.schema(schema).parquet(topic_dir)
+    out = dedup_stream(
+        stream, text_col=text_col, ts_col=ts_col, watermark=watermark
+    )
+    if select_cols:
+        out = out.select(*select_cols)
+    writer = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -798,3 +798,27 @@ def test_chained_stateful_aggregations_stream(spark, tmp_path):
         (r["w1h"]["start"], r.total, r.n_events) for r in batch.collect()
     }
     assert got and got == want
+
+
+def test_streaming_dedup_parity_matches_batch_distinct(spark):
+    """streaming_dedup_parity: injected duplicates are removed and the
+    sink holds exactly one row per distinct content fingerprint — the
+    batch DISTINCT — with duplicate-free output (exactly-once sink)."""
+    import pyspark.sql.functions as F
+
+    from dataflow_example_spark import queries as Q
+    from tests.conftest import SF_SMOKE
+
+    out = Q.QUERIES["streaming_dedup_parity"](spark, SF_SMOKE)
+    rows = out.collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    want = {
+        (r.content_md5, r.n_chars)
+        for r in docs.select(
+            F.md5("text").alias("content_md5"), "n_chars"
+        )
+        .distinct()
+        .collect()
+    }
+    assert len(rows) == len(want)  # no dup survived, none lost
+    assert {(r.content_md5, r.n_chars) for r in rows} == want
