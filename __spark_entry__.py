@@ -72,6 +72,8 @@ _SAMPLE_FIRST = [
     "docs_cap_per_source",
     # new in round 5 — first driver verification (extended as each lands)
     "streaming_dedup_parity",
+    "dedup_clusters_star",
+    "dedup_minhash_lsh_capped",
     "q2_min_cost_supplier",
     "q9_product_type_profit",
     "q11_important_stock",

@@ -205,23 +205,13 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    n_hashes: int = N_MINHASHES,
-    band_size: int = BAND_SIZE,
-    k: int = 3,
-    text_col: str = "text",
+def _band_rows(
+    sig: DataFrame, n_hashes: int, band_size: int
 ) -> DataFrame:
-    """LSH candidate pairs: docs sharing at least one full minhash band,
-    with the estimated similarity = fraction of equal minhash components.
-
-    Scale path: band buckets bound the comparison set; the band join
-    shuffles on (band_id, band values) — high-cardinality keys, AQE
-    handles residual skew.
-    """
-    sig = minhash_signatures(docs, n_hashes, k, text_col).cache()
+    """Explode signatures to one row per (doc, band): (doc_id, band_id,
+    b0..b{band_size-1})."""
     n_bands = n_hashes // band_size
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -238,8 +228,47 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "band.*")
-    a, b = bands.alias("a"), bands.alias("b")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASHES,
+    band_size: int = BAND_SIZE,
+    k: int = 3,
+    text_col: str = "text",
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one full minhash band,
+    with the estimated similarity = fraction of equal minhash components.
+
+    Scale path: band buckets bound the comparison set; the band join
+    shuffles on (band_id, band values) — high-cardinality keys, AQE
+    handles residual skew.
+
+    ``bucket_cap`` is the skew guard for boilerplate-heavy corpora
+    (same template -> same band -> one pathologically hot bucket whose
+    self-join is O(size²) in a single task): buckets with more than
+    ``bucket_cap`` members are excluded from pair generation entirely —
+    deterministic, and the right curation semantics too, since a
+    template shared by thousands of documents is better handled by the
+    exact/normalized dedup family than by per-pair comparison. Quarantined
+    buckets are observable via ``lsh_bucket_overflow`` (the
+    traffic_quarantine pattern). The cap filter is a count-aggregate +
+    inner join on the SAME (band_id, band values) key as the pair join,
+    so it co-partitions with the shuffle it protects.
+    """
+    sig = minhash_signatures(docs, n_hashes, k, text_col).cache()
+    bands = _band_rows(sig, n_hashes, band_size)
     band_cols = ["band_id"] + [f"b{r}" for r in range(band_size)]
+    if bucket_cap is not None:
+        ok = (
+            bands.groupBy(*band_cols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= bucket_cap)
+            .drop("_n")
+        )
+        bands = bands.join(ok, band_cols)
+    a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, [F.col(f"a.{c}") == F.col(f"b.{c}") for c in band_cols])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -588,4 +617,142 @@ def edit_distance_pairs(
             F.levenshtein("_nma", "_nmb").alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= k)
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 30,
+    checkpoint_dir: str | None = None,
+    on_nonconverged: str = "raise",
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) -> (doc_id, cluster_id = min doc_id in
+    component). Same contract as ``connected_components``; different
+    iteration scheme.
+
+    Each round rewrites the edge set instead of propagating labels:
+
+    - large-star(u): attach every strictly-larger neighbor of u to
+      m = min(N(u) ∪ {u}) — long chains collapse toward small ids;
+    - small-star(u): attach u and its smaller neighbors to the minimum
+      smaller neighbor — stars flatten to height 1.
+
+    The fixed point is a forest of stars whose centers are the component
+    minima, in O(log n) rounds even on adversarial chain graphs (crawl
+    dup-chains), vs pointer jumping's O(log diameter) rounds of 2
+    shuffles each: the star steps move every edge toward the minimum at
+    once, so the constant is smaller on high-diameter graphs. Edges are
+    kept canonical (hi > lo), deduplicated per round, and checkpointed
+    (reliable when ``checkpoint_dir`` is set, lineage-local otherwise)
+    so round N never recomputes rounds 1..N-1.
+    """
+    if on_nonconverged not in ("raise", "warn", "ignore"):
+        raise ValueError(f"bad on_nonconverged: {on_nonconverged!r}")
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _persist(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    # canonical undirected edge set: (hi, lo), hi > lo
+    e = _persist(
+        edges.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("hi"),
+            F.least(F.col(a_col), F.col(b_col)).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+    nodes = _persist(
+        e.select(F.col("hi").alias("id"))
+        .union(e.select(F.col("lo").alias("id")))
+        .distinct()
+    )
+
+    converged = False
+    for _ in range(max_iters):
+        # large-star: per node u over BOTH orientations, m = min(N(u) ∪ u);
+        # every neighbor v > u re-attaches to m
+        sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        m_all = sym.groupBy("u").agg(
+            F.least(F.first("u"), F.min("v")).alias("m")
+        )
+        large = (
+            sym.join(m_all, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+        # small-star: per node u over its SMALLER neighbors only,
+        # m = min(N⁻(u)); u and each smaller neighbor attach to m
+        m_small = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (
+            large.join(m_small, "hi")
+            .select(F.col("lo").alias("v"), F.col("m"), F.col("hi"))
+        )
+        new_e = _persist(
+            small.select(F.col("hi"), F.col("m").alias("lo"))
+            .union(
+                small.filter(F.col("v") != F.col("m")).select(
+                    F.col("v").alias("hi"), F.col("m").alias("lo")
+                )
+            )
+            .distinct()
+        )
+        changed = (
+            new_e.subtract(e).union(e.subtract(new_e)).limit(1).count()
+        )
+        e = new_e
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        msg = (
+            f"connected_components_star did not converge in {max_iters} "
+            "rounds; labels are unreliable (components may be split)."
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        if on_nonconverged == "warn":
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    # fixed point is a star forest: every non-root appears once as hi
+    # with lo = component min; roots keep their own id
+    parent = e.groupBy("hi").agg(F.min("lo").alias("_p"))
+    return nodes.join(parent, nodes.id == parent.hi, "left").select(
+        F.col("id").alias("doc_id"),
+        F.coalesce(F.col("_p"), F.col("id")).alias("cluster_id"),
+    )
+
+
+def lsh_bucket_overflow(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASHES,
+    band_size: int = BAND_SIZE,
+    k: int = 3,
+    text_col: str = "text",
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Quarantine report for ``minhash_lsh_pairs(bucket_cap=...)``: one
+    row per over-cap band bucket with its size — the dead-letter fork of
+    the LSH join (same pattern as operators.traffic.traffic_quarantine).
+    Feed these buckets to exact/normalized dedup instead of pairwise
+    comparison."""
+    sig = minhash_signatures(docs, n_hashes, k, text_col)
+    bands = _band_rows(sig, n_hashes, band_size)
+    band_cols = ["band_id"] + [f"b{r}" for r in range(band_size)]
+    return (
+        bands.groupBy(*band_cols)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > bucket_cap)
+        .select("band_id", *[f"b{r}" for r in range(band_size)], "bucket_size")
     )

@@ -1889,3 +1889,42 @@ ORACLES["streaming_dedup_parity"] = """
 SELECT DISTINCT md5(text) AS content_md5, n_chars
 FROM documents
 """
+
+# same fixed point as dedup_clusters (labels = component minima); the
+# iteration scheme differs only Spark-side
+ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
+
+# Skew-capped LSH: same signatures, but band buckets over the cap are
+# excluded from pair generation. The bands relation is the per-(doc, band)
+# key explode; DISTINCT pairs may arise from several surviving bands.
+_LSH_CAP = 16
+_BANDS_UNION = "\n    UNION ALL\n    ".join(
+    f"SELECT doc_id, {b} AS band_id, "
+    + ", ".join(f"mh{b * _BAND + r} AS k{r}" for r in range(_BAND))
+    + " FROM sig"
+    for b in range(_N_MINHASH // _BAND)
+)
+_BAND_KEYS = ", ".join(["band_id"] + [f"k{r}" for r in range(_BAND)])
+ORACLES["dedup_minhash_lsh_capped"] = f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+bands AS (
+    {_BANDS_UNION}
+),
+ok AS (
+    SELECT {_BAND_KEYS} FROM bands
+    GROUP BY {_BAND_KEYS} HAVING count(*) <= {_LSH_CAP}
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x
+    JOIN ok USING ({_BAND_KEYS})
+    JOIN bands y USING ({_BAND_KEYS})
+    WHERE x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST({_EQ_SUM} AS DOUBLE) / {_N_MINHASH} AS est_jaccard
+FROM cand
+JOIN sig a ON cand.doc_a = a.doc_id
+JOIN sig b ON cand.doc_b = b.doc_id
+"""

@@ -2219,3 +2219,27 @@ def streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(600)
     return spark.read.parquet(out)
+
+
+@query("dedup_clusters_star")
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters via large-star/small-star contraction
+    (functions/dedup.connected_components_star) over the same MinHash-LSH
+    pair edges as ``dedup_clusters`` — the O(log n)-round scale path for
+    adversarial chain graphs (crawl dup-chains); identical output
+    contract (cluster_id = min doc_id), identical oracle."""
+    pairs = D.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+    return D.connected_components_star(pairs)
+
+
+@query("dedup_minhash_lsh_capped")
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-guarded LSH candidate pairs: identical to ``dedup_minhash_lsh``
+    except band buckets with more than 16 members are quarantined before
+    the self-join (functions/dedup.minhash_lsh_pairs bucket_cap), so a
+    boilerplate-heavy corpus cannot produce an O(size²) hot task. The
+    overflow report is ``lsh_bucket_overflow`` (traffic_quarantine
+    pattern)."""
+    return D.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), bucket_cap=16
+    )

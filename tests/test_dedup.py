@@ -281,3 +281,105 @@ def test_edit_distance_pairs_equals_naive_blocked_join(spark):
     }
     assert got == want
     assert want, "fixture produced no within-threshold pairs"
+
+
+def test_star_cc_equals_pointer_jumping_cc(spark):
+    """Large-star/small-star contraction must produce identical clusters
+    to min-label propagation on every graph shape: adversarial chain,
+    clique, star, isolated pairs, random clumps."""
+    import random
+
+    from dataflow_example_spark.functions.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(11)
+    edges = [(i, i + 1) for i in range(0, 50)]  # 51-node chain
+    edges += [(100 + a, 100 + b) for a in range(6) for b in range(a + 1, 6)]
+    edges += [(200, 200 + i) for i in range(1, 8)]
+    edges += [(300, 301), (400, 401)]
+    edges += [
+        (rng.randrange(500, 560), rng.randrange(500, 560)) for _ in range(80)
+    ]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "doc_a bigint, doc_b bigint"
+    )
+    got_pj = {
+        (r.doc_id, r.cluster_id) for r in connected_components(df).collect()
+    }
+    got_star = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components_star(df).collect()
+    }
+    assert got_pj == got_star
+    # every label is the component minimum: label of a label is itself
+    labels = dict(got_star)
+    assert all(labels[lbl] == lbl for lbl in set(labels.values()))
+
+
+def test_star_cc_chain_converges_quickly(spark):
+    """A 200-node chain must converge well inside the default round
+    budget (the adversarial case star contraction exists for)."""
+    from dataflow_example_spark.functions.dedup import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc_a bigint, doc_b bigint"
+    )
+    out = connected_components_star(df, max_iters=12).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert len(out) == 201
+
+
+def test_lsh_bucket_cap_quarantines_hot_band(spark):
+    """Skew guard: a 30-doc boilerplate clique must produce ZERO pairs
+    under the cap (the hot bucket is quarantined, not partially joined),
+    while unrelated near-dup pairs survive; the overflow report lists
+    every over-cap bucket with its size."""
+    from dataflow_example_spark.functions.dedup import (
+        lsh_bucket_overflow,
+        minhash_lsh_pairs,
+    )
+
+    rows = [
+        (i, "the same boilerplate template text repeated everywhere")
+        for i in range(30)
+    ]
+    rows += [
+        (100, "a genuinely unique document about gardens"),
+        (101, "a genuinely unique document about gardens and trees"),
+    ]
+    d = docs(spark, rows)
+    capped = minhash_lsh_pairs(d, bucket_cap=8).collect()
+    pair_ids = {(r.doc_a, r.doc_b) for r in capped}
+    assert all(a >= 100 for a, _ in pair_ids)  # clique fully quarantined
+    over = lsh_bucket_overflow(d, bucket_cap=8).collect()
+    assert over and all(r.bucket_size == 30 for r in over)
+    # no cap -> clique pairs present (the task the guard exists to bound)
+    assert minhash_lsh_pairs(d).count() >= 30 * 29 // 2
+
+
+def test_lsh_cap_noop_on_small_buckets(spark):
+    """With every bucket under the cap, capped output == uncapped output
+    (the guard is pay-as-you-go)."""
+    from dataflow_example_spark.functions.dedup import minhash_lsh_pairs
+
+    d = docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "an entirely different sentence with other words"),
+        ],
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in minhash_lsh_pairs(d, bucket_cap=64).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in minhash_lsh_pairs(d).collect()
+    }
+    assert got == want

@@ -102,6 +102,10 @@ AUDITS: dict[str, list[str]] = {
     "q12_shipmode_priority": ["partial", "no_bnl", "codegen", "pushdown"],
     "q20_promo_part_suppliers": ["broadcast", "partial", "no_bnl", "codegen"],
     "q21_late_suppliers": ["partial", "no_bnl", "codegen"],
+    # skew-capped LSH: the cap filter must stay a hash-agg + hash join on
+    # the band key (no nested loop), with map-side partial counts
+    "dedup_minhash_lsh_capped": ["no_bnl", "partial"],
+    "dedup_clusters_star": ["no_bnl"],
 }
 
 
