@@ -80,6 +80,13 @@ _SAMPLE_FIRST = [
     "q12_shipmode_priority",
     "q20_promo_part_suppliers",
     "q21_late_suppliers",
+    "docs_pack_bins",
+    "events_session_funnel_windowed",
+    "docs_minhash_containment",
+    "events_interval_overlap_count",
+    "docs_quality_gate_report",
+    "emb_pq_codes",
+    "docs_shingle_novelty",
 ]
 
 

@@ -1928,3 +1928,186 @@ FROM cand
 JOIN sig a ON cand.doc_a = a.doc_id
 JOIN sig b ON cand.doc_b = b.doc_id
 """
+
+ORACLES["docs_pack_bins"] = f"""
+WITH {_TOKS_CTE},
+base AS (
+    SELECT d.lang AS "group", d.doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+    FROM documents d JOIN toks USING (doc_id)
+    WHERE len(t) > 0
+),
+offs AS (
+    SELECT *,
+           CAST(sum(n_tokens) OVER (PARTITION BY "group" ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens
+                AS BIGINT) AS start_offset
+    FROM base
+)
+SELECT "group", CAST(floor(start_offset / 256) AS BIGINT) AS bin,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM offs
+GROUP BY 1, 2
+ORDER BY "group", bin
+"""
+
+ORACLES["events_session_funnel_windowed"] = """
+WITH flagged AS (
+    SELECT user_id, event_type, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+    SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM flagged
+),
+s1 AS (
+    SELECT user_id, sess_id, min(ts) AS t1 FROM sessions
+    WHERE event_type = 'view' GROUP BY 1, 2
+),
+s2 AS (
+    SELECT s.user_id, s.sess_id, min(s.ts) AS t2
+    FROM sessions s JOIN s1 USING (user_id, sess_id)
+    WHERE s.event_type = 'click' AND s.ts >= s1.t1
+    GROUP BY 1, 2
+),
+s3 AS (
+    SELECT s.user_id, s.sess_id, min(s.ts) AS t3
+    FROM sessions s JOIN s2 USING (user_id, sess_id)
+    WHERE s.event_type = 'purchase' AND s.ts >= s2.t2
+    GROUP BY 1, 2
+)
+SELECT CAST(count(t1) AS BIGINT) AS n_sessions_viewed,
+       CAST(count(t2) AS BIGINT) AS n_sessions_clicked,
+       CAST(count(t3) AS BIGINT) AS n_sessions_purchased
+FROM s1
+LEFT JOIN s2 USING (user_id, sess_id)
+LEFT JOIN s3 USING (user_id, sess_id)
+"""
+
+ORACLES["docs_minhash_containment"] = f"""
+WITH {_SHINGLES_CTE},
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({_BAND_MATCH})
+),
+inter AS (
+    SELECT p.doc_a, p.doc_b, count(*) AS n_common
+    FROM pairs p
+    JOIN sh x ON x.doc_id = p.doc_a
+    JOIN sh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / ca.n_sh AS containment_a,
+       CAST(n_common AS DOUBLE) / cb.n_sh AS containment_b
+FROM inter
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+"""
+
+ORACLES["events_interval_overlap_count"] = """
+WITH marks AS (
+    SELECT user_id, ts AS t, 1 AS delta FROM events
+    UNION ALL
+    SELECT user_id,
+           make_timestamp((epoch_ms(ts)
+                           + CAST(round(value * 1000) AS BIGINT)) * 1000),
+           -1
+    FROM events
+),
+running AS (
+    SELECT user_id,
+           sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta
+                            ROWS UNBOUNDED PRECEDING) AS r
+    FROM marks
+)
+SELECT user_id, CAST(max(r) AS BIGINT) AS max_concurrent
+FROM running GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLES["docs_quality_gate_report"] = f"""
+WITH {_TOKS_CTE},
+flags AS (
+    SELECT
+        CASE WHEN d.n_chars >= 100 THEN 1 ELSE 0 END AS min_chars,
+        CASE WHEN d.n_chars <= 400 THEN 1 ELSE 0 END AS max_chars,
+        CASE WHEN len(t) >= 30 THEN 1 ELSE 0 END AS min_words,
+        CASE WHEN CAST(length(regexp_replace(lower(d.text), '[^a-z0-9]',
+                                             '', 'g')) AS DOUBLE) / len(t)
+                  BETWEEN 2.0 AND 12.0
+             THEN 1 ELSE 0 END AS mean_word_len,
+        CASE WHEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.3
+             THEN 1 ELSE 0 END AS distinct_ratio
+    FROM documents d JOIN toks USING (doc_id)
+),
+stacked AS (
+    SELECT 'min_chars' AS rule, min_chars AS passed FROM flags
+    UNION ALL SELECT 'max_chars', max_chars FROM flags
+    UNION ALL SELECT 'min_words', min_words FROM flags
+    UNION ALL SELECT 'mean_word_len', mean_word_len FROM flags
+    UNION ALL SELECT 'distinct_ratio', distinct_ratio FROM flags
+)
+SELECT rule, CAST(sum(passed) AS BIGINT) AS n_pass,
+       CAST(sum(1 - passed) AS BIGINT) AS n_fail,
+       CAST(sum(passed) AS DOUBLE) / count(*) AS pass_rate
+FROM stacked GROUP BY rule ORDER BY rule
+"""
+
+# PQ: squared-L2 per (vector, centroid, subspace) with the pinned fold;
+# rank per (vec, subspace) with centroid-id tie-break, pivot wide.
+_PQ_M, _PQ_SUB, _PQ_K = 4, 16, 4
+
+
+def _pq_dist(m: int) -> str:
+    lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform("
+        f"list_zip(vv[{lo}:{hi}], cv[{lo}:{hi}]),"
+        " x -> (x[1] - x[2]) * (x[1] - x[2]))), (acc, x) -> acc + x)"
+    )
+
+
+_PQ_UNION = "\n    UNION ALL\n    ".join(
+    f"SELECT vec_id, _cid, {m} AS m, {_pq_dist(m)} AS dist FROM v, c"
+    for m in range(_PQ_M)
+)
+_PQ_CODES = ", ".join(
+    f"CAST(max(CASE WHEN m = {m} THEN _cid END) AS INTEGER) AS code_{m}"
+    for m in range(_PQ_M)
+)
+ORACLES["emb_pq_codes"] = f"""
+WITH c AS (SELECT vec_id AS _cid, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id < {_PQ_K}),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+dists AS (
+    {_PQ_UNION}
+),
+ranked AS (
+    SELECT vec_id, m, _cid,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist, _cid) AS rn
+    FROM dists
+)
+SELECT vec_id, {_PQ_CODES}
+FROM ranked WHERE rn = 1
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+ORACLES["docs_shingle_novelty"] = f"""
+WITH {_SHINGLES_CTE},
+first_owner AS (SELECT shingle, min(doc_id) AS _first FROM sh GROUP BY 1)
+SELECT sh.doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN _first = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+       CAST(sum(CASE WHEN _first = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS novelty
+FROM sh JOIN first_owner USING (shingle)
+GROUP BY sh.doc_id
+"""

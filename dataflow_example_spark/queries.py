@@ -2243,3 +2243,276 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(
         load(spark, sf_dir, "documents"), bucket_cap=16
     )
+
+
+@query("docs_pack_bins")
+def docs_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifest over the packing assignment: per (group, context
+    window of first token) — how many documents start in the window and
+    how many tokens they contribute. The loader-side view of
+    ``docs_pack_budget`` (which is per-document); one extra map-side
+    aggregation over the packing output, no new shuffle key."""
+    from .functions.packing import pack_documents
+
+    packed = pack_documents(
+        load(spark, sf_dir, "documents"), budget=256, group_col="lang"
+    )
+    return (
+        packed.groupBy("group", F.col("first_bin").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("group", "bin")
+    )
+
+
+@query("events_session_funnel_windowed")
+def events_session_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel evaluated WITHIN each user session (30-minute gap
+    sessionization): sessions where a view happened, a click at or after
+    that session's first view, and a purchase at or after that click.
+    Session assignment is the lag/cumsum shape (one window per user);
+    the funnel is three chained conditional min-aggregates keyed by
+    (user, session) — no per-event state machine."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+            >= 1800
+        ),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "sess_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    s1 = (
+        sess.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        sess.filter(F.col("event_type") == "click")
+        .join(s1, ["user_id", "sess_id"])
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        sess.filter(F.col("event_type") == "purchase")
+        .join(s2, ["user_id", "sess_id"])
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, ["user_id", "sess_id"], "left")
+        .join(s3, ["user_id", "sess_id"], "left")
+        .agg(
+            F.count("t1").alias("n_sessions_viewed"),
+            F.count("t2").alias("n_sessions_clicked"),
+            F.count("t3").alias("n_sessions_purchased"),
+        )
+    )
+
+
+@query("docs_minhash_containment")
+def docs_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment |A∩B| / |A| (and /|B|) on the MinHash-LSH
+    candidate pairs — catches quote/subset near-dups that symmetric
+    Jaccard under-scores (a short doc fully contained in a long one).
+    Same bounded candidate-scoped plan as dedup_jaccard_pairs; the two
+    divisions are the only double ops."""
+    docs = load(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    sh = D.shingles(docs).cache()
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (F.col("n_common").cast("double") / F.col("n_a")).alias(
+                "containment_a"
+            ),
+            (F.col("n_common").cast("double") / F.col("n_b")).alias(
+                "containment_b"
+            ),
+        )
+    )
+
+
+@query("events_interval_overlap_count")
+def events_interval_overlap_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum concurrent intervals per user — the classic sweep-line as
+    a window aggregation: each event spans [ts, ts + value seconds);
+    +1/-1 boundary markers, running sum ordered by (time, delta) with
+    ends sorting before starts (half-open semantics), max per user.
+    Interval ends use exact integer-millisecond arithmetic so both
+    engines build identical timestamps. Per-user windows parallelize by
+    key; no global sort."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    end_ts = F.timestamp_millis(
+        F.unix_millis(F.col("ts"))
+        + F.round(F.col("value") * 1000).cast("long")
+    )
+    starts = ev.select("user_id", F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = ev.select("user_id", end_ts.alias("t"), F.lit(-1).alias("delta"))
+    marks = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        marks.withColumn("running", F.sum("delta").over(w))
+        .groupBy("user_id")
+        .agg(F.max("running").alias("max_concurrent"))
+        .orderBy("user_id")
+    )
+
+
+@query("docs_quality_gate_report")
+def docs_quality_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule quality-gate report over the corpus: five heuristic
+    rules (char bounds, word count, mean word length, distinct-token
+    ratio) evaluated per document, unpivoted to one row per rule with
+    pass/fail counts and pass rate. One linear scan, rule flags are
+    native expressions; the unpivot is a constant 5-way stack."""
+    d = load(spark, sf_dir, "documents")
+    t = T.tokens(F.col("text"))
+    n_words = F.size(t)
+    n_alnum = F.length(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    )
+    mean_wl = n_alnum.cast("double") / n_words
+    distinct_ratio = F.size(F.array_distinct(t)).cast("double") / n_words
+    flags = d.select(
+        F.when(F.col("n_chars") >= 100, 1).otherwise(0).alias("min_chars"),
+        F.when(F.col("n_chars") <= 400, 1).otherwise(0).alias("max_chars"),
+        F.when(n_words >= 30, 1).otherwise(0).alias("min_words"),
+        F.when((mean_wl >= 2.0) & (mean_wl <= 12.0), 1)
+        .otherwise(0)
+        .alias("mean_word_len"),
+        F.when(distinct_ratio >= 0.3, 1).otherwise(0).alias("distinct_ratio"),
+    )
+    rules = ["min_chars", "max_chars", "min_words", "mean_word_len",
+             "distinct_ratio"]
+    stacked = flags.select(
+        F.expr(
+            "stack({}, {}) AS (rule, passed)".format(
+                len(rules), ", ".join(f"'{r}', {r}" for r in rules)
+            )
+        )
+    )
+    return (
+        stacked.groupBy("rule")
+        .agg(
+            F.sum("passed").alias("n_pass"),
+            F.sum(1 - F.col("passed")).alias("n_fail"),
+            (F.sum("passed").cast("double") / F.count(F.lit(1))).alias(
+                "pass_rate"
+            ),
+        )
+        .orderBy("rule")
+    )
+
+
+@query("emb_pq_codes")
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment: the 64-dim embedding splits
+    into 4 subspaces of 16 dims; each subvector is assigned its nearest
+    of 4 codebook entries by squared L2 (ties to the smaller centroid
+    id). The codebook is the first 4 vectors by id — a deterministic
+    stand-in for a trained codebook (k-means lives in sim_kmeans_assign);
+    at scale the codebook is always a broadcast, which is exactly the
+    plan here (4 rows x full scan, struct-min collapse, no driver
+    collect). Distances use the pinned left-fold so both engines produce
+    bit-identical doubles."""
+    from .functions.similarity import _to_double
+
+    M, SUB, K = 4, 16, 4
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("_cid"), _to_double(F.col("embedding")).alias("_cv")
+    )
+    v = emb.select("vec_id", _to_double(F.col("embedding")).alias("_vv"))
+
+    def sq_l2(m: int):
+        va = F.slice(F.col("_vv"), m * SUB + 1, SUB)
+        ca = F.slice(F.col("_cv"), m * SUB + 1, SUB)
+        return F.aggregate(
+            F.zip_with(va, ca, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "_cid",
+        *[sq_l2(m).alias(f"_d{m}") for m in range(M)],
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            *[
+                F.min(
+                    F.struct(
+                        F.col(f"_d{m}").alias("d"), F.col("_cid").alias("c")
+                    )
+                )["c"]
+                .cast("int")
+                .alias(f"code_{m}")
+                for m in range(M)
+            ]
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query("docs_shingle_novelty")
+def docs_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty against everything earlier in the corpus:
+    the fraction of a doc's distinct shingles whose first owner (min
+    doc_id over the corpus) is the doc itself — the dedup-aware mixing
+    signal ("how much does this doc add?"). One shingle-keyed
+    first-owner aggregate joined back to the doc's shingles; work is
+    O(total shingles), never pairwise."""
+    docs = load(spark, sf_dir, "documents")
+    sh = D.shingles(docs).cache()
+    first_owner = sh.groupBy("shingle").agg(F.min("doc_id").alias("_first"))
+    return (
+        sh.join(first_owner, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("_first") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.col("n_novel").cast("double") / F.col("n_shingles"),
+        )
+    )

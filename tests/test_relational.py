@@ -287,3 +287,89 @@ def test_q21_no_other_late_supplier(spark):
     out = queries.QUERIES["q21_late_suppliers"](spark, SF_SMOKE).collect()
     # numwait totals can't exceed the sole-late pair count
     assert sum(r.numwait for r in out) <= len(sole_late)
+
+
+def test_interval_overlap_known_fixture(spark):
+    """Sweep-line max concurrency on a hand-checked fixture, including
+    the half-open boundary (an interval ending exactly when another
+    starts does NOT overlap it)."""
+    rows = [
+        # user 1: [0,10) [5,15) [20,30) -> max 2; [10,?) starts as [0,10) ends
+        (1, "2024-01-01 00:00:00", 10.0),
+        (1, "2024-01-01 00:00:05", 10.0),
+        (1, "2024-01-01 00:00:10", 10.0),
+        (1, "2024-01-01 00:00:30", 5.0),
+        # user 2: three nested -> max 3
+        (2, "2024-01-01 00:00:00", 30.0),
+        (2, "2024-01-01 00:00:05", 10.0),
+        (2, "2024-01-01 00:00:06", 2.0),
+    ]
+    import pyspark.sql.functions as F2
+
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, ts_s string, value double"
+    ).select("user_id", F2.col("ts_s").cast("timestamp").alias("ts"), "value")
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="dfx_iv_")
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {
+        r.user_id: r.max_concurrent
+        for r in queries.QUERIES["events_interval_overlap_count"](
+            spark, d
+        ).collect()
+    }
+    assert out == {1: 2, 2: 3}
+
+
+def test_pq_codes_pick_nearest_centroid(spark):
+    """Every assigned code must be the argmin of the subspace distance
+    (verified directly in python on the smoke data)."""
+    import numpy as np
+
+    out = queries.QUERIES["emb_pq_codes"](spark, SF_SMOKE).collect()
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    cents = {cid: emb[cid] for cid in range(4)}
+    for r in out[:50]:
+        v = emb[r.vec_id]
+        for m, code in enumerate([r.code_0, r.code_1, r.code_2, r.code_3]):
+            sub = slice(m * 16, (m + 1) * 16)
+            dists = {
+                cid: float(((v[sub] - c[sub]) ** 2).sum())
+                for cid, c in cents.items()
+            }
+            best = min(dists.items(), key=lambda kv: (kv[1], kv[0]))[0]
+            assert code == best, (r.vec_id, m, code, best, dists)
+
+
+def test_session_funnel_is_monotone(spark):
+    """Funnel stages can only shrink: viewed >= clicked >= purchased."""
+    r = queries.QUERIES["events_session_funnel_windowed"](
+        spark, SF_SMOKE
+    ).collect()[0]
+    assert (
+        r.n_sessions_viewed
+        >= r.n_sessions_clicked
+        >= r.n_sessions_purchased
+        >= 0
+    )
+    assert r.n_sessions_viewed > 0
+
+
+def test_shingle_novelty_first_doc_fully_novel(spark):
+    """The smallest doc_id owning shingles is 100% novel; ratios stay in
+    [0, 1] (0 = fully redundant doc, every shingle seen earlier); novel
+    counts never exceed shingle counts."""
+    rows = queries.QUERIES["docs_shingle_novelty"](spark, SF_SMOKE).collect()
+    by_id = {r.doc_id: r for r in rows}
+    first = by_id[min(by_id)]
+    assert first.novelty == 1.0
+    assert all(
+        0 <= r.novelty <= 1 and r.n_novel <= r.n_shingles for r in rows
+    )

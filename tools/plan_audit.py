@@ -106,6 +106,16 @@ AUDITS: dict[str, list[str]] = {
     # the band key (no nested loop), with map-side partial counts
     "dedup_minhash_lsh_capped": ["no_bnl", "partial"],
     "dedup_clusters_star": ["no_bnl"],
+    # round-5 operators
+    "docs_pack_bins": ["codegen", "no_bnl", "range_partition"],
+    "events_session_funnel_windowed": ["partial", "codegen", "no_bnl"],
+    "docs_minhash_containment": ["partial", "no_bnl"],
+    "events_interval_overlap_count": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "docs_quality_gate_report": ["partial", "codegen", "no_bnl", "pruned:2"],
+    # PQ's broadcast is a 4-row codebook crossJoin (constant-width
+    # fan-out, the allow-listed shape) — no no_bnl rule
+    "emb_pq_codes": ["partial", "pruned:2"],
+    "docs_shingle_novelty": ["partial", "no_bnl", "pruned:2"],
 }
 
 
