@@ -87,6 +87,8 @@ _SAMPLE_FIRST = [
     "docs_quality_gate_report",
     "emb_pq_codes",
     "docs_shingle_novelty",
+    "sim_pq_adc_topk",
+    "events_scd2_intervals",
 ]
 
 

@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "sim_cosine_topk",
     "sim_ivf_topk",
     "text_quality_score",
+    # iterative / window-heavy shapes whose regressions the set above
+    # would miss (VERDICT r4 #8)
+    "dedup_clusters",
+    "docs_pack_budget",
 ]
 
 

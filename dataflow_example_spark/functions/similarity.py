@@ -754,3 +754,150 @@ def quantize_int8(
     return out.select(
         id_col, "scale", "qvec", F.coalesce(err, F.lit(0.0)).alias("max_abs_err")
     )
+
+
+def pq_subdist(vec_col: Column, cent_col: Column, m: int, sub: int) -> Column:
+    """Squared L2 between subspace ``m`` of two vectors (pinned left-fold
+    -> bit-identical doubles in both engines)."""
+    va = F.slice(vec_col, m * sub + 1, sub)
+    ca = F.slice(cent_col, m * sub + 1, sub)
+    return F.aggregate(
+        F.zip_with(va, ca, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codes(
+    emb: DataFrame,
+    n_subspaces: int = 4,
+    sub_dim: int = 16,
+    n_centroids: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization code assignment (see queries.emb_pq_codes):
+    nearest codebook entry per subspace by squared L2, ties to the
+    smaller centroid id. Codebook = first ``n_centroids`` vectors by id
+    (deterministic stand-in for a trained codebook), always broadcast.
+    Returns (vec_id, code_0..code_{M-1})."""
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("_cid"), _to_double(F.col(vec_col)).alias("_cv")
+    )
+    v = emb.select(
+        F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("_vv")
+    )
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "_cid",
+        *[
+            pq_subdist(F.col("_vv"), F.col("_cv"), m, sub_dim).alias(f"_d{m}")
+            for m in range(n_subspaces)
+        ],
+    )
+    return scored.groupBy("vec_id").agg(
+        *[
+            F.min(
+                F.struct(F.col(f"_d{m}").alias("d"), F.col("_cid").alias("c"))
+            )["c"]
+            .cast("int")
+            .alias(f"code_{m}")
+            for m in range(n_subspaces)
+        ]
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_subspaces: int = 4,
+    sub_dim: int = 16,
+    n_centroids: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance computation (ADC,
+    Jégou et al., "Product quantization for nearest neighbor search",
+    TPAMI 2011): each query precomputes a (subspace, centroid) distance
+    table against the codebook; a candidate's score is the SUM of table
+    lookups selected by its stored codes — no candidate vector is ever
+    re-read. The scale path for billion-vector search: the scan touches
+    only the M small-int codes per vector, and the lookup table
+    (n_queries x M x K rows) is a broadcast. The ADC sum is pivoted to
+    fixed columns d0+..+d{M-1} so the double addition order is pinned."""
+    from pyspark.sql.window import Window
+
+    codes = pq_codes(emb, n_subspaces, sub_dim, n_centroids, id_col, vec_col)
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("_cid"), _to_double(F.col(vec_col)).alias("_cv")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("_qv"),
+    )
+    dtab = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "_cid",
+        *[
+            pq_subdist(F.col("_qv"), F.col("_cv"), m, sub_dim).alias(f"_d{m}")
+            for m in range(n_subspaces)
+        ],
+    )
+    # melt codes to (vec_id, m, code), join the broadcast table once, then
+    # pivot back so the final sum is the fixed expression d0 + d1 + ... —
+    # no aggregation-order nondeterminism on doubles
+    melted = codes.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"), F.col(f"code_{m}").alias("code")
+                    )
+                    for m in range(n_subspaces)
+                ]
+            )
+        ).alias("mc"),
+    ).select("vec_id", "mc.m", "mc.code")
+    dtab_long = dtab.select(
+        "query_id",
+        F.col("_cid").alias("code"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("m"), F.col(f"_d{m}").alias("d"))
+                    for m in range(n_subspaces)
+                ]
+            )
+        ).alias("md"),
+    ).filter(F.col("md.m").isNotNull()).select(
+        "query_id", "code", F.col("md.m").alias("m"), F.col("md.d").alias("d")
+    )
+    pivoted = (
+        melted.join(F.broadcast(dtab_long), ["m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            *[
+                F.min(F.when(F.col("m") == m, F.col("d"))).alias(f"d{m}")
+                for m in range(n_subspaces)
+            ]
+        )
+    )
+    adc = pivoted.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        sum(
+            (F.col(f"d{m}") for m in range(1, n_subspaces)),
+            F.col("d0"),
+        ).alias("adc_dist"),
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

@@ -2111,3 +2111,70 @@ SELECT sh.doc_id, count(*) AS n_shingles,
 FROM sh JOIN first_owner USING (shingle)
 GROUP BY sh.doc_id
 """
+
+# ADC: per-query (subspace, centroid) distance tables; candidate score is
+# the CASE-pivoted fixed-order sum of the entries its codes select.
+_ADC_DTAB_UNION = "\n    UNION ALL\n    ".join(
+    f"SELECT query_id, _cid, {m} AS m, {_pq_dist(m)} AS d FROM v, c"
+    for m in range(_PQ_M)
+)
+_ADC_SUM = " + ".join(f"d{m}" for m in range(_PQ_M))
+_ADC_PIVOT = ", ".join(
+    f"min(CASE WHEN t.m = {m} THEN t.d END) AS d{m}" for m in range(_PQ_M)
+)
+ORACLES["sim_pq_adc_topk"] = f"""
+WITH c AS (SELECT vec_id AS _cid, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id < {_PQ_K}),
+allv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+v AS (SELECT * FROM allv),
+dists AS (
+    {_PQ_UNION}
+),
+codes AS (
+    SELECT vec_id, m, _cid AS code
+    FROM (SELECT vec_id, m, _cid,
+                 row_number() OVER (PARTITION BY vec_id, m
+                                    ORDER BY dist, _cid) AS rn
+          FROM dists)
+    WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, vv FROM allv WHERE vec_id < 10),
+dtab AS (
+    {_ADC_DTAB_UNION.replace("FROM v, c", "FROM (SELECT query_id, vv FROM q) v, c")}
+),
+scored AS (
+    SELECT t.query_id, k.vec_id AS neighbor_id, {_ADC_PIVOT}
+    FROM codes k
+    JOIN dtab t ON t.m = k.m AND t._cid = k.code
+    GROUP BY t.query_id, k.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, {_ADC_SUM} AS adc_dist,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY {_ADC_SUM}, neighbor_id) AS INTEGER) AS rank
+    FROM scored
+    WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM ranked WHERE rank <= 5
+"""
+
+ORACLES["events_scd2_intervals"] = """
+WITH islands AS (
+    SELECT user_id, event_type, ts,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id)
+           - row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS _isl
+    FROM events
+),
+runs AS (
+    SELECT user_id, event_type, _isl,
+           min(ts) AS valid_from, count(*) AS n_events
+    FROM islands GROUP BY 1, 2, 3
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           AS valid_to,
+       n_events
+FROM runs
+"""

@@ -2450,45 +2450,7 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan here (4 rows x full scan, struct-min collapse, no driver
     collect). Distances use the pinned left-fold so both engines produce
     bit-identical doubles."""
-    from .functions.similarity import _to_double
-
-    M, SUB, K = 4, 16, 4
-    emb = load(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < K).select(
-        F.col("vec_id").alias("_cid"), _to_double(F.col("embedding")).alias("_cv")
-    )
-    v = emb.select("vec_id", _to_double(F.col("embedding")).alias("_vv"))
-
-    def sq_l2(m: int):
-        va = F.slice(F.col("_vv"), m * SUB + 1, SUB)
-        ca = F.slice(F.col("_cv"), m * SUB + 1, SUB)
-        return F.aggregate(
-            F.zip_with(va, ca, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    scored = v.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "_cid",
-        *[sq_l2(m).alias(f"_d{m}") for m in range(M)],
-    )
-    return (
-        scored.groupBy("vec_id")
-        .agg(
-            *[
-                F.min(
-                    F.struct(
-                        F.col(f"_d{m}").alias("d"), F.col("_cid").alias("c")
-                    )
-                )["c"]
-                .cast("int")
-                .alias(f"code_{m}")
-                for m in range(M)
-            ]
-        )
-        .orderBy("vec_id")
-    )
+    return S.pq_codes(load(spark, sf_dir, "embeddings")).orderBy("vec_id")
 
 
 @query("docs_shingle_novelty")
@@ -2515,4 +2477,53 @@ def docs_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty",
             F.col("n_novel").cast("double") / F.col("n_shingles"),
         )
+    )
+
+
+@query("sim_pq_adc_topk")
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors for the first 10 vectors by PQ
+    asymmetric distance (functions/similarity.pq_adc_topk): per-query
+    lookup tables against the broadcast codebook, candidate score = sum
+    of table entries selected by stored codes. The billion-vector scale
+    path — the candidate scan reads 4 small ints per vector, never the
+    embedding."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.pq_adc_topk(emb, qv, k=5)
+
+
+@query("events_scd2_intervals")
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from the event stream:
+    collapse each user's consecutive same-type runs (gaps-and-islands:
+    global row_number minus per-type row_number) into validity intervals
+    [valid_from, valid_to), valid_to = next run's start (NULL = current).
+    The warehouse CDC shape; two windows over one user-keyed shuffle,
+    tie-broken on event_id so ordering is total."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    islands = ev.withColumn(
+        "_isl", F.row_number().over(w_all) - F.row_number().over(w_typ)
+    )
+    runs = islands.groupBy("user_id", "event_type", "_isl").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_runs = Window.partitionBy("user_id").orderBy("valid_from")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_runs).alias("valid_to"),
+        "n_events",
     )

@@ -265,3 +265,86 @@ def test_quantize_int8_bounds_and_zero_vector(spark):
     r3 = got[3]
     assert max(abs(q) for q in r3.qvec) == 127
     assert r3.max_abs_err <= r3.scale / 2 + 1e-12
+
+
+def test_pq_adc_matches_numpy_bruteforce(spark):
+    """ADC top-k must equal the numpy re-implementation exactly: same
+    codes (argmin per subspace, ties to smaller id), same lookup-table
+    sums, same (dist, id) ordering."""
+    import numpy as np
+
+    from dataflow_example_spark import queries as Q
+    from tests.conftest import SF_SMOKE
+
+    out = Q.QUERIES["sim_pq_adc_topk"](spark, SF_SMOKE).collect()
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    M, SUB, K = 4, 16, 4
+    cents = {c: emb[c] for c in range(K)}
+
+    def sq_l2_seq(a, b):
+        # sequential left fold, matching the engine's pinned aggregate
+        # (numpy .sum() is pairwise and differs at the last ulp)
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (float(x) - float(y)) * (float(x) - float(y))
+        return acc
+
+    def codes(v):
+        out = []
+        for m in range(M):
+            s = slice(m * SUB, (m + 1) * SUB)
+            d = {c: sq_l2_seq(v[s], cv[s]) for c, cv in cents.items()}
+            out.append(min(d.items(), key=lambda kv: (kv[1], kv[0]))[0])
+        return out
+
+    all_codes = {vid: codes(v) for vid, v in emb.items()}
+    want = {}
+    for qid in range(10):
+        qv = emb[qid]
+        dtab = [
+            {
+                c: sq_l2_seq(
+                    qv[m * SUB:(m + 1) * SUB], cv[m * SUB:(m + 1) * SUB]
+                )
+                for c, cv in cents.items()
+            }
+            for m in range(M)
+        ]
+        scored = []
+        for vid, cds in all_codes.items():
+            if vid == qid:
+                continue
+            # fixed-order left fold, mirroring the engine expression
+            acc = dtab[0][cds[0]]
+            for m in range(1, M):
+                acc = acc + dtab[m][cds[m]]
+            scored.append((acc, vid))
+        scored.sort()
+        for rank, (d, vid) in enumerate(scored[:5], start=1):
+            want[(qid, rank)] = (vid, d)
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.adc_dist) for r in out}
+    assert got == want
+
+
+def test_pq_adc_self_distance_is_table_sum(spark):
+    """A vector's ADC distance to a query equals the sum of its code
+    cells — spot-check the invariant that ADC never reads the candidate
+    vector (here: rank-1 neighbors all have non-negative distance)."""
+    from dataflow_example_spark import queries as Q
+    from tests.conftest import SF_SMOKE
+
+    rows = Q.QUERIES["sim_pq_adc_topk"](spark, SF_SMOKE).collect()
+    assert rows and all(r.adc_dist >= 0 for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rs in per_q.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        ds = [r.adc_dist for r in sorted(rs, key=lambda r: r.rank)]
+        assert ds == sorted(ds)

@@ -61,8 +61,17 @@ def canon(v) -> str:
     if isinstance(v, decimal.Decimal):
         return f"d:{v}"
     if isinstance(v, pd.Timestamp):
+        # Arrow keeps Spark's session-tz annotation (UTC) while DuckDB
+        # timestamps come back naive; both denote the same UTC instant
+        # (box TZ is UTC), so compare in naive UTC.
+        if v.tzinfo is not None:
+            v = v.tz_convert("UTC").tz_localize(None)
         return f"t:{v.isoformat()}"
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return f"t:{v.isoformat()}"
+    if isinstance(v, datetime.date):
         return f"t:{v.isoformat()}"
     if isinstance(v, (np.ndarray, list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"

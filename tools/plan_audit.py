@@ -116,6 +116,11 @@ AUDITS: dict[str, list[str]] = {
     # fan-out, the allow-listed shape) — no no_bnl rule
     "emb_pq_codes": ["partial", "pruned:2"],
     "docs_shingle_novelty": ["partial", "no_bnl", "pruned:2"],
+    # ADC's nested-loop joins are the 4-row codebook and the per-query
+    # lookup table (constant-width broadcasts); the codes join itself
+    # must stay a hash join
+    "sim_pq_adc_topk": ["partial", "pruned:2"],
+    "events_scd2_intervals": ["partial", "codegen", "no_bnl", "pruned:4"],
 }
 
 
