@@ -65,16 +65,19 @@ def pack_documents(
     ranged = base.repartitionByRange("group", "doc_id").withColumn(
         "_pid", F.spark_partition_id()
     )
-    # Materialize the pinned id once: both downstream branches (offsets,
-    # join) must observe the SAME partition ids, and exchange reuse is an
-    # optimizer behavior, not a guarantee — RangePartitioner's sample seed
-    # depends on RDD id, so an un-reused second exchange could pick
-    # different boundaries and silently corrupt start_offset.
-    # localCheckpoint truncates lineage, so re-evaluation with different
-    # ids is impossible (a lost block fails the job instead of corrupting
-    # the result). Cheap at any scale: this is one 3-column row per
-    # document (~tens of bytes), not the corpus text.
-    ranged = ranged.localCheckpoint(eager=False)
+    # Pin the id once: both downstream branches (offsets, join) must
+    # observe the SAME partition ids, and exchange reuse is an optimizer
+    # behavior, not a guarantee — RangePartitioner's sample seed depends
+    # on RDD id, so an un-reused second exchange could pick different
+    # boundaries and silently corrupt start_offset. persist() makes the
+    # sharing structural instead of optional: CacheManager rewrites BOTH
+    # branch references to the one InMemoryRelation, whose range exchange
+    # is evaluated exactly once (and re-reads the same shuffle output on
+    # block eviction, so recomputed partitions keep their ids). Cheap at
+    # any scale: one 3-column row per document, not the corpus text.
+    from pyspark import StorageLevel
+
+    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
     # Local running sums: one window task per (range partition, group)
     # slice — bounded by the range partition size, never by group size.
     local_w = (
