@@ -89,6 +89,10 @@ _SAMPLE_FIRST = [
     "docs_shingle_novelty",
     "sim_pq_adc_topk",
     "events_scd2_intervals",
+    "text_bigram_logprob",
+    "docs_dedup_survivorship",
+    "orders_rfm_segments",
+    "events_hourly_seasonality",
 ]
 
 

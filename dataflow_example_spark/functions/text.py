@@ -394,3 +394,52 @@ def unigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         (folded / F.count(F.lit(1))).alias("avg_surprisal"),
     )
+
+
+def bigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document mean bigram surprisal -ln p(w2 | w1) under the
+    corpus's own bigram model (MLE, no smoothing — every observed bigram
+    has c12 <= c1 so p is always defined). One step up the n-gram ladder
+    from ``unigram_surprisal`` toward the KenLM-style perplexity filter;
+    catches locally-incoherent text (shuffled words) that unigram
+    frequency cannot.
+
+    Plan: explode token bigrams with multiplicity -> corpus bigram and
+    context counts (two hash aggregates) -> join back -> per-doc mean via
+    the pinned sorted fold (bit-identical doubles modulo libm ln noise).
+    """
+    toks = tokens(F.col(text_col))
+    base = docs.select("doc_id", toks.alias("_t")).filter(F.size("_t") >= 2)
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size("_t") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("_t"), i).alias("w1"),
+            F.concat_ws(
+                " ",
+                F.element_at(F.col("_t"), i),
+                F.element_at(F.col("_t"), i + 1),
+            ).alias("bigram"),
+        ),
+    )
+    pairs = base.select("doc_id", F.explode(bg).alias("p")).select(
+        "doc_id", "p.w1", "p.bigram"
+    )
+    cb = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        pairs.join(cb, "bigram")
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            (
+                -F.log(F.col("c12").cast("double") / F.col("c1").cast("double"))
+            ).alias("_s"),
+        )
+    )
+    folded = F.aggregate(
+        F.sort_array(F.collect_list("_s")), F.lit(0.0), lambda a, x: a + x
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        (folded / F.count(F.lit(1))).alias("avg_surprisal"),
+    )

@@ -2178,3 +2178,90 @@ SELECT user_id, event_type, valid_from,
        n_events
 FROM runs
 """
+
+ORACLES["text_bigram_logprob"] = f"""
+WITH {_TOKS_CTE},
+bg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+                  i -> struct_pack(w1 := t[i],
+                                   bigram := t[i] || ' ' || t[i + 1]))) AS p
+    FROM toks WHERE len(t) >= 2
+),
+pairs AS (SELECT doc_id, p.w1 AS w1, p.bigram AS bigram FROM bg),
+cb AS (SELECT bigram, count(*) AS c12 FROM pairs GROUP BY bigram),
+c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+s AS (
+    SELECT doc_id, -ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) AS sv
+    FROM pairs JOIN cb USING (bigram) JOIN c1 USING (w1)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       list_reduce(list_prepend(0.0, list_sort(list(sv))),
+                   (acc, x) -> acc + x) / count(*) AS avg_surprisal
+FROM s
+GROUP BY doc_id
+"""
+
+ORACLES["docs_dedup_survivorship"] = f"""
+WITH RECURSIVE {_SHINGLES_CTE.lstrip()},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({_BAND_MATCH})
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+walk(id, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
+),
+labels AS (SELECT id AS doc_id, min(label) AS cluster_id FROM walk GROUP BY id)
+SELECT d.doc_id,
+       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+       CASE WHEN l.cluster_id IS NULL OR l.cluster_id = d.doc_id
+            THEN 'kept' ELSE 'dropped_near_dup' END AS status
+FROM documents d LEFT JOIN labels l USING (doc_id)
+"""
+
+ORACLES["orders_rfm_segments"] = """
+WITH per_cust AS (
+    SELECT o_custkey AS c_custkey,
+           max(o_orderdate) AS last_order,
+           count(*) AS frequency,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS monetary
+    FROM orders GROUP BY 1
+),
+q AS (
+    SELECT *,
+           CAST(ntile(4) OVER (ORDER BY last_order, c_custkey) AS INTEGER)
+               AS r_quartile,
+           CAST(ntile(4) OVER (ORDER BY frequency, c_custkey) AS INTEGER)
+               AS f_quartile,
+           CAST(ntile(4) OVER (ORDER BY monetary, c_custkey) AS INTEGER)
+               AS m_quartile
+    FROM per_cust
+)
+SELECT c_custkey, last_order, frequency, monetary,
+       r_quartile, f_quartile, m_quartile,
+       'R' || r_quartile || 'F' || f_quartile || 'M' || m_quartile
+           AS segment
+FROM q
+"""
+
+# Spark dayofweek() is 1=Sunday..7; DuckDB dayofweek() is 0=Sunday..6
+ORACLES["events_hourly_seasonality"] = """
+SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+       CAST(hour(ts) AS INTEGER) AS hour,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) / count(*) AS DOUBLE)
+           AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY dow, hour
+"""

@@ -2527,3 +2527,96 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w_runs).alias("valid_to"),
         "n_events",
     )
+
+
+@query("text_bigram_logprob")
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean bigram surprisal per document under the corpus's own bigram
+    model (functions/text.bigram_surprisal) — the next rung of the
+    LM-quality-filter ladder above text_unigram_logprob."""
+    return T.bigram_surprisal(load(spark, sf_dir, "documents"))
+
+
+@query("docs_dedup_survivorship")
+def docs_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation keep-list with reason codes: each document is either
+    its near-dup cluster's representative (min doc_id, status 'kept') or
+    dropped in favor of it ('dropped_near_dup'); documents in no cluster
+    are 'kept' singletons. Composes MinHash-LSH pairs -> connected
+    components -> survivorship verdict — the drop-list a 100 TB dedup
+    pass actually ships."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    clusters = D.connected_components(
+        D.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+    )
+    joined = docs.join(clusters, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        F.when(
+            F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")),
+            "kept",
+        )
+        .otherwise("dropped_near_dup")
+        .alias("status"),
+    )
+
+
+@query("orders_rfm_segments")
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (last order date), frequency
+    (order count), monetary (exact-decimal total spend) per customer,
+    each quartiled with ntile(4) (ties broken on custkey so the split is
+    total), composed into an 'R#F#M#' segment label. Three windows over
+    ONE customer-level aggregate — the windows run on the reduced frame,
+    never the fact table."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(dec("o_totalprice")).cast("double").alias("monetary"),
+    )
+    r_w = Window.orderBy("last_order", "o_custkey")
+    f_w = Window.orderBy("frequency", "o_custkey")
+    m_w = Window.orderBy("monetary", "o_custkey")
+    return (
+        per_cust.withColumn("r_quartile", F.ntile(4).over(r_w))
+        .withColumn("f_quartile", F.ntile(4).over(f_w))
+        .withColumn("m_quartile", F.ntile(4).over(m_w))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "last_order",
+            "frequency",
+            "monetary",
+            "r_quartile",
+            "f_quartile",
+            "m_quartile",
+            F.concat(
+                F.lit("R"), F.col("r_quartile"),
+                F.lit("F"), F.col("f_quartile"),
+                F.lit("M"), F.col("m_quartile"),
+            ).alias("segment"),
+        )
+    )
+
+
+@query("events_hourly_seasonality")
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-shape profile: event count and exact-decimal mean value
+    per (day-of-week, hour-of-day) cell — the seasonality matrix behind
+    load forecasting. One scan, one 168-cell aggregate."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(dec("value")) / F.count(F.lit(1)))
+            .cast("double")
+            .alias("avg_value"),
+        )
+        .orderBy("dow", "hour")
+    )

@@ -373,3 +373,32 @@ def test_shingle_novelty_first_doc_fully_novel(spark):
     assert all(
         0 <= r.novelty <= 1 and r.n_novel <= r.n_shingles for r in rows
     )
+
+
+def test_rfm_quartiles_are_balanced(spark):
+    """ntile(4) must split customers into near-equal quartiles on each
+    dimension (sizes differ by at most 1)."""
+    out = queries.QUERIES["orders_rfm_segments"](spark, SF_SMOKE).collect()
+    n = len(out)
+    for dim in ("r_quartile", "f_quartile", "m_quartile"):
+        sizes = {}
+        for r in out:
+            sizes[getattr(r, dim)] = sizes.get(getattr(r, dim), 0) + 1
+        assert set(sizes) == {1, 2, 3, 4}
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (dim, sizes)
+
+
+def test_survivorship_keeps_exactly_cluster_minima(spark):
+    """Every cluster keeps exactly one doc (its min id); kept + dropped
+    partitions the corpus."""
+    out = queries.QUERIES["docs_dedup_survivorship"](spark, SF_SMOKE).collect()
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert len(out) == n_docs
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        kept = [m for m in members if m.status == "kept"]
+        assert len(kept) == 1 and kept[0].doc_id == cid == min(
+            m.doc_id for m in members
+        )

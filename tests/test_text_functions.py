@@ -275,3 +275,26 @@ def test_unigram_surprisal_known_distribution(spark):
     assert abs(got[2].avg_surprisal - (-math.log(0.25))) < 1e-12
     # rare-token doc scores strictly higher
     assert got[2].avg_surprisal > got[1].avg_surprisal
+
+
+def test_bigram_surprisal_known_corpus(spark):
+    """Hand-checked bigram model: 'a b' occurs twice out of three
+    'a _' contexts in the corpus -> -ln(2/3) for that bigram."""
+    import math
+
+    from dataflow_example_spark.functions.text import bigram_surprisal
+
+    d = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "a c")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in bigram_surprisal(d).collect()}
+    # corpus bigrams: doc1 [a b, b c], doc2 [a b], doc3 [a c]
+    # c(a .) = 3, c(b .) = 1; c(a b)=2, c(b c)=1, c(a c)=1
+    s_ab = -math.log(2 / 3)
+    s_bc = -math.log(1 / 1)
+    s_ac = -math.log(1 / 3)
+    assert out[1].n_bigrams == 2
+    assert abs(out[1].avg_surprisal - (s_ab + s_bc) / 2) < 1e-12
+    assert abs(out[2].avg_surprisal - s_ab) < 1e-12
+    assert abs(out[3].avg_surprisal - s_ac) < 1e-12

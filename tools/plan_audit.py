@@ -121,6 +121,10 @@ AUDITS: dict[str, list[str]] = {
     # must stay a hash join
     "sim_pq_adc_topk": ["partial", "pruned:2"],
     "events_scd2_intervals": ["partial", "codegen", "no_bnl", "pruned:4"],
+    "text_bigram_logprob": ["partial", "no_bnl", "pruned:2"],
+    "orders_rfm_segments": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "events_hourly_seasonality": ["partial", "codegen", "no_bnl", "pruned:2"],
+    "docs_dedup_survivorship": ["no_bnl"],
 }
 
 
