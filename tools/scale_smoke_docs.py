@@ -62,12 +62,19 @@ def main() -> None:
     ops = {
         "simhash_banded": lambda: D.simhash_pairs(docs, max_hamming=3),
         "minhash_lsh": lambda: D.minhash_lsh_pairs(docs),
+        "minhash_lsh_capped": lambda: D.minhash_lsh_pairs(
+            docs, bucket_cap=16
+        ),
         "jaccard_on_cand": lambda: D.jaccard_on_candidates(
             docs, D.minhash_lsh_pairs(docs)
+        ),
+        "cc_star": lambda: D.connected_components_star(
+            D.minhash_lsh_pairs(docs)
         ),
         "chunking": lambda: T.chunk_documents(docs),
         "vocab_top": lambda: T.vocab_top_terms(docs),
         "salient_terms": lambda: T.salient_terms(docs),
+        "bigram_surprisal": lambda: T.bigram_surprisal(docs),
     }
     for name, build in ops.items():
         t0 = time.time()
