@@ -93,6 +93,7 @@ _SAMPLE_FIRST = [
     "docs_dedup_survivorship",
     "orders_rfm_segments",
     "events_hourly_seasonality",
+    "events_resample_ffill",
 ]
 
 

@@ -2265,3 +2265,29 @@ FROM events
 GROUP BY 1, 2
 ORDER BY dow, hour
 """
+
+ORACLES["events_resample_ffill"] = """
+WITH per_hour AS (
+    SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) / count(*) AS DOUBLE)
+               AS avg_value
+    FROM events GROUP BY 1, 2
+),
+span AS (
+    SELECT user_id, min(hour_ts) AS mn, max(hour_ts) AS mx
+    FROM per_hour GROUP BY 1
+),
+grid AS (
+    SELECT user_id,
+           unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour_ts
+    FROM span
+)
+SELECT g.user_id, g.hour_ts,
+       CAST(coalesce(p.n, 0) AS BIGINT) AS n_events,
+       last_value(p.avg_value IGNORE NULLS)
+           OVER (PARTITION BY g.user_id ORDER BY g.hour_ts
+                 ROWS UNBOUNDED PRECEDING) AS value_ffill
+FROM grid g
+LEFT JOIN per_hour p ON p.user_id = g.user_id AND p.hour_ts = g.hour_ts
+"""

@@ -2620,3 +2620,45 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+@query("events_resample_ffill")
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with forward fill: each user's event stream
+    is regularized onto their own hourly grid (sequence explode between
+    first and last hour — map-side fan-out, no driver loop); empty hours
+    carry the last observed hourly mean forward (last-ignoring-nulls
+    frame window). The gap-filling primitive behind downsampled feature
+    tables; per-user windows keep the sort partitioned."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    per_hour = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        (F.sum(dec("value")) / F.count(F.lit(1)))
+        .cast("double")
+        .alias("_avg"),
+    )
+    span = per_hour.groupBy("user_id").agg(
+        F.min("hour_ts").alias("_mn"), F.max("hour_ts").alias("_mx")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("_mn", "_mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts"),
+    )
+    joined = grid.join(per_hour, ["user_id", "hour_ts"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour_ts",
+        F.coalesce(F.col("_n"), F.lit(0)).alias("n_events"),
+        F.last("_avg", ignorenulls=True).over(w).alias("value_ffill"),
+    )

@@ -161,3 +161,91 @@ def test_tokenizer_contract_matches_duckdb(spark, texts):
         ).fetchall()
     }
     assert got == want
+
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(edges=edge_lists)
+@_SETTINGS
+def test_star_cc_equals_pointer_jumping_property(spark, edges):
+    """For ANY random multigraph (self-loops and duplicate edges
+    included), star contraction and pointer-jumping label propagation
+    must produce identical components, and every label must be its
+    component's minimum (label of a label is itself)."""
+    from dataflow_example_spark.functions.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    clean = [(a, b) for a, b in edges if a != b]
+    if not clean:
+        return
+    df = spark.createDataFrame(clean, "doc_a bigint, doc_b bigint")
+    pj = {(r.doc_id, r.cluster_id) for r in connected_components(df).collect()}
+    star = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components_star(df).collect()
+    }
+    assert pj == star
+    labels = dict(star)
+    assert all(labels[lbl] == lbl for lbl in set(labels.values()))
+
+
+intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),     # user
+        st.integers(min_value=0, max_value=100),   # start second
+        st.integers(min_value=1, max_value=40),    # duration seconds
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(iv=intervals)
+@_SETTINGS
+def test_interval_overlap_matches_bruteforce(spark, iv):
+    """Sweep-line max concurrency == brute-force point-in-interval max
+    for ANY half-open interval set."""
+    import datetime
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dataflow_example_spark import queries
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (u, base + datetime.timedelta(seconds=s), float(d))
+        for u, s, d in iv
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double"
+    )
+    d = tempfile.mkdtemp(prefix="dfx_ivp_")
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {
+        r.user_id: r.max_concurrent
+        for r in queries.QUERIES["events_interval_overlap_count"](
+            spark, d
+        ).collect()
+    }
+    # brute force: at each interval start, count intervals covering it
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for u, s, dur in iv:
+        by_user.setdefault(u, []).append((s, s + dur))
+    want = {
+        u: max(
+            sum(1 for (s2, e2) in ivs if s2 <= s < e2) for (s, _e) in ivs
+        )
+        for u, ivs in by_user.items()
+    }
+    assert got == want

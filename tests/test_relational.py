@@ -402,3 +402,31 @@ def test_survivorship_keeps_exactly_cluster_minima(spark):
         assert len(kept) == 1 and kept[0].doc_id == cid == min(
             m.doc_id for m in members
         )
+
+
+def test_resample_ffill_grid_is_dense_and_filled(spark):
+    """Every user's grid is contiguous hours from first to last; empty
+    hours have n_events=0 but a non-null carried value; observed hours
+    match the direct per-hour aggregate."""
+    out = queries.QUERIES["events_resample_ffill"](spark, SF_SMOKE).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    direct = {
+        (r.user_id, r.h): r.n
+        for r in ev.groupBy(
+            "user_id", F.date_trunc("hour", "ts").alias("h")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for u, rows in by_user.items():
+        rows.sort(key=lambda r: r.hour_ts)
+        hours = [r.hour_ts for r in rows]
+        for a, b in zip(hours, hours[1:]):
+            assert (b - a).total_seconds() == 3600  # dense grid
+        assert rows[0].n_events > 0  # grid starts at first observation
+        for r in rows:
+            assert r.n_events == direct.get((u, r.hour_ts), 0)
+            assert r.value_ffill is not None  # ffill never leaves a hole

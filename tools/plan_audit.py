@@ -125,6 +125,7 @@ AUDITS: dict[str, list[str]] = {
     "orders_rfm_segments": ["partial", "codegen", "no_bnl", "pruned:3"],
     "events_hourly_seasonality": ["partial", "codegen", "no_bnl", "pruned:2"],
     "docs_dedup_survivorship": ["no_bnl"],
+    "events_resample_ffill": ["partial", "codegen", "no_bnl", "pruned:3"],
 }
 
 
