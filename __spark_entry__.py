@@ -94,6 +94,9 @@ _SAMPLE_FIRST = [
     "orders_rfm_segments",
     "events_hourly_seasonality",
     "events_resample_ffill",
+    "docs_importance_resample",
+    "part_price_equidepth",
+    "events_mad_outliers",
 ]
 
 

@@ -155,3 +155,39 @@ def cap_per_group(
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def importance_resample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    salt: str = "resample",
+) -> DataFrame:
+    """Deterministic importance resampling toward a UNIFORM group
+    mixture: each group keeps at most its fair share (total/n_groups) in
+    expectation, via keep-rate r_g = min(1, fair_share / group_size)
+    applied through the portable md5 bucket. The sampling step that
+    APPLIES mixture weights (docs_mix_weights only reports them):
+    over-represented sources are thinned, under-represented ones pass
+    through whole. Group sizes are a tiny broadcast aggregate; the
+    filter itself stays a stateless map-side decision, so membership
+    survives repartitioning and reprocessing."""
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
+    totals = sizes.agg(
+        F.sum("_gn").alias("_tot"), F.count(F.lit(1)).alias("_k")
+    )
+    rates = sizes.join(F.broadcast(totals)).select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            (F.col("_tot").cast("double") / F.col("_k"))
+            / F.col("_gn").cast("double"),
+        ).alias("keep_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(
+            hash_bucket(F.col(key_col), salt)
+            < F.floor(F.col("keep_rate") * BUCKETS)
+        )
+    )

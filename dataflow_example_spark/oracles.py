@@ -2291,3 +2291,57 @@ SELECT g.user_id, g.hour_ts,
 FROM grid g
 LEFT JOIN per_hour p ON p.user_id = g.user_id AND p.hour_ts = g.hour_ts
 """
+
+ORACLES["docs_importance_resample"] = """
+WITH sizes AS (SELECT lang, count(*) AS gn FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(gn) AS DOUBLE) AS t, count(*) AS k FROM sizes),
+rates AS (
+    SELECT lang,
+           least(1.0, (t / k) / CAST(gn AS DOUBLE)) AS keep_rate
+    FROM sizes, tot
+)
+SELECT doc_id, source, d.lang, n_chars, keep_rate
+FROM documents d JOIN rates USING (lang)
+WHERE CAST(('0x' || substr(md5('resample' || CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 10000
+      < floor(keep_rate * 10000)
+"""
+
+ORACLES["part_price_equidepth"] = """
+WITH b AS (
+    SELECT p_retailprice,
+           CAST(ntile(10) OVER (ORDER BY p_retailprice, p_partkey)
+                AS INTEGER) AS bucket
+    FROM part
+)
+SELECT bucket, count(*) AS n_parts,
+       min(p_retailprice) AS price_min,
+       max(p_retailprice) AS price_max,
+       CAST(sum(CAST(p_retailprice AS DECIMAL(18,6))) / count(*) AS DOUBLE)
+           AS price_avg
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+ORACLES["events_mad_outliers"] = """
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS median_value
+    FROM events GROUP BY 1
+),
+dev AS (
+    SELECT e.event_type, abs(e.value - m.median_value) AS d, m.median_value
+    FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+    SELECT event_type, quantile_cont(d, 0.5) AS mad
+    FROM dev GROUP BY 1
+)
+SELECT dev.event_type,
+       CAST(min(dev.median_value) AS DOUBLE) AS median_value,
+       CAST(min(mad.mad) AS DOUBLE) AS mad,
+       CAST(sum(CASE WHEN dev.d > 3.0 * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       count(*) AS n_events
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+ORDER BY dev.event_type
+"""

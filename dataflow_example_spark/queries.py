@@ -2662,3 +2662,88 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("_n"), F.lit(0)).alias("n_events"),
         F.last("_avg", ignorenulls=True).over(w).alias("value_ffill"),
     )
+
+
+@query("docs_importance_resample")
+def docs_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply uniform-mixture resampling to the corpus
+    (functions/sampling.importance_resample): the over-represented
+    language (en is ~2x its fair share in the testdata) thins
+    deterministically (md5 decision per doc_id) toward total/n_langs,
+    under-represented languages pass through whole — the execution step
+    of the docs_mix_weights plan."""
+    from .functions.sampling import importance_resample
+
+    return importance_resample(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "n_chars"
+        ),
+        group_col="lang",
+        key_col="doc_id",
+    ).select("doc_id", "source", "lang", "n_chars", "keep_rate")
+
+
+@query("part_price_equidepth")
+def part_price_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucketed) price histogram: ntile(10) over
+    (price, partkey) — each bucket holds the same row count, bucket
+    boundaries adapt to the distribution (the complement of
+    part_price_histogram's fixed-width buckets). One window over the
+    2k-row dimension, then a 10-row aggregate."""
+    from pyspark.sql.window import Window
+
+    p = load(spark, sf_dir, "part")
+    w = Window.orderBy("p_retailprice", "p_partkey")
+    return (
+        p.withColumn("bucket", F.ntile(10).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_retailprice").alias("price_min"),
+            F.max("p_retailprice").alias("price_max"),
+            (F.sum(dec("p_retailprice")) / F.count(F.lit(1)))
+            .cast("double")
+            .alias("price_avg"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query("events_mad_outliers")
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier report per event type: median, median absolute
+    deviation (both exact interpolated percentiles — verified
+    bit-identical across engines), and the count of events beyond
+    3 MAD. Two passes over one shuffle key: medians first (tiny
+    broadcast), then deviations against the broadcast medians —
+    the robust complement of events_winsorize's p05/p95 clipping."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("median_value")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "median_value",
+        F.abs(F.col("value") - F.col("median_value")).alias("_dev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("median_value").alias("median_value"),
+        F.expr("percentile(_dev, 0.5)").alias("mad"),
+    )
+    return (
+        dev.drop("median_value")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("median_value").alias("median_value"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("_dev") > F.lit(3.0) * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -118,3 +118,31 @@ def test_cap_per_group_deterministic_and_bounded(spark):
     # groups under the cap pass through whole
     out3 = cap_per_group(d, cap=50)
     assert out3.count() == 40
+
+
+def test_importance_resample_thins_only_overrepresented(spark):
+    """Uniform-target resampling: groups at/under fair share keep every
+    row (rate 1.0); over-represented groups thin toward total/n_groups;
+    membership is deterministic (same result on rerun)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_example_spark.functions.sampling import importance_resample
+
+    rows = [(i, "big") for i in range(300)] + [
+        (1000 + i, "small") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string")
+    out = importance_resample(df, group_col="grp", key_col="doc_id")
+    kept = out.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    by = {r.grp: r.n for r in kept}
+    assert by["small"] == 50  # under fair share (175): untouched
+    # big thins toward 175 in expectation; md5 variance stays in a band
+    assert 120 <= by["big"] <= 230
+    again = {
+        r.grp: r.n
+        for r in importance_resample(df, group_col="grp", key_col="doc_id")
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert again == by  # deterministic

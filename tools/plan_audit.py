@@ -126,6 +126,9 @@ AUDITS: dict[str, list[str]] = {
     "events_hourly_seasonality": ["partial", "codegen", "no_bnl", "pruned:2"],
     "docs_dedup_survivorship": ["no_bnl"],
     "events_resample_ffill": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "docs_importance_resample": ["partial", "codegen", "pruned:4"],
+    "part_price_equidepth": ["partial", "codegen", "no_bnl", "pruned:2"],
+    "events_mad_outliers": ["partial", "no_bnl", "pruned:2"],
 }
 
 
