@@ -249,3 +249,84 @@ def test_interval_overlap_matches_bruteforce(spark, iv):
         for u, ivs in by_user.items()
     }
     assert got == want
+
+
+@given(corpus=corpora)
+@_SETTINGS
+def test_containment_bounds_jaccard_property(spark, corpus):
+    """For every candidate pair: max(containment_a, containment_b) >=
+    jaccard >= min-containment * (smaller/larger) — and containment of
+    the smaller-shingle-set side is always the larger one."""
+    from pyspark.sql import functions as F
+
+    from dataflow_example_spark.functions.dedup import (
+        jaccard_on_candidates,
+        minhash_lsh_pairs,
+        shingles,
+    )
+
+    rows = [(i, t) for i, t in enumerate(corpus)]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cand = minhash_lsh_pairs(d).select("doc_a", "doc_b")
+    if not cand.count():
+        return
+    sh = shingles(d)
+    counts = {r.doc_id: r.n for r in sh.groupBy("doc_id").agg(
+        F.count("*").alias("n")).collect()}
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_on_candidates(d, cand, threshold=0.0).collect()
+    }
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+        .collect()
+    )
+    for r in inter:
+        ca = r.n_common / counts[r.doc_a]
+        cb = r.n_common / counts[r.doc_b]
+        j = jac[(r.doc_a, r.doc_b)]
+        assert max(ca, cb) >= j - 1e-12
+        assert min(ca, cb) <= 1.0 + 1e-12
+
+
+@given(corpus=corpora)
+@_SETTINGS
+def test_pack_bins_conserves_tokens(spark, corpus):
+    """The shard manifest conserves tokens: per-group bin sums equal the
+    group's total token count, and bins start at 0 with no gaps."""
+    from pyspark.sql import functions as F
+
+    from dataflow_example_spark.functions.packing import pack_documents
+    from dataflow_example_spark.functions.text import tokens
+
+    rows = [(i, "en" if i % 2 else "de", t) for i, t in enumerate(corpus)]
+    d = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    packed = pack_documents(d, budget=8)
+    manifest = (
+        packed.groupBy("group", "first_bin")
+        .agg(F.sum("n_tokens").alias("bin_tokens"))
+        .collect()
+    )
+    totals = {
+        r.lang: r.t
+        for r in d.select("lang", F.size(tokens(F.col("text"))).alias("n"))
+        .filter(F.col("n") > 0)
+        .groupBy("lang")
+        .agg(F.sum("n").alias("t"))
+        .collect()
+    }
+    by_group: dict[str, int] = {}
+    bins: dict[str, list[int]] = {}
+    for r in manifest:
+        by_group[r.group] = by_group.get(r.group, 0) + r.bin_tokens
+        bins.setdefault(r.group, []).append(r.first_bin)
+    assert by_group == totals
+    for g, bs in bins.items():
+        bs.sort()
+        assert bs[0] == 0  # stream starts at offset 0
