@@ -67,7 +67,15 @@ def configure_session(spark: SparkSession) -> SparkSession:
     """Apply the engine's *runtime-settable* semantic defaults to an
     externally created session (e.g. the driver harness's).
 
-    Only touches confs that are safe to set post-launch.
+    Only touches confs that are safe to set post-launch; idempotent, so
+    the registry wrapper re-applies it before every query — a prior
+    query (or an external tool like the plan audit, which disables AQE
+    on its own session) can never leak conf state into the next run.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.parquet.filterPushdown", "true")
     return spark
