@@ -97,6 +97,11 @@ _SAMPLE_FIRST = [
     "docs_importance_resample",
     "part_price_equidepth",
     "events_mad_outliers",
+    "events_cohort_retention",
+    "events_markov_transitions",
+    "orders_abc_pareto",
+    "dedup_cluster_stats",
+    "events_funnel_step_latency",
 ]
 
 

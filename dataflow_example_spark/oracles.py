@@ -2345,3 +2345,121 @@ FROM dev JOIN mad USING (event_type)
 GROUP BY dev.event_type
 ORDER BY dev.event_type
 """
+
+ORACLES["events_cohort_retention"] = """
+WITH first AS (
+    SELECT user_id,
+           CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+    FROM events GROUP BY 1
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, date_trunc('week', e.ts)) / 7
+            AS INTEGER) AS weeks_since,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+FROM events e JOIN first USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_week, weeks_since
+"""
+
+ORACLES["events_markov_transitions"] = """
+WITH steps AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM events
+),
+counts AS (
+    SELECT from_type, to_type, count(*) AS n
+    FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+totals AS (SELECT from_type, sum(n) AS tot FROM counts GROUP BY 1)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS prob
+FROM counts JOIN totals USING (from_type)
+ORDER BY from_type, to_type
+"""
+
+ORACLES["orders_abc_pareto"] = """
+WITH per_cust AS (
+    SELECT o_custkey AS c_custkey,
+           sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+    FROM orders GROUP BY 1
+),
+tot AS (SELECT sum(rev) AS t FROM per_cust),
+ranked AS (
+    SELECT c_custkey, rev,
+           CAST(sum(rev) OVER (ORDER BY rev DESC, c_custkey
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           / CAST(t AS DOUBLE) AS cum_share
+    FROM per_cust, tot
+)
+SELECT c_custkey, CAST(rev AS DOUBLE) AS revenue, cum_share,
+       CASE WHEN cum_share <= 0.80 THEN 'A'
+            WHEN cum_share <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+ORDER BY revenue DESC, c_custkey
+"""
+
+ORACLES["dedup_cluster_stats"] = f"""
+WITH RECURSIVE {_SHINGLES_CTE.lstrip()},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({_BAND_MATCH})
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+walk(id, label) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
+),
+labels AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size
+          FROM labels GROUP BY 1)
+SELECT cluster_size, count(*) AS n_clusters
+FROM sizes GROUP BY 1 ORDER BY cluster_size
+"""
+
+ORACLES["events_funnel_step_latency"] = """
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+    FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts >= s1.t1
+    GROUP BY 1
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+    GROUP BY 1
+),
+hops AS (
+    SELECT s2.user_id,
+           CAST(epoch_us(s2.t2) AS DOUBLE) / 1000000.0
+           - CAST(epoch_us(s2.t1) AS DOUBLE) / 1000000.0
+               AS view_to_click_s,
+           CAST(epoch_us(s3.t3) AS DOUBLE) / 1000000.0
+           - CAST(epoch_us(s2.t2) AS DOUBLE) / 1000000.0
+               AS click_to_purchase_s
+    FROM s2 JOIN s3 USING (user_id)
+),
+melted AS (
+    SELECT 'view_to_click' AS hop, view_to_click_s AS seconds FROM hops
+    UNION ALL
+    SELECT 'click_to_purchase', click_to_purchase_s FROM hops
+)
+SELECT hop, count(*) AS n_users,
+       min(seconds) AS min_s,
+       quantile_cont(seconds, 0.5) AS median_s,
+       max(seconds) AS max_s
+FROM melted GROUP BY hop ORDER BY hop
+"""

@@ -2747,3 +2747,188 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query("events_cohort_retention")
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by first-seen
+    week; for each (cohort, weeks-since) cell, how many distinct cohort
+    members were active. Two aggregates over one user-keyed shuffle
+    (first-seen is a broadcast back onto the stream) — the standard
+    product-analytics matrix."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", "ts"), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("weeks_since"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+@query("events_markov_transitions")
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix: count and MLE probability
+    of each (from_type -> to_type) step over time-ordered streams (lead
+    window, tie-broken on event_id) — the sequence-feature builder for
+    behavioral models. One user-keyed window, one 25-cell aggregate."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.withColumn(
+        "to_type", F.lead("event_type").over(w)
+    ).filter(F.col("to_type").isNotNull())
+    counts = steps.groupBy(
+        F.col("event_type").alias("from_type"), "to_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("_tot").cast("double")).alias(
+                "prob"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@query("orders_abc_pareto")
+def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of customers by revenue: cumulative
+    share of exact-decimal spend (window running sum over the customer
+    aggregate, ordered by spend desc with custkey tie-break); class A =
+    first 80% of revenue, B = next 15%, C = tail. The share division is
+    the single double op, identical in both engines."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice")).alias("_rev")
+    )
+    total = per_cust.agg(F.sum("_rev").alias("_tot"))
+    w = (
+        Window.orderBy(F.desc("_rev"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_cust.join(F.broadcast(total))
+        .withColumn(
+            "cum_share",
+            F.sum("_rev").over(w).cast("double")
+            / F.col("_tot").cast("double"),
+        )
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("_rev").cast("double").alias("revenue"),
+            "cum_share",
+            F.when(F.col("cum_share") <= 0.80, "A")
+            .when(F.col("cum_share") <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+    )
+
+
+@query("dedup_cluster_stats")
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the near-dup graph: how many dedup
+    clusters have 2, 3, ... members (singletons excluded — docs with no
+    near-dup edge never enter CC). The curation report that says how
+    much the corpus shrinks under dedup; two tiny aggregates over the CC
+    output."""
+    clusters = D.connected_components(
+        D.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+@query("events_funnel_step_latency")
+def events_funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency distribution between funnel steps: for users completing
+    view -> click -> purchase (events_funnel's chained conditional
+    mins), the min/median/max seconds spent on each hop. Exact
+    interpolated percentiles (bit-identical across engines); one row per
+    hop."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.first("t1").alias("t1"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2.select("user_id", "t2"), "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    hops = (
+        s2.join(s3, "user_id")
+        .select(
+            "user_id",
+            (F.col("t2").cast("double") - F.col("t1").cast("double")).alias(
+                "view_to_click_s"
+            ),
+            (F.col("t3").cast("double") - F.col("t2").cast("double")).alias(
+                "click_to_purchase_s"
+            ),
+        )
+    )
+    melted = hops.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("view_to_click").alias("hop"),
+                    F.col("view_to_click_s").alias("seconds"),
+                ),
+                F.struct(
+                    F.lit("click_to_purchase").alias("hop"),
+                    F.col("click_to_purchase_s").alias("seconds"),
+                ),
+            )
+        ).alias("h")
+    ).select("h.hop", "h.seconds")
+    return (
+        melted.groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("seconds").alias("min_s"),
+            F.expr("percentile(seconds, 0.5)").alias("median_s"),
+            F.max("seconds").alias("max_s"),
+        )
+        .orderBy("hop")
+    )

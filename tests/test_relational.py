@@ -430,3 +430,64 @@ def test_resample_ffill_grid_is_dense_and_filled(spark):
         for r in rows:
             assert r.n_events == direct.get((u, r.hour_ts), 0)
             assert r.value_ffill is not None  # ffill never leaves a hole
+
+
+def test_cohort_retention_week0_is_cohort_size(spark):
+    """Every cohort's weeks_since=0 cell equals the cohort's size (the
+    first-seen week is by definition active), and actives never exceed
+    the cohort size in later weeks."""
+    rows = queries.QUERIES["events_cohort_retention"](spark, SF_SMOKE).collect()
+    sizes = {}
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("w")
+    )
+    for r in first.groupBy("w").agg(F.count("*").alias("n")).collect():
+        sizes[r.w] = r.n
+    for r in rows:
+        if r.weeks_since == 0:
+            assert r.n_active == sizes[r.cohort_week]
+        assert r.n_active <= sizes[r.cohort_week]
+        assert r.weeks_since >= 0
+
+
+def test_markov_rows_are_probability_distributions(spark):
+    """Per from_type, probabilities sum to 1 (within float ulp) and
+    transition counts sum to total steps (n_events - n_users)."""
+    rows = queries.QUERIES["events_markov_transitions"](spark, SF_SMOKE).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    for ft, rs in by_from.items():
+        assert abs(sum(r.prob for r in rs) - 1.0) < 1e-9, ft
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    n_steps = ev.count() - ev.select("user_id").distinct().count()
+    assert sum(r.n for r in rows) == n_steps
+
+
+def test_abc_pareto_classes_are_monotone(spark):
+    """cum_share is nondecreasing in rank order; classes partition as
+    A-prefix, B-middle, C-tail; every customer appears once."""
+    rows = queries.QUERIES["orders_abc_pareto"](spark, SF_SMOKE).collect()
+    shares = [r.cum_share for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(shares, shares[1:]))
+    classes = "".join(r.abc_class for r in rows)
+    assert "BA" not in classes and "CA" not in classes and "CB" not in classes
+    assert abs(shares[-1] - 1.0) < 1e-9
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    assert len(rows) == o.select("o_custkey").distinct().count()
+
+
+def test_cluster_stats_counts_match_survivorship(spark):
+    """sum(cluster_size * n_clusters) over size>=2 equals the number of
+    docs in multi-member clusters = corpus - kept singletons + kept
+    multi reps... cross-checked directly against survivorship output."""
+    stats = queries.QUERIES["dedup_cluster_stats"](spark, SF_SMOKE).collect()
+    surv = queries.QUERIES["docs_dedup_survivorship"](spark, SF_SMOKE).collect()
+    clustered_docs = sum(r.cluster_size * r.n_clusters for r in stats)
+    by_cluster = {}
+    for r in surv:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    multi = sum(len(m) for m in by_cluster.values() if len(m) >= 2)
+    assert all(r.cluster_size >= 2 for r in stats)
+    assert clustered_docs == multi

@@ -129,6 +129,12 @@ AUDITS: dict[str, list[str]] = {
     "docs_importance_resample": ["partial", "codegen", "pruned:4"],
     "part_price_equidepth": ["partial", "codegen", "no_bnl", "pruned:2"],
     "events_mad_outliers": ["partial", "no_bnl", "pruned:2"],
+    "events_cohort_retention": ["partial", "codegen", "no_bnl", "pruned:2"],
+    "events_markov_transitions": ["partial", "codegen", "no_bnl", "pruned:4"],
+    # pareto's 1-row total broadcast is the allow-listed scalar shape
+    "orders_abc_pareto": ["partial", "codegen", "pruned:2"],
+    "dedup_cluster_stats": ["no_bnl"],
+    "events_funnel_step_latency": ["partial", "no_bnl", "pruned:3"],
 }
 
 
