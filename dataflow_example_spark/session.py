@@ -43,7 +43,12 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
         )
 
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    # local[N] runs executors inside the driver JVM, so the driver heap is
+    # the *entire* executor memory budget: 8g with 32 concurrent tasks GC-
+    # thrashes under shuffle-heavy queries (observed 2-4x timing variance
+    # at sf0.1). 48g leaves headroom on the 128 GiB sandbox while staying
+    # irrelevant on a real cluster, where executors get their own JVMs.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
