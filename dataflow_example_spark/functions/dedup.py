@@ -756,3 +756,48 @@ def lsh_bucket_overflow(
         .filter(F.col("bucket_size") > bucket_cap)
         .select("band_id", *[f"b{r}" for r in range(band_size)], "bucket_size")
     )
+
+
+def incremental_dedup(
+    base: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingestion dedup: admit only batch documents whose
+    content fingerprint is absent from the already-ingested base corpus
+    AND that win their fingerprint within the batch itself (min id).
+
+    The daily-crawl-increment primitive: the base never rescans — it is
+    represented by its (fingerprint -> min id) state table, which at
+    100 TB is the persisted output of the previous run, re-joined here
+    by one hash exchange on the fingerprint. No window sort: both the
+    base state and the batch winner are min-aggregates (map-side
+    combinable).
+
+    Emits every batch row with its verdict: ``base_doc_id`` (the base
+    owner of the fingerprint, null if unseen) and ``is_new`` (admitted).
+    """
+    key = F.md5(F.col(text_col)).alias("content_md5")
+    b_state = (
+        base.select(key, F.col(id_col))
+        .groupBy("content_md5")
+        .agg(F.min(id_col).alias("base_doc_id"))
+    )
+    tagged = batch.select(F.col(id_col), key)
+    batch_win = tagged.groupBy("content_md5").agg(
+        F.min(id_col).alias("_batch_min")
+    )
+    return (
+        tagged.join(batch_win, "content_md5")
+        .join(b_state, "content_md5", "left")
+        .select(
+            id_col,
+            "content_md5",
+            "base_doc_id",
+            (
+                F.col("base_doc_id").isNull()
+                & (F.col(id_col) == F.col("_batch_min"))
+            ).alias("is_new"),
+        )
+    )

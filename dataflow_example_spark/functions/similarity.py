@@ -901,3 +901,84 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def random_projection(
+    embeddings: DataFrame,
+    out_dim: int = 8,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a ±1 sign
+    matrix (Achlioptas 2003): ``proj[k] = Σ_j emb[j]·sign(k,j) / √in_dim``
+    — the cheap distance-preserving shrink applied to embedding columns
+    before ANN indexing or clustering at corpus scale.
+
+    The sign matrix is data-independent and derived from md5("rp:k:j")
+    parity, so any engine reproduces it without shipping state: the
+    (out_dim × in_dim) sign table is built as a tiny DataFrame and
+    broadcast-joined onto the posexploded components. Per-(vector, k)
+    dot products use the pinned-fold trick (sorted products, sequential
+    double fold) so Spark and DuckDB sum in the same order —
+    float32·(±1) is exact in double, only the fold order needs pinning.
+    √in_dim must be exact in double for the hash-compare; the default 64
+    gives /8. Emitted LONG form (id, dim, value), one row per output
+    component.
+
+    Scale: explode fan-out is in_dim rows per vector; the broadcast sign
+    join fans each to out_dim products; the (id, dim) aggregate holds
+    in_dim doubles per cell. All bounded by constants — no all-pairs, no
+    driver state.
+    """
+    import math
+
+    root = math.sqrt(in_dim)
+    if root != int(root):
+        raise ValueError("in_dim must be a perfect square for exact /sqrt")
+
+    spark = embeddings.sparkSession
+    k_grid = spark.range(out_dim).select(F.col("id").cast("int").alias("_k"))
+    j_grid = spark.range(in_dim).select(F.col("id").cast("int").alias("pos"))
+    signs = (
+        k_grid.crossJoin(j_grid)
+        .select(
+            "_k",
+            "pos",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":", F.lit("rp"), F.col("_k"), F.col("pos")
+                            )
+                        ),
+                        1,
+                        1,
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                % 2
+                == 0,
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("_s"),
+        )
+    )
+    comp = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "_v"),
+    )
+    prod = comp.join(F.broadcast(signs), "pos").select(
+        "vec_id", "_k", (F.col("_v").cast("double") * F.col("_s")).alias("_p")
+    )
+    folded = F.aggregate(
+        F.sort_array(F.collect_list("_p")), F.lit(0.0), lambda a, x: a + x
+    )
+    return (
+        prod.groupBy("vec_id", "_k")
+        .agg((folded / F.lit(float(root))).alias("value"))
+        .select("vec_id", F.col("_k").alias("dim"), "value")
+    )

@@ -146,3 +146,71 @@ def range_join(
         *[pr[c] for c in probe.columns],
         *[iv[c] for c in intervals.columns if c not in keys],
     )
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    right_cols: Sequence[str],
+    tolerance_us: int,
+    tiebreak_col: str,
+    suffix: str = "_near",
+) -> DataFrame:
+    """For every left row, attach the right row with the smallest
+    ``|right.ts - left.ts|`` within ``tolerance_us`` microseconds (per
+    key); rows with no right row in range are dropped (inner semantics).
+
+    The bidirectional complement of ``asof_join`` (which only looks
+    backward): pandas ``merge_asof(direction='nearest')``. Same bucketed
+    formulation as ``range_join`` — the right side explodes to its
+    bucket and both neighbors at grain = tolerance, the left side
+    equi-joins on its single bucket, so every candidate pair (which must
+    lie within one tolerance, hence one bucket of each other) meets
+    exactly once and the inequality never reaches the join condition.
+    Per-left argmin is a struct-min aggregate (map-side combinable), not
+    a window sort.
+
+    Ties (two right rows equidistant) break toward the earlier right
+    timestamp, then the smaller ``tiebreak_col``.
+    """
+    keys = list(keys)
+    right_cols = list(right_cols)
+    g = F.lit(tolerance_us).cast("long")
+
+    lb = F.floor(F.unix_micros(F.col(ts_col)) / g).cast("long")
+    l_tag = left.select("*", lb.alias("_bucket"))
+    r_tag = right.select(
+        *keys,
+        F.col(ts_col).alias("_r_ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(ts_col)) / g).cast("long") - 1,
+                F.floor(F.unix_micros(F.col(ts_col)) / g).cast("long") + 1,
+            )
+        ).alias("_bucket"),
+    )
+    dt = F.unix_micros(F.col("_r_ts")) - F.unix_micros(F.col(ts_col))
+    cand = l_tag.join(r_tag, ["_bucket", *keys]).filter(
+        F.abs(dt) <= tolerance_us
+    )
+    pick = F.min(
+        F.struct(
+            F.abs(dt).alias("_adt"),
+            F.col("_r_ts").alias("_ts"),
+            F.col(f"_r_{tiebreak_col}").alias("_tb"),
+            dt.alias("_dt"),
+            *[F.col(f"_r_{c}").alias(f"_c{i}")
+              for i, c in enumerate(right_cols)],
+        )
+    ).alias("_m")
+    grouped = cand.groupBy(*[F.col(c) for c in left.columns]).agg(pick)
+    return grouped.select(
+        *left.columns,
+        F.col("_m._ts").alias(f"{ts_col}{suffix}"),
+        F.col("_m._dt").alias(f"dt_us{suffix}"),
+        *[F.col(f"_m._c{i}").alias(f"{c}{suffix}")
+          for i, c in enumerate(right_cols)],
+    )

@@ -2463,3 +2463,73 @@ SELECT hop, count(*) AS n_users,
        max(seconds) AS max_s
 FROM melted GROUP BY hop ORDER BY hop
 """
+
+ORACLES["emb_random_projection"] = """
+WITH comp AS (
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+),
+signs AS (
+    SELECT k._k, j.pos,
+           CASE WHEN CAST(('0x' || substr(
+                    md5('rp:' || CAST(k._k AS VARCHAR) || ':'
+                        || CAST(j.pos AS VARCHAR)), 1, 1)) AS INTEGER)
+                    % 2 = 0
+                THEN 1.0 ELSE -1.0 END AS s
+    FROM (SELECT CAST(unnest(generate_series(0, 7)) AS INTEGER) AS _k) k,
+         (SELECT CAST(unnest(generate_series(0, 63)) AS INTEGER) AS pos) j
+)
+SELECT c.vec_id, s._k AS dim,
+       list_reduce(list_prepend(0.0, list_sort(list(c.v * s.s))),
+                   (acc, x) -> acc + x) / 8.0 AS value
+FROM comp c JOIN signs s ON c.pos = s.pos
+GROUP BY c.vec_id, s._k
+"""
+
+ORACLES["docs_incremental_dedup"] = """
+WITH base AS (
+    SELECT md5(text) AS content_md5, min(doc_id) AS base_doc_id
+    FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1
+),
+batch AS (
+    SELECT doc_id, md5(text) AS content_md5
+    FROM documents WHERE doc_id % 5 = 0
+),
+win AS (
+    SELECT content_md5, min(doc_id) AS batch_min FROM batch GROUP BY 1
+)
+SELECT t.doc_id, t.content_md5, b.base_doc_id,
+       (b.base_doc_id IS NULL AND t.doc_id = w.batch_min) AS is_new
+FROM batch t
+JOIN win w USING (content_md5)
+LEFT JOIN base b USING (content_md5)
+"""
+
+ORACLES["events_nearest_join"] = """
+WITH c AS (
+    SELECT event_id AS click_id, user_id, ts
+    FROM events WHERE event_type = 'click'
+),
+p AS (
+    SELECT event_id AS purchase_id, user_id, ts AS pts, value AS amount
+    FROM events WHERE event_type = 'purchase'
+),
+cand AS (
+    SELECT c.click_id, c.user_id, c.ts, p.pts, p.purchase_id, p.amount,
+           epoch_us(p.pts) - epoch_us(c.ts) AS dt_us
+    FROM c JOIN p ON c.user_id = p.user_id
+    WHERE abs(epoch_us(p.pts) - epoch_us(c.ts)) <= 300000000
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY click_id
+        ORDER BY abs(dt_us), pts, purchase_id
+    ) AS rn
+    FROM cand
+)
+SELECT click_id, user_id, ts AS click_ts, pts AS purchase_ts,
+       dt_us, purchase_id, amount
+FROM ranked WHERE rn = 1
+"""

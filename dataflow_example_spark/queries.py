@@ -2932,3 +2932,62 @@ def events_funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hop")
     )
+
+
+@query("emb_random_projection")
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection 64 -> 8 dims
+    (functions/similarity.random_projection): the distance-preserving
+    shrink applied before ANN indexing/clustering at corpus scale. Sign
+    matrix derived from md5 parity so both engines rebuild it
+    independently; long-form output (vec_id, dim, value)."""
+    return S.random_projection(load(spark, sf_dir, "embeddings"))
+
+
+@query("docs_incremental_dedup")
+def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup (functions/dedup.incremental_dedup):
+    docs with doc_id % 5 == 0 arrive as today's batch, the rest are the
+    already-ingested base; each batch doc gets its verdict (owner of its
+    fingerprint in the base, admitted or not). The daily-crawl-increment
+    shape: base participates only through its fingerprint state table."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return D.incremental_dedup(base, batch)
+
+
+@query("events_nearest_join")
+def events_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event temporal join (operators/joins.nearest_join): every
+    click is paired with the user's nearest purchase within ±5 minutes
+    (bidirectional — the merge_asof(direction='nearest') complement of
+    events_asof_join's backward-only search). Bucketed at
+    grain = tolerance so the inequality never reaches the join; argmin
+    is a struct-min aggregate, not a window sort."""
+    from .operators.joins import nearest_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("amount")
+    )
+    return nearest_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        ts_col="ts",
+        right_cols=["event_id", "amount"],
+        tolerance_us=300_000_000,
+        tiebreak_col="event_id",
+    ).select(
+        "click_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("ts_near").alias("purchase_ts"),
+        F.col("dt_us_near").alias("dt_us"),
+        F.col("event_id_near").alias("purchase_id"),
+        F.col("amount_near").alias("amount"),
+    )

@@ -383,3 +383,27 @@ def test_lsh_cap_noop_on_small_buckets(spark):
         for r in minhash_lsh_pairs(d).collect()
     }
     assert got == want
+
+
+def test_incremental_dedup_verdicts(spark):
+    from dataflow_example_spark.functions.dedup import incremental_dedup
+
+    base = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id LONG, text STRING"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha"),   # dup of base -> not new
+            (11, "gamma"),   # fresh, batch winner -> new
+            (12, "gamma"),   # fresh but loses within-batch -> not new
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["doc_id"]: (r["base_doc_id"], r["is_new"])
+        for r in incremental_dedup(base, batch).collect()
+    }
+    assert got[10] == (1, False)
+    assert got[11] == (None, True)
+    assert got[12] == (None, False)
+    assert len(got) == 3

@@ -127,3 +127,89 @@ def test_range_join_pre_epoch_timestamps(spark):
     )
     out = range_join(probe, "ts", iv, "start", "end", grain_seconds=60)
     assert [r.lid for r in out.collect()] == [1]
+
+
+# ------------------------------------------------------------- nearest_join
+
+
+def _nearest(spark, left_rows, right_rows, tol_us=60_000_000):
+    from dataflow_example_spark.operators.joins import nearest_join
+
+    out = nearest_join(
+        _left(spark, left_rows),
+        _right(spark, right_rows),
+        keys=["k"],
+        ts_col="ts",
+        right_cols=["rid", "v"],
+        tolerance_us=tol_us,
+        tiebreak_col="rid",
+    )
+    return {r["lid"]: r for r in out.collect()}
+
+
+def test_nearest_picks_smaller_abs_distance_either_direction(spark):
+    # right rows 2min before and 1min after -> the later-but-closer wins
+    got = _nearest(
+        spark,
+        [(1, "a", ts(10))],
+        [(100, "a", ts(8), 1.0), (200, "a", ts(11), 2.0)],
+        tol_us=5 * 60_000_000,
+    )
+    assert got[1]["rid_near"] == 200 and got[1]["dt_us_near"] == 60_000_000
+
+
+def test_nearest_tolerance_is_inclusive_and_outside_dropped(spark):
+    got = _nearest(
+        spark,
+        [(1, "a", ts(10)), (2, "a", ts(50))],
+        [(100, "a", ts(11), 1.0)],
+        tol_us=60_000_000,
+    )
+    # lid=1 matches at exactly the tolerance bound; lid=2 has no match
+    assert got[1]["rid_near"] == 100
+    assert 2 not in got
+
+
+def test_nearest_equidistant_tie_breaks_to_earlier_right(spark):
+    got = _nearest(
+        spark,
+        [(1, "a", ts(10))],
+        [(200, "a", ts(9), 1.0), (100, "a", ts(11), 2.0)],
+        tol_us=5 * 60_000_000,
+    )
+    assert got[1]["rid_near"] == 200 and got[1]["dt_us_near"] == -60_000_000
+
+
+def test_nearest_respects_keys(spark):
+    got = _nearest(
+        spark,
+        [(1, "a", ts(10))],
+        [(100, "b", ts(10), 1.0)],
+        tol_us=5 * 60_000_000,
+    )
+    assert got == {}
+
+
+def test_nearest_matches_naive_all_pairs(spark):
+    # bucket-edge sweep: lefts every 37s, rights every 53s; the bucketed
+    # join must agree with the O(n^2) reference on every pick
+    import datetime
+
+    tol = 90_000_000
+    lefts = [(i, "a", T0 + datetime.timedelta(seconds=37 * i)) for i in range(40)]
+    rights = [
+        (1000 + i, "a", T0 + datetime.timedelta(seconds=53 * i), float(i))
+        for i in range(40)
+    ]
+    got = _nearest(spark, lefts, rights, tol_us=tol)
+    for lid, _, lts in lefts:
+        cands = [
+            (abs(int((rts - lts).total_seconds() * 1e6)), rts, rid)
+            for rid, _, rts, _ in rights
+            if abs(int((rts - lts).total_seconds() * 1e6)) <= tol
+        ]
+        if not cands:
+            assert lid not in got
+        else:
+            want = min(cands)[2]
+            assert got[lid]["rid_near"] == want, lid

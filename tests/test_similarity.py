@@ -348,3 +348,38 @@ def test_pq_adc_self_distance_is_table_sum(spark):
         assert ranks == list(range(1, len(rs) + 1))
         ds = [r.adc_dist for r in sorted(rs, key=lambda r: r.rank)]
         assert ds == sorted(ds)
+
+
+def test_random_projection_matches_numpy_reference(spark):
+    """Basis-vector probe plus a dense vector, checked against a numpy
+    reconstruction of the md5-parity sign matrix."""
+    import hashlib
+
+    import numpy as np
+
+    from dataflow_example_spark.functions.similarity import random_projection
+
+    d = 64
+    rng = np.random.default_rng(7)
+    vecs = [
+        [1.0 if j == 5 else 0.0 for j in range(d)],  # basis e_5
+        [float(np.float32(x)) for x in rng.normal(size=d)],
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    out = random_projection(df, out_dim=8, in_dim=64)
+    got = {(r["vec_id"], r["dim"]): r["value"] for r in out.collect()}
+
+    def sign(k, j):
+        h = hashlib.md5(f"rp:{k}:{j}".encode()).hexdigest()
+        return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+    assert len(got) == 16
+    for k in range(8):
+        assert got[(0, k)] == sign(k, 5) / 8.0
+        want = sum(
+            sorted(np.float64(np.float32(vecs[1][j])) * sign(k, j) for j in range(d))
+        ) / 8.0
+        assert abs(got[(1, k)] - want) < 1e-12

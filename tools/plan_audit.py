@@ -135,6 +135,18 @@ AUDITS: dict[str, list[str]] = {
     "orders_abc_pareto": ["partial", "codegen", "pruned:2"],
     "dedup_cluster_stats": ["no_bnl"],
     "events_funnel_step_latency": ["partial", "no_bnl", "pruned:3"],
+    # JL projection: the sign matrix must broadcast (never shuffle the
+    # exploded components against it) and the dot products must partial.
+    # Its one BNL is the 8x64 constant sign-grid crossJoin (the
+    # allow-listed constant-width shape); the component join itself is
+    # asserted broadcast-hash by the 'broadcast' rule.
+    "emb_random_projection": ["broadcast", "partial", "pruned:2"],
+    # incremental dedup is two min-aggregates + hash joins on the
+    # fingerprint — no window sort, no nested loop
+    "docs_incremental_dedup": ["partial", "no_bnl", "codegen", "pruned:2"],
+    # nearest join: bucketed equi-join (hash, never BNL despite the
+    # |dt| predicate) + struct-min aggregate with map-side combine
+    "events_nearest_join": ["partial", "no_bnl", "codegen", "pruned:5"],
 }
 
 
