@@ -2533,3 +2533,35 @@ SELECT click_id, user_id, ts AS click_ts, pts AS purchase_ts,
        dt_us, purchase_id, amount
 FROM ranked WHERE rn = 1
 """
+
+ORACLES["streaming_sliding_parity"] = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+win AS (
+    SELECT e.*,
+           make_timestamp(CAST((floor(epoch(ts) / 900) * 900 - k.k * 900)
+                               * 1000000 AS BIGINT)) AS window_start
+    FROM events e, generate_series(0, 3) AS k(k)
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM win
+GROUP BY 1, 2, 3
+HAVING window_start + INTERVAL 1 HOUR <= (SELECT m FROM mx)
+"""
+
+ORACLES["streaming_join_parity"] = """
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id,
+       p.ts AS purchase_ts,
+       c.ts AS click_ts,
+       p.value AS amount
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+  AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1800 SECONDS
+"""

@@ -2991,3 +2991,61 @@ def events_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id_near").alias("purchase_id"),
         F.col("amount_near").alias("amount"),
     )
+
+
+@query("streaming_sliding_parity")
+def streaming_sliding_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-window aggregation, driver-verified end to end
+    (streaming/events.run_sliding_stream): replay the events table
+    through a parquet file-drop topic, drain a watermarked 1h/15min
+    sliding count+sum per event_type under availableNow into a parquet
+    sink, and return the sink contents. Zero watermark delay + payload
+    event time => append mode emits exactly the windows whose end <= max
+    event time, which is what the batch oracle computes."""
+    import os
+    import tempfile
+
+    from .streaming.events import run_sliding_stream
+
+    base = tempfile.mkdtemp(prefix="dfx_slide_parity_")
+    topic = os.path.join(base, "topic")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    ev = load(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(topic)
+
+    q = run_sliding_stream(
+        spark, topic, output_dir=out, checkpoint_dir=ckpt, schema=ev.schema
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out)
+
+
+@query("streaming_join_parity")
+def streaming_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream attribution join, driver-verified end to end
+    (streaming/events.run_click_purchase_join_stream): purchases pair
+    with the same user's clicks in the preceding 30 minutes, as a
+    bucketed stream-stream join (state O(rate x interval) per side)
+    drained under availableNow. Inner matches emit without waiting on
+    the watermark, so the sink equals the batch inequality join the
+    oracle runs."""
+    import os
+    import tempfile
+
+    from .streaming.events import run_click_purchase_join_stream
+
+    base = tempfile.mkdtemp(prefix="dfx_join_parity_")
+    topic = os.path.join(base, "topic")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    ev = load(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(topic)
+
+    q = run_click_purchase_join_stream(
+        spark, topic, output_dir=out, checkpoint_dir=ckpt, schema=ev.schema
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out)

@@ -1,0 +1,170 @@
+"""Streaming legs of the events analytics family (beyond-reference;
+the reference's only streaming op is the traffic source/sink pair,
+TrafficMaxLaneFlow.java:375-379 — these extend the same unified
+batch/streaming contract to sliding windows and stream-stream joins).
+
+Both runners follow the file-drop-topic parity shape proven by
+``streaming.traffic.run_traffic_stream``: a parquet topic directory is
+drained under ``availableNow`` into a checkpointed parquet sink, and the
+sink contents are compared against the batch definition by the driver's
+DuckDB oracle — streaming correctness enters the correctness gate rather
+than living only in pytest.
+
+Scale notes:
+
+- The sliding aggregate's state is one row per (open window, group key);
+  the watermark evicts windows as event time passes them. Append mode
+  emits a window exactly once, when the watermark crosses its end.
+- The interval join's state is O(rate x interval) per side (the bucketed
+  formulation of ``streaming.joins.stream_interval_join``); matches emit
+  as soon as both rows have arrived (inner-join semantics do not wait on
+  the watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,6)"
+
+
+def sliding_agg_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Watermarked sliding-window count/sum per key — the unbounded twin
+    of ``operators.windows.sliding_agg``. The sum goes through exact
+    DECIMAL so emission order cannot perturb the float result."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_sliding_stream(
+    spark,
+    topic_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema,
+    available_now: bool = True,
+):
+    """Drain a parquet file-drop topic through ``sliding_agg_stream``
+    into a parquet sink. With a zero watermark delay and payload event
+    time, append mode emits exactly the windows whose end <= the final
+    watermark (= max event time) — the subset the batch oracle computes.
+    """
+    stream = spark.readStream.schema(schema).parquet(topic_dir)
+    out = sliding_agg_stream(stream)
+    writer = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_click_purchase_join_stream(
+    spark,
+    topic_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema,
+    interval_seconds: int = 1800,
+    watermark: str = "1 day",
+    available_now: bool = True,
+):
+    """Stream-stream attribution join: every purchase pairs with the
+    same user's clicks in the preceding ``interval_seconds``. Two reads
+    of the same topic (Spark plans them as independent sources), joined
+    by the bucketed ``stream_interval_join``. Inner matches emit without
+    waiting on the watermark, so the drained sink equals the batch
+    inequality join; the generous watermark only bounds state and is
+    irrelevant to a pre-written topic drained in one availableNow batch.
+    """
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(topic_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("amount"),
+        )
+    )
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(topic_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    # Same bucketed formulation as streaming.joins.stream_interval_join,
+    # inlined so the user-equality predicate joins under distinct column
+    # names: every equality (bucket AND user) must live in the join
+    # condition itself — Spark keys the stream-stream state store on the
+    # extracted equi-predicates, so filtering on user AFTER the join
+    # would leave state (and match fan-out) keyed on the time bucket
+    # alone, all users colliding in one key.
+    g = F.lit(interval_seconds).cast("long")
+    l = purchases.withWatermark("purchase_ts", watermark).withColumn(
+        "_bucket",
+        F.floor(F.unix_timestamp(F.col("purchase_ts")) / g).cast("long"),
+    )
+    b_start = F.floor(F.unix_timestamp(F.col("click_ts")) / g).cast("long")
+    b_end = F.floor(
+        (F.unix_timestamp(F.col("click_ts")) + interval_seconds) / g
+    ).cast("long")
+    r = clicks.withWatermark("click_ts", watermark).withColumn(
+        "_bucket", F.explode(F.sequence(b_start, b_end))
+    )
+    cond = (
+        (l["_bucket"] == r["_bucket"])
+        & (l["user_id"] == r["c_user_id"])
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts")
+            + F.expr(f"INTERVAL {interval_seconds} SECONDS")
+        )
+    )
+    out = l.join(r, cond).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        "purchase_ts",
+        "click_ts",
+        "amount",
+    )
+    writer = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

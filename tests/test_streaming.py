@@ -822,3 +822,46 @@ def test_streaming_dedup_parity_matches_batch_distinct(spark):
     }
     assert len(rows) == len(want)  # no dup survived, none lost
     assert {(r.content_md5, r.n_chars) for r in rows} == want
+
+
+def test_stream_join_boundaries_and_user_isolation(spark, tmp_path):
+    """Click/purchase stream-stream join edges: a purchase exactly at
+    click_ts joins (inclusive), one at click_ts + interval does not
+    (exclusive), other users' clicks never match."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from dataflow_example_spark.streaming.events import (
+        run_click_purchase_join_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, t0, 10, "click", 0.0, "{}"),
+        (2, t0, 10, "purchase", 5.0, "{}"),                        # dt=0 in
+        (3, t0 + dt.timedelta(seconds=1799), 10, "purchase", 6.0, "{}"),
+        (4, t0 + dt.timedelta(seconds=1800), 10, "purchase", 7.0, "{}"),
+        (5, t0 + dt.timedelta(seconds=5), 99, "purchase", 8.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    topic = str(tmp_path / "topic")
+    ev.coalesce(1).write.mode("overwrite").parquet(topic)
+    q = run_click_purchase_join_stream(
+        spark,
+        topic,
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        schema=ev.schema,
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {(2, 1), (3, 1)}
