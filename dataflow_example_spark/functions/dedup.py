@@ -801,3 +801,47 @@ def incremental_dedup(
             ).alias("is_new"),
         )
     )
+
+
+def substring_dup_pairs(
+    docs: DataFrame,
+    length: int = 30,
+    stride: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication candidates: document pairs sharing at
+    least one aligned ``length``-char shingle sampled every ``stride``
+    chars. The cheap detector for copied passages that whole-document
+    fingerprints miss (a doc quoting another shares shingles but not its
+    md5) — the hash-join relaxation of suffix-array substring dedup:
+    stride-sampling bounds fan-out at length/stride shingles per char
+    window, trading recall for a fixed cost per document.
+
+    One explode (n_chars/stride rows per doc), one hash self-join on the
+    shingle value, one count aggregate per pair. Output: (doc_a < doc_b,
+    n_shared) — n_shared counts distinct shared (a_pos-aligned) shingle
+    values, not occurrences, so repeated boilerplate inside one doc
+    cannot inflate the pair.
+    """
+    sh = (
+        docs.filter(F.length(F.col(text_col)) >= length)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {length - 1},"
+                    f" {stride}), p -> substring({text_col}, p, {length}))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -2565,3 +2565,47 @@ JOIN events c
 WHERE p.event_type = 'purchase' AND c.event_type = 'click'
   AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1800 SECONDS
 """
+
+
+ORACLES["events_ewma"] = """
+WITH ranked AS (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+),
+tail AS (SELECT * FROM ranked WHERE rn <= 20)
+SELECT user_id,
+       count(*) AS n_used,
+       CAST(sum(CAST(value AS DECIMAL(18,6))
+                * CAST(power(2.0, 20 - rn) AS DECIMAL(18,0))) AS DOUBLE)
+       / CAST(sum(CAST(power(2.0, 20 - rn) AS DECIMAL(18,0))) AS DOUBLE)
+           AS ewma_value
+FROM tail GROUP BY user_id
+"""
+
+ORACLES["text_substring_dup"] = """
+WITH sh AS (
+    SELECT DISTINCT doc_id,
+           substr(text, CAST(p AS INTEGER), 30) AS shingle
+    FROM documents,
+         unnest(generate_series(1, length(text) - 29, 10)) AS t(p)
+    WHERE length(text) >= 30
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+ORACLES["docs_cluster_balanced_sample"] = f"""
+WITH assign AS ({ORACLES["sim_kmeans_assign"]}),
+ranked AS (
+    SELECT cluster, vec_id,
+           row_number() OVER (
+               PARTITION BY cluster
+               ORDER BY md5('cbs:' || CAST(vec_id AS VARCHAR)), vec_id
+           ) AS samp_rank
+    FROM assign
+)
+SELECT cluster, vec_id, samp_rank FROM ranked WHERE samp_rank <= 5
+"""

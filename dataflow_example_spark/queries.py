@@ -3049,3 +3049,62 @@ def streaming_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(600)
     return spark.read.parquet(out)
+
+
+@query("events_ewma")
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted recent value per user (half-life = one
+    event): over each user's 20 most recent events, weight 2^(20-rank)
+    and divide weighted sum by weight sum. Weights are integral powers
+    of two and values go through DECIMAL, so both aggregates are exact
+    and the single final double division is IEEE-identical across
+    engines. One window rank per user (state bounded by the per-user
+    tail, not history) + one aggregate."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    tail = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+    )
+    wgt = F.pow(F.lit(2.0), 20 - F.col("rn")).cast("decimal(18,0)")
+    return tail.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_used"),
+        (
+            F.sum(dec("value") * wgt).cast("double")
+            / F.sum(wgt).cast("double")
+        ).alias("ewma_value"),
+    )
+
+
+@query("text_substring_dup")
+def text_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copied-passage candidates (functions/dedup.substring_dup_pairs):
+    document pairs sharing >= 1 aligned 30-char stride-10 shingle — the
+    fixed-cost hash-join relaxation of suffix-array substring dedup."""
+    return D.substring_dup_pairs(load(spark, sf_dir, "documents"))
+
+
+@query("docs_cluster_balanced_sample")
+def docs_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subset: spherical k-means assignment
+    (functions/similarity.kmeans_assign, the sim_kmeans_assign contract)
+    followed by a deterministic md5-ranked quota of 5 vectors per
+    cluster — semantic-diversity sampling, the embedding-space
+    complement of docs_cap_per_source's per-domain quota."""
+    from pyspark.sql.window import Window
+
+    assign = S.kmeans_assign(load(spark, sf_dir, "embeddings"))
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.concat_ws(":", F.lit("cbs"), F.col("vec_id"))),
+        F.col("vec_id"),
+    )
+    return (
+        assign.withColumn("samp_rank", F.row_number().over(w))
+        .filter(F.col("samp_rank") <= 5)
+        .select("cluster", "vec_id", "samp_rank")
+    )

@@ -407,3 +407,33 @@ def test_incremental_dedup_verdicts(spark):
     assert got[11] == (None, True)
     assert got[12] == (None, False)
     assert len(got) == 3
+
+
+def test_substring_dup_pairs_alignment_and_dedup(spark):
+    from dataflow_example_spark.functions.dedup import substring_dup_pairs
+
+    shared = "X" * 5 + "the quick brown fox jumps over lazy." + "Y" * 20
+    docs = spark.createDataFrame(
+        [
+            # doc 1 and 2 share a 30-char run starting at a stride
+            # position in both (positions 1, 11, 21, ...)
+            (1, "a" * 10 + "0123456789012345678901234567890123456789"),
+            (2, "b" * 20 + "0123456789012345678901234567890123456789"),
+            (3, "z" * 60),            # no overlap with anyone
+            (4, "short"),             # below min length -> dropped
+            (5, "c" * 10 + "0123456789012345678901234567890123456789"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in substring_dup_pairs(docs).collect()
+    }
+    # the 40-char digit run starts at 11 in doc1/doc5 and 21 in doc2 —
+    # all stride positions, so its aligned shingles match pairwise
+    assert (1, 2) in got and (1, 5) in got and (2, 5) in got
+    assert all(a != 3 and b != 3 for a, b in got)
+    assert all(a != 4 and b != 4 for a, b in got)
+    # within-doc repetition cannot inflate: doc3 vs itself is excluded
+    # by a < b, and counts are over DISTINCT shingle values
+    assert got[(1, 5)] == got[(1, 2)]

@@ -147,6 +147,11 @@ AUDITS: dict[str, list[str]] = {
     # nearest join: bucketed equi-join (hash, never BNL despite the
     # |dt| predicate) + struct-min aggregate with map-side combine
     "events_nearest_join": ["partial", "no_bnl", "codegen", "pruned:5"],
+    # ewma: one bounded window rank + partial-aggregated weighted sum
+    "events_ewma": ["partial", "codegen", "no_bnl", "pruned:4"],
+    # substring dup: shingle self-join must stay a hash join with
+    # map-side distinct before the exchange
+    "text_substring_dup": ["no_bnl", "pruned:2"],
 }
 
 
