@@ -2609,3 +2609,120 @@ ranked AS (
 )
 SELECT cluster, vec_id, samp_rank FROM ranked WHERE samp_rank <= 5
 """
+
+ORACLES["events_point_in_time_join"] = """
+WITH base AS (
+    SELECT user_id, event_type, ts, event_id
+    FROM events WHERE event_type <> 'purchase'
+),
+isl AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id)
+         - row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS g
+    FROM base
+),
+runs AS (
+    SELECT user_id, event_type AS state_type, min(ts) AS ts,
+           count(*) AS run_events
+    FROM isl GROUP BY user_id, event_type, g
+),
+ded AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, ts
+            ORDER BY state_type DESC, run_events DESC) AS rn
+        FROM runs
+    ) WHERE rn = 1
+),
+p AS (
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           value AS amount
+    FROM events WHERE event_type = 'purchase'
+),
+cand AS (
+    SELECT p.*, r.state_type, r.ts AS state_since, r.run_events,
+           row_number() OVER (
+               PARTITION BY p.purchase_id
+               ORDER BY r.ts DESC NULLS LAST) AS rn
+    FROM p LEFT JOIN ded r
+      ON r.user_id = p.user_id AND r.ts <= p.purchase_ts
+)
+SELECT purchase_id, user_id, purchase_ts, amount,
+       state_type, state_since, run_events
+FROM cand WHERE rn = 1
+"""
+
+ORACLES["events_rolling_active_users"] = """
+WITH uh AS (
+    SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events
+),
+mx AS (SELECT date_trunc('hour', max(ts)) AS m FROM events),
+fan AS (
+    SELECT user_id,
+           unnest(generate_series(
+               h,
+               least(h + INTERVAL 23 HOURS, (SELECT m FROM mx)),
+               INTERVAL 1 HOUR)) AS report_hour
+    FROM uh
+)
+SELECT report_hour, count(DISTINCT user_id) AS active_users_24h
+FROM fan GROUP BY 1
+"""
+
+ORACLES["events_psi_drift"] = """
+WITH tagged AS (
+    SELECT event_type,
+           least(greatest(CAST(floor(value / 50) AS INTEGER), 0), 9)
+               AS bucket,
+           (day(ts) <= 15) AS in_a
+    FROM events
+),
+counts AS (
+    SELECT event_type, bucket,
+           sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS na,
+           sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS nb
+    FROM tagged GROUP BY 1, 2
+),
+tot AS (
+    SELECT event_type, sum(na) AS ta, sum(nb) AS tb
+    FROM counts GROUP BY 1
+),
+terms AS (
+    SELECT c.event_type,
+           (CAST(na + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)
+            - CAST(nb + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))
+           * (ln(CAST(na + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE))
+              - ln(CAST(nb + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE)))
+               AS term
+    FROM counts c JOIN tot USING (event_type)
+)
+SELECT event_type,
+       CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS psi
+FROM terms GROUP BY event_type
+"""
+
+ORACLES["emb_norm_outliers"] = """
+WITH norms AS (
+    SELECT vec_id, label,
+           sqrt(list_reduce(
+               list_prepend(0.0, list_sort(
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> x * x))),
+               (acc, x) -> acc + x)) AS norm
+    FROM embeddings
+),
+stats AS (
+    SELECT label,
+           list_reduce(list_prepend(0.0, list_sort(list(norm))),
+                       (acc, x) -> acc + x) / count(*) AS mean_norm,
+           list_reduce(list_prepend(0.0, list_sort(list(norm * norm))),
+                       (acc, x) -> acc + x) / count(*) AS m2
+    FROM norms GROUP BY label
+)
+SELECT vec_id, n.label, norm,
+       (norm - mean_norm) / sqrt(m2 - mean_norm * mean_norm) AS z
+FROM norms n JOIN stats USING (label)
+WHERE abs((norm - mean_norm) / sqrt(m2 - mean_norm * mean_norm)) > 2
+"""

@@ -3108,3 +3108,178 @@ def docs_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("samp_rank") <= 5)
         .select("cluster", "vec_id", "samp_rank")
     )
+
+
+@query("events_point_in_time_join")
+def events_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) fact-to-dimension join: SCD-2 state history is
+    derived from the non-purchase event stream (same gaps-and-islands
+    shape as events_scd2_intervals), then each purchase is joined to the
+    state run in effect at its timestamp via the as-of machinery
+    (operators/joins.asof_join — one exchange, no inequality nested
+    loop). The ML-feature-store correctness primitive: features must be
+    read as of the fact's event time, never the current version."""
+    from pyspark.sql.window import Window
+
+    from .operators.joins import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    runs = (
+        base.withColumn(
+            "_isl", F.row_number().over(w_all) - F.row_number().over(w_typ)
+        )
+        .groupBy("user_id", "event_type", "_isl")
+        .agg(F.min("ts").alias("ts"), F.count(F.lit(1)).alias("run_events"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state_type"),
+            "ts",
+            "run_events",
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("amount"),
+    )
+    return asof_join(
+        purchases,
+        runs,
+        keys=["user_id"],
+        ts_col="ts",
+        right_cols=["state_type", "run_events"],
+        tiebreak_col="state_type",
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "amount",
+        F.col("state_type_asof").alias("state_type"),
+        F.col("ts_asof").alias("state_since"),
+        F.col("run_events_asof").alias("run_events"),
+    )
+
+
+@query("events_rolling_active_users")
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h distinct active users per hour, decomposed for scale:
+    distinct (user, hour) pairs each fan out to the 24 report hours they
+    support (map-side explode), then one distinct-count per report hour —
+    no 24-hour window state, no per-hour rescans. Report hours are
+    clamped to the data's max event hour (1-row broadcast scalar)."""
+    ev = load(spark, sf_dir, "events")
+    uh = ev.select(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).distinct()
+    mx = ev.agg(F.date_trunc("hour", F.max("ts")).alias("_mx"))
+    fan = uh.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("h"),
+                F.least(
+                    F.col("h") + F.expr("INTERVAL 23 HOURS"), F.col("_mx")
+                ),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("report_hour"),
+    )
+    return fan.groupBy("report_hour").agg(
+        F.count_distinct("user_id").alias("active_users_24h")
+    )
+
+
+@query("events_psi_drift")
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor per event_type: value
+    distributions of the first half of the month (days 1-15) vs the
+    rest, over 10 fixed-width buckets (floor(value/50) clamped), with
+    add-one smoothing so empty buckets stay finite.
+    PSI = Σ (p_a - p_b)·ln(p_a/p_b) — the standard feature-drift gate a
+    training pipeline runs before ingesting a new dump. Two scans'
+    worth of partial counts in one grouped aggregate; bucket
+    probabilities are exact decimals, only the final ln/multiply is
+    float."""
+    ev = load(spark, sf_dir, "events")
+    b = F.least(
+        F.greatest(F.floor(F.col("value") / 50).cast("int"), F.lit(0)),
+        F.lit(9),
+    )
+    tagged = ev.select(
+        "event_type",
+        b.alias("bucket"),
+        (F.dayofmonth("ts") <= 15).alias("_in_a"),
+    )
+    counts = tagged.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("_in_a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~F.col("_in_a"), 1).otherwise(0)).alias("nb"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    # probabilities as exact-integer -> double division (IEEE-identical
+    # across engines; decimal division would round at engine-specific
+    # quotient scales)
+    pa = (F.col("na") + 1).cast("double") / (F.col("ta") + 10).cast("double")
+    pb = (F.col("nb") + 1).cast("double") / (F.col("tb") + 10).cast("double")
+    return (
+        counts.join(tot, "event_type")
+        .select(
+            "event_type",
+            ((pa - pb) * (F.log(pa) - F.log(pb))).alias("_term"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("_term").cast(DEC)).cast("double").alias("psi")
+        )
+    )
+
+
+@query("emb_norm_outliers")
+def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-hygiene gate: vectors whose L2 norm sits more than 2
+    standard deviations from their label's mean norm (broken encoders
+    and zero-pads show up here first). Norms and per-label moments use
+    the pinned-fold trick (sorted sequential double folds) so both
+    engines agree bit-exactly; the per-label collect is the
+    label_centroids tradeoff — swap to plain double sums + tolerance
+    oracle at extreme label cardinality."""
+    emb = load(spark, sf_dir, "embeddings")
+    sq_fold = F.aggregate(
+        F.sort_array(
+            F.transform(
+                F.col("embedding"),
+                lambda x: x.cast("double") * x.cast("double"),
+            )
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    norms = emb.select(
+        "vec_id", "label", F.sqrt(sq_fold).alias("norm")
+    )
+    fold = lambda c: F.aggregate(  # noqa: E731
+        F.sort_array(F.collect_list(c)), F.lit(0.0), lambda a, x: a + x
+    )
+    stats = norms.groupBy("label").agg(
+        (fold(F.col("norm")) / F.count(F.lit(1))).alias("mean_norm"),
+        (fold(F.col("norm") * F.col("norm")) / F.count(F.lit(1))).alias(
+            "_m2"
+        ),
+    )
+    z = (F.col("norm") - F.col("mean_norm")) / F.sqrt(
+        F.col("_m2") - F.col("mean_norm") * F.col("mean_norm")
+    )
+    return (
+        norms.join(F.broadcast(stats), "label")
+        .select("vec_id", "label", "norm", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2)
+    )

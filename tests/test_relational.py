@@ -491,3 +491,36 @@ def test_cluster_stats_counts_match_survivorship(spark):
     multi = sum(len(m) for m in by_cluster.values() if len(m) >= 2)
     assert all(r.cluster_size >= 2 for r in stats)
     assert clustered_docs == multi
+
+
+def test_rolling_active_users_fanout_and_clamp(spark):
+    """A user active in one hour supports the next 23 report hours, but
+    report hours never pass the data's max event hour."""
+    import datetime as dt
+
+    from dataflow_example_spark import queries as Q
+    import pyspark.sql.functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30, 0)
+    rows = [
+        (1, t0, 7, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(hours=5), 8, "view", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="dfx_rolling_")
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {
+        r["report_hour"]: r["active_users_24h"]
+        for r in Q.QUERIES["events_rolling_active_users"](spark, d).collect()
+    }
+    h0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # only hours 0..5 exist (clamped at max event hour 05:00)
+    assert min(out) == h0 and max(out) == h0 + dt.timedelta(hours=5)
+    assert out[h0] == 1                       # only user 7 so far
+    assert out[h0 + dt.timedelta(hours=5)] == 2   # both within 24h
+    assert len(out) == 6

@@ -152,6 +152,13 @@ AUDITS: dict[str, list[str]] = {
     # substring dup: shingle self-join must stay a hash join with
     # map-side distinct before the exchange
     "text_substring_dup": ["no_bnl", "pruned:2"],
+    # PIT join: one union-window exchange via asof machinery, no BNL
+    "events_point_in_time_join": ["partial", "no_bnl", "codegen", "pruned:5"],
+    # rolling actives: map-side distinct + explode; the max-hour scalar
+    # is the allow-listed 1-row broadcast
+    "events_rolling_active_users": ["partial", "codegen", "pruned:2"],
+    "events_psi_drift": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "emb_norm_outliers": ["broadcast", "partial", "no_bnl", "pruned:3"],
 }
 
 
