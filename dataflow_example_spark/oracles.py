@@ -2726,3 +2726,99 @@ SELECT vec_id, n.label, norm,
 FROM norms n JOIN stats USING (label)
 WHERE abs((norm - mean_norm) / sqrt(m2 - mean_norm * mean_norm)) > 2
 """
+
+
+ORACLES["docs_bloom_decontaminate"] = f"""
+WITH {_TOKS_CTE},
+fp AS (
+    SELECT doc_id, md5(array_to_string(t[1:12], ' ')) AS f,
+           CASE WHEN {_bucket_sql("split")} < 2000
+                THEN 'test' ELSE 'train' END AS split
+    FROM toks
+),
+ev AS (
+    SELECT f, count(*) AS n_eval_matches, min(doc_id) AS first_eval_doc
+    FROM fp WHERE split = 'test' GROUP BY f
+)
+SELECT fp.doc_id AS train_doc_id, n_eval_matches, first_eval_doc
+FROM fp JOIN ev ON fp.f = ev.f
+WHERE fp.split = 'train'
+"""
+
+
+# the Morton interleave is generated by the same helper the Spark plan
+# uses, so both engines evaluate the literally-identical bit formula
+from .functions.layout import zorder_value_sql as _zsql
+
+ORACLES["events_zorder_layout"] = f"""
+WITH d AS (
+    SELECT CAST(user_id % 1024 AS BIGINT) AS _d1,
+           CAST((day(ts) - 1) * 24 + hour(ts) AS BIGINT) AS _d2
+    FROM events
+),
+z AS (SELECT _d1, _d2, ({_zsql("_d1", "_d2", 10)}) AS _z FROM d)
+SELECT (_z >> 14) AS file_id,
+       count(*) AS n_rows,
+       min(_d1) AS min_user_bucket, max(_d1) AS max_user_bucket,
+       min(_d2) AS min_hour, max(_d2) AS max_hour
+FROM z GROUP BY 1
+"""
+
+
+ORACLES["orders_join_skew_report"] = """
+WITH per_key AS (
+    SELECT o_custkey, count(*) AS n_rows FROM orders GROUP BY 1
+),
+tot AS (SELECT sum(n_rows) AS _total, count(*) AS _keys FROM per_key)
+SELECT o_custkey, n_rows,
+       CAST(n_rows AS DOUBLE) * 100.0 / CAST(_total AS DOUBLE)
+           AS pct_of_rows,
+       CAST(floor((n_rows * _keys + _total - 1) / _total) AS BIGINT)
+           AS salt_factor
+FROM per_key, tot
+ORDER BY n_rows DESC, o_custkey
+LIMIT 10
+"""
+
+
+ORACLES["docs_ngram_dup_rate"] = f"""
+WITH {_SHINGLES_CTE}
+SELECT d.source,
+       count(*) AS total_shingles,
+       count(DISTINCT sh.shingle) AS distinct_shingles,
+       1.0 - CAST(count(DISTINCT sh.shingle) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS dup_rate
+FROM sh JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+ORACLES["events_arrival_lateness"] = f"""
+WITH arr AS (
+    SELECT event_id, event_type, ts,
+           ts + to_seconds({_bucket_sql("lat", "event_id")} % 30)
+               AS arrival_ts
+    FROM events
+),
+traced AS (
+    SELECT event_type, ts,
+           max(ts) OVER (ORDER BY arrival_ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS wm
+    FROM arr
+),
+l AS (
+    SELECT event_type,
+           greatest(0, coalesce(epoch_us(wm) - epoch_us(ts), 0))
+               AS _late_us
+    FROM traced
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN _late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_late,
+       CAST(sum(CASE WHEN _late_us > 10000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped_10s,
+       max(_late_us) AS max_late_us
+FROM l GROUP BY 1
+"""

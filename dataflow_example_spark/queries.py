@@ -3283,3 +3283,189 @@ def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "norm", z.alias("z"))
         .filter(F.abs(F.col("z")) > 2)
     )
+
+
+@query("docs_bloom_decontaminate")
+def docs_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned decontamination: train-split documents whose 12-token
+    prefix fingerprint collides with the eval (test) split — the same
+    audit as docs_split_decontamination from the train side, but the
+    corpus scan is pre-pruned by a Bloom filter built from the eval
+    fingerprints (functions/bloom.py), so at 100 TB only ~fpr x N rows
+    plus true collisions ever reach the join shuffle instead of the
+    whole corpus. Candidates are exactly verified by the final join, so
+    the bloom affects cost only, never results (the oracle is the plain
+    exact join)."""
+    from .functions.bloom import bloom_build, bloom_filter_candidates
+    from .functions.sampling import train_test_split
+    from .functions.text import fingerprint
+
+    docs = load(spark, sf_dir, "documents")
+    fp = fingerprint(docs, prefix_tokens=12).join(
+        train_test_split(docs, "doc_id", test_fraction=0.2).select(
+            "doc_id", "split"
+        ),
+        "doc_id",
+    )
+    eval_fp = fp.filter(F.col("split") == "test")
+    words = bloom_build(eval_fp, "fingerprint_md5")
+    candidates = bloom_filter_candidates(
+        fp.filter(F.col("split") == "train"), "fingerprint_md5", words
+    ).filter(F.col("_bloom_hit"))
+    eval_agg = eval_fp.groupBy("fingerprint_md5").agg(
+        F.count(F.lit(1)).alias("n_eval_matches"),
+        F.min("doc_id").alias("first_eval_doc"),
+    )
+    return (
+        candidates.select(
+            F.col("doc_id").alias("train_doc_id"), "fingerprint_md5"
+        )
+        .join(F.broadcast(eval_agg), "fingerprint_md5")
+        .select("train_doc_id", "n_eval_matches", "first_eval_doc")
+    )
+
+
+@query("events_zorder_layout")
+def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order file-layout audit: interleave (user_id bucket, hour-of-
+    month) into a Morton key, assign 64 target files by its high bits,
+    and report each file's zone map (min/max of both dimensions). Tight
+    per-file ranges are what make parquet row-group skipping work on
+    BOTH predicates at 100 TB — writing the layout is the same plan with
+    repartitionByRange(zvalue).sortWithinPartitions, so this audit is
+    the measurable half of OPTIMIZE ZORDER (functions/layout.py)."""
+    from .functions.layout import zorder_value
+
+    ev = load(spark, sf_dir, "events")
+    d1 = F.pmod(F.col("user_id"), F.lit(1024))
+    d2 = (F.dayofmonth("ts") - 1) * 24 + F.hour("ts")
+    z = zorder_value(d1, d2, bits=10)
+    return (
+        ev.select(
+            d1.alias("_d1"), d2.alias("_d2"), z.alias("_z")
+        )
+        .select(
+            "_d1", "_d2", F.shiftright(F.col("_z"), 14).alias("file_id")
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_d1").alias("min_user_bucket"),
+            F.max("_d1").alias("max_user_bucket"),
+            F.min("_d2").alias("min_hour"),
+            F.max("_d2").alias("max_hour"),
+        )
+    )
+
+
+@query("orders_join_skew_report")
+def orders_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew diagnostic on orders.o_custkey: the 10 heaviest keys
+    with their share of the table and the salting factor a skewed join
+    would need (ceil(key_rows * n_keys / total_rows) — how many times
+    above the mean the key sits). At scale this is the query you run
+    BEFORE the big join to decide between AQE skew handling and explicit
+    salting; one groupBy plus a tiny top-k, no wide shuffle."""
+    orders = load(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = per_key.agg(
+        F.sum("n_rows").alias("_total"), F.count(F.lit(1)).alias("_keys")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .orderBy(F.desc("n_rows"), "o_custkey")
+        .limit(10)
+        .select(
+            "o_custkey",
+            "n_rows",
+            (
+                F.col("n_rows").cast("double")
+                * 100.0
+                / F.col("_total").cast("double")
+            ).alias("pct_of_rows"),
+            F.floor(
+                (
+                    F.col("n_rows") * F.col("_keys")
+                    + F.col("_total")
+                    - 1
+                )
+                / F.col("_total")
+            ).alias("salt_factor"),
+        )
+    )
+
+
+@query("docs_ngram_dup_rate")
+def docs_ngram_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplication health per source: of all (doc, 3-gram
+    shingle) occurrences, what fraction are repeats of a shingle already
+    seen in another document of the same source (1 - distinct/total —
+    the Gopher-style corpus dup-rate that decides whether a crawl dump
+    needs fuzzy dedup before mixing). One explode + one grouped
+    aggregate; count_distinct is the only wide state and is bounded by
+    the shingle vocabulary, which grows sub-linearly in corpus size."""
+    from .functions.dedup import shingles
+
+    docs = load(spark, sf_dir, "documents")
+    sh = shingles(docs, k=3).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return sh.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_shingles"),
+        F.count_distinct("shingle").alias("distinct_shingles"),
+        (
+            F.lit(1.0)
+            - F.count_distinct("shingle").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_rate"),
+    )
+
+
+@query("events_arrival_lateness")
+def events_arrival_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing audit: replay events in simulated arrival order
+    (arrival = ts + md5-derived 0-29 s network delay, engine-portable)
+    and measure each event's lateness against the running max event time
+    of everything that arrived before it — exactly the quantity a
+    Structured Streaming watermark must exceed to avoid dropping the
+    event. Per event_type: arrivals, late arrivals, would-be drops at a
+    10 s watermark, and the max observed lateness. The sequential
+    running max uses the range-partitioned two-pass prefix scan
+    (functions/diagnostics.py), so global arrival order costs one range
+    exchange, not one task."""
+    from .functions.diagnostics import running_prefix_max
+    from .functions.sampling import hash_bucket
+
+    ev = load(spark, sf_dir, "events")
+    delay = hash_bucket(F.col("event_id"), "lat") % 30
+    arr = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.timestamp_add("SECOND", delay.cast("int"), F.col("ts")).alias(
+            "arrival_ts"
+        ),
+    )
+    traced = running_prefix_max(
+        arr, ["arrival_ts", "event_id"], "ts", out_col="wm"
+    )
+    late_us = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.unix_micros(F.col("wm")) - F.unix_micros(F.col("ts")),
+    )
+    return (
+        traced.select(
+            "event_type", late_us.alias("_late_us")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("_late_us") > 0).cast("bigint")).alias("n_late"),
+            F.sum(
+                (F.col("_late_us") > 10_000_000).cast("bigint")
+            ).alias("n_dropped_10s"),
+            F.max("_late_us").alias("max_late_us"),
+        )
+    )

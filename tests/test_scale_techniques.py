@@ -1,0 +1,135 @@
+"""Bloom join pruning, Z-order layout, and prefix-scan diagnostics.
+
+These operators exist for 100 TB behavior; the tests pin the properties
+that make them safe to rely on at that scale: the bloom filter has ZERO
+false negatives (pruning never changes results), the Morton interleave
+is a bijection on its bit domain (zone maps stay meaningful), and the
+range-partitioned running max equals the naive single-task window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataflow_example_spark.functions.bloom import (
+    bloom_build,
+    bloom_filter_candidates,
+    bloom_semi_join,
+)
+from dataflow_example_spark.functions.diagnostics import running_prefix_max
+from dataflow_example_spark.functions.layout import (
+    zorder_value,
+    zorder_value_sql,
+)
+from dataflow_example_spark.tables import load
+
+from tests.conftest import SF_SMOKE
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every key inserted at build time must probe positive."""
+    small = spark.range(0, 500).select(
+        F.md5(F.col("id").cast("string")).alias("k")
+    )
+    words = bloom_build(small, "k")
+    probed = bloom_filter_candidates(small, "k", words)
+    assert probed.filter(~F.col("_bloom_hit")).count() == 0
+
+
+def test_bloom_prunes_most_non_members(spark):
+    """Disjoint keys should overwhelmingly fail the probe (fpr << 1);
+    with m=2^17 / k=5 / 500 keys the expected fpr is ~1e-8, so even one
+    hundred false positives among 20k would flag a broken hash path."""
+    small = spark.range(0, 500).select(
+        F.md5(F.col("id").cast("string")).alias("k")
+    )
+    big = spark.range(10_000, 30_000).select(
+        F.md5(F.col("id").cast("string")).alias("k")
+    )
+    words = bloom_build(small, "k")
+    hits = (
+        bloom_filter_candidates(big, "k", words)
+        .filter(F.col("_bloom_hit"))
+        .count()
+    )
+    assert hits < 100
+
+
+def test_bloom_semi_join_exact(spark):
+    """bloom_semi_join == plain left-semi join, row for row."""
+    docs = load(spark, SF_SMOKE, "documents")
+    big = docs.select(F.col("doc_id"), F.col("lang"))
+    small = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    got = sorted(
+        r["doc_id"] for r in bloom_semi_join(big, small, "doc_id").collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in big.join(small, "doc_id", "left_semi").collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_zorder_bijective_and_bounded(spark):
+    """The interleave of 10+10 bits is a bijection into [0, 2^20)."""
+    df = spark.range(0, 1 << 10).select(
+        (F.col("id") % 32).alias("d1"), (F.col("id") / 32).cast("int").alias("d2")
+    )
+    z = df.select(
+        "d1", "d2", zorder_value(F.col("d1"), F.col("d2"), 10).alias("z")
+    )
+    rows = z.collect()
+    zs = {r["z"] for r in rows}
+    assert len(zs) == len(rows)  # injective on distinct (d1, d2)
+    assert all(0 <= r["z"] < (1 << 20) for r in rows)
+    # locality sanity: interleave of (d1, d2) decodes back bit-by-bit
+    for r in rows[:64]:
+        d1 = sum(((r["z"] >> (2 * b + 1)) & 1) << b for b in range(10))
+        d2 = sum(((r["z"] >> (2 * b)) & 1) << b for b in range(10))
+        assert (d1, d2) == (r["d1"], r["d2"])
+
+
+def test_zorder_sql_matches_spark(spark):
+    """The oracle-side SQL formula is the same function."""
+    import duckdb
+
+    df = spark.range(0, 256).select(
+        (F.col("id") % 16).alias("d1"),
+        (F.col("id") / 16).cast("bigint").alias("d2"),
+    )
+    got = {
+        (r["d1"], r["d2"]): r["z"]
+        for r in df.select(
+            "d1", "d2", zorder_value(F.col("d1"), F.col("d2"), 10).alias("z")
+        ).collect()
+    }
+    sql = zorder_value_sql("d1", "d2", 10)
+    want = {
+        (d1, d2): z
+        for d1, d2, z in duckdb.sql(
+            "SELECT (i % 16) AS d1, (i // 16) AS d2, "
+            f"({sql.replace('d1', '(i % 16)').replace('d2', '(i // 16)')})"
+            " AS z FROM range(256) t(i)"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_running_prefix_max_matches_naive_window(spark):
+    """Two-pass range-partitioned prefix max == single-task window max,
+    including the null-vs-value boundary at each partition edge."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, SF_SMOKE, "events").select("event_id", "value")
+    got = {
+        r["event_id"]: r["prev_max"]
+        for r in running_prefix_max(ev, "event_id", "value").collect()
+    }
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    want = {
+        r["event_id"]: r["prev_max"]
+        for r in ev.withColumn("prev_max", F.max("value").over(w)).collect()
+    }
+    assert got == want

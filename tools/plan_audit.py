@@ -159,6 +159,15 @@ AUDITS: dict[str, list[str]] = {
     "events_rolling_active_users": ["partial", "codegen", "pruned:2"],
     "events_psi_drift": ["partial", "codegen", "no_bnl", "pruned:3"],
     "emb_norm_outliers": ["broadcast", "partial", "no_bnl", "pruned:3"],
+    # bloom probe must stay inside codegen (literal-array bit tests, no
+    # Python); the exact verify join broadcasts the tiny eval agg
+    "docs_bloom_decontaminate": ["broadcast", "partial", "no_bnl", "codegen"],
+    "events_zorder_layout": ["partial", "codegen", "no_bnl", "pruned:2"],
+    # skew report crossJoins a broadcast 1-row totals aggregate — the BNL
+    # is a constant-width fan-out (q22 exception), so no no_bnl rule
+    "orders_join_skew_report": ["partial", "codegen", "pruned:1"],
+    "docs_ngram_dup_rate": ["partial", "codegen", "no_bnl"],
+    "events_arrival_lateness": ["partial", "codegen", "no_bnl", "pruned:4"],
 }
 
 
