@@ -64,3 +64,32 @@ def running_prefix_max(
         .withColumn(out_col, F.greatest("_local_prev", "_prefix"))
         .drop("_pid", "_local_prev", "_prefix")
     )
+
+
+def salted_distinct_count(
+    df: DataFrame,
+    group_col: str,
+    distinct_col: str,
+    n_salts: int = 16,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Exact COUNT(DISTINCT) with salted two-phase aggregation.
+
+    A plain count_distinct shuffles every row of a hot group to one
+    reducer that must hold the group's whole distinct set. Salting on a
+    hash of the DISTINCT column splits that state n_salts ways while
+    staying exact: each distinct value lands in exactly one salt bucket,
+    so phase 1's per-(group, salt) distinct counts are disjoint and
+    phase 2 just sums them. This is the manual form of what
+    spark.sql.optimizer.distinctBeforeIntersect / AQE cannot do for you
+    when one group dominates the table.
+    """
+    salt = F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(n_salts))
+    phase1 = (
+        df.select(F.col(group_col), F.col(distinct_col), salt.alias("_salt"))
+        .groupBy(group_col, "_salt")
+        .agg(F.count_distinct(distinct_col).alias("_partial"))
+    )
+    return phase1.groupBy(group_col).agg(
+        F.sum("_partial").alias(out_col)
+    )

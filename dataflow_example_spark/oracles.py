@@ -2822,3 +2822,75 @@ SELECT event_type,
        max(_late_us) AS max_late_us
 FROM l GROUP BY 1
 """
+
+
+ORACLES["streaming_session_parity"] = """
+WITH flagged AS (
+    SELECT user_id, ts, CAST(value AS DECIMAL(18,6)) AS v,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+    SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM flagged
+),
+agg AS (
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(sum(v) AS DOUBLE) AS sum_value
+    FROM sessions
+    GROUP BY user_id, sess_id
+)
+SELECT user_id, session_start, session_end, n_events, sum_value
+FROM agg
+WHERE session_end <= (SELECT max(ts) FROM events)
+"""
+
+
+ORACLES["events_salted_distinct_users"] = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY 1
+"""
+
+
+ORACLES["docs_tfidf_top_terms"] = f"""
+WITH {_TOKS_CTE},
+tf AS (
+    SELECT doc_id, u.term, count(*) AS tf
+    FROM toks, unnest(t) AS u(term)
+    GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS _n FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf,
+           CAST(tf.tf AS DOUBLE)
+               * ln(CAST(_n AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+    FROM tf JOIN dfreq USING (term), n
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term) AS rnk
+    FROM scored
+)
+SELECT doc_id, term, tf, score, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+ORACLES["orders_top_percentile"] = """
+WITH r AS (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+)
+SELECT * FROM r WHERE pct_rank >= 0.99
+"""

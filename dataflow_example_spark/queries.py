@@ -3469,3 +3469,111 @@ def events_arrival_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("_late_us").alias("max_late_us"),
         )
     )
+
+
+@query("streaming_session_parity")
+def streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows, driver-verified end to end
+    (streaming/events.run_session_stream): replay events through a
+    parquet file-drop topic, drain a watermarked session_window
+    (30 min gap) per-user count+sum under availableNow into a parquet
+    sink, and return the sink. Zero watermark delay => append emits
+    exactly the sessions whose end (last event + gap) <= max event
+    time; the oracle computes the same subset with the batch lag-gap
+    islands rule, proving session_window's merge semantics equal the
+    batch sessionize."""
+    import os
+    import tempfile
+
+    from .streaming.events import run_session_stream
+
+    base = tempfile.mkdtemp(prefix="dfx_sess_parity_")
+    topic = os.path.join(base, "topic")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    ev = load(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(topic)
+
+    q = run_session_stream(
+        spark, topic, output_dir=out, checkpoint_dir=ckpt, schema=ev.schema
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out)
+
+
+@query("events_salted_distinct_users")
+def events_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event_type via salted two-phase
+    aggregation (functions/diagnostics.salted_distinct_count): the
+    distinct set of a hot key is split across 16 disjoint salt buckets
+    (hash of the DISTINCT column), so no single reducer ever holds a
+    whole group's state — the standard fix once one event_type
+    dominates a 100 TB log. Exactly equal to the plain COUNT(DISTINCT)
+    the oracle runs."""
+    from .functions.diagnostics import salted_distinct_count
+
+    ev = load(spark, sf_dir, "events")
+    return salted_distinct_count(ev, "event_type", "user_id")
+
+
+@query("docs_tfidf_top_terms")
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (score = tf * ln(N/df), ties by
+    term): the classic salience ranking a curation pipeline uses for
+    topic tagging. Term frequencies and document frequencies are exact
+    integers; N/df is an exact-int double division so ln() sees
+    identical inputs in both engines. Two grouped aggregates plus one
+    broadcast of the (term, df) vocabulary join — df state is bounded
+    by vocabulary size, not corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    from .functions.text import tokens
+    from pyspark.sql.window import Window
+
+    # corpus size as a broadcast 1-row aggregate (no driver action)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    tf = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = F.col("tf").cast("double") * F.log(
+        F.col("_n").cast("double") / F.col("df").cast("double")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term", "tf", score.alias("score"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "score", "rnk")
+    )
+
+
+@query("orders_top_percentile")
+def orders_top_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders in the top 1% by price within their priority class:
+    percent_rank + cume_dist analytics (exact rationals — (rank-1)/
+    (n-1) and peers/n of integer counts, so doubles are bit-identical
+    across engines). One window per priority partition; at scale each
+    partition sorts independently."""
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .filter(F.col("pct_rank") >= 0.99)
+    )

@@ -168,3 +168,60 @@ def run_click_purchase_join_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def session_agg_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Watermarked session-window aggregation — the unbounded twin of
+    ``operators.windows.sessionize``. ``F.session_window`` keeps one
+    growing window per (key, open session) in the state store and merges
+    events whose [ts, ts+gap) windows overlap, which is exactly the
+    batch lag-gap island rule (new session iff ts - prev >= gap). A
+    session finalizes when the watermark passes its end (= last event +
+    gap), so append mode emits each session exactly once."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_session_stream(
+    spark,
+    topic_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema,
+    available_now: bool = True,
+):
+    """Drain a parquet file-drop topic through ``session_agg_stream``
+    into a parquet sink. With a zero watermark delay the final watermark
+    is the max event time, so the sink holds exactly the sessions whose
+    end (last event + gap) <= max event time — the subset the batch
+    oracle computes with the same islands rule."""
+    stream = spark.readStream.schema(schema).parquet(topic_dir)
+    out = session_agg_stream(stream)
+    writer = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

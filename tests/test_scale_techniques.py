@@ -133,3 +133,78 @@ def test_running_prefix_max_matches_naive_window(spark):
         for r in ev.withColumn("prev_max", F.max("value").over(w)).collect()
     }
     assert got == want
+
+
+def test_salted_distinct_equals_plain(spark):
+    """Salted two-phase COUNT(DISTINCT) == plain count_distinct."""
+    from dataflow_example_spark.functions.diagnostics import (
+        salted_distinct_count,
+    )
+
+    ev = load(spark, SF_SMOKE, "events")
+    got = {
+        r["event_type"]: r["n_distinct"]
+        for r in salted_distinct_count(ev, "event_type", "user_id").collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_session_window_matches_batch_islands(spark):
+    """session_window merge semantics == batch lag-gap islands on the
+    closed-session subset (end <= max event time)."""
+    import os
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from dataflow_example_spark.streaming.events import run_session_stream
+
+    base = tempfile.mkdtemp(prefix="t_sess_")
+    ev = load(spark, SF_SMOKE, "events")
+    ev.repartition(2).write.mode("overwrite").parquet(f"{base}/topic")
+    q = run_session_stream(
+        spark,
+        f"{base}/topic",
+        output_dir=f"{base}/out",
+        checkpoint_dir=f"{base}/ckpt",
+        schema=ev.schema,
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(f"{base}/out").collect()
+    }
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.expr("INTERVAL 30 MINUTES")
+    flagged = ev.withColumn(
+        "new_sess",
+        (
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") >= F.lag("ts").over(w) + gap)
+        ).cast("int"),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    want = {
+        (r["user_id"], r["s"], r["e"], r["n"])
+        for r in flagged.groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("s"),
+            (F.max("ts") + gap).alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+        if r["e"] <= max_ts
+    }
+    assert got == want and len(got) > 0

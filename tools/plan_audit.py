@@ -168,6 +168,11 @@ AUDITS: dict[str, list[str]] = {
     "orders_join_skew_report": ["partial", "codegen", "pruned:1"],
     "docs_ngram_dup_rate": ["partial", "codegen", "no_bnl"],
     "events_arrival_lateness": ["partial", "codegen", "no_bnl", "pruned:4"],
+    "events_salted_distinct_users": ["partial", "codegen", "no_bnl", "pruned:2"],
+    # tfidf crossJoins a broadcast 1-row corpus-size aggregate (q22
+    # exception applies to the BNL it plans)
+    "docs_tfidf_top_terms": ["broadcast", "partial", "codegen"],
+    "orders_top_percentile": ["codegen", "no_bnl", "pruned:3"],
 }
 
 
