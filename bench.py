@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     # would miss (VERDICT r4 #8)
     "dedup_clusters",
     "docs_pack_budget",
+    # scale-technique representatives: bloom scan-prune and the
+    # range-partitioned global prefix scan
+    "docs_bloom_decontaminate",
+    "events_arrival_lateness",
 ]
 
 # timed executions per query; the reported number is the minimum

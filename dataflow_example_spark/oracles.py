@@ -2894,3 +2894,113 @@ WITH r AS (
 )
 SELECT * FROM r WHERE pct_rank >= 0.99
 """
+
+
+ORACLES["events_dq_checks"] = """
+WITH agg AS (
+    SELECT count(*) AS _n,
+           CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT)
+               AS _null_user,
+           CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT)
+               AS _null_value,
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+               AS _dup_event_id,
+           CAST(count(*) FILTER (WHERE event_type NOT IN
+                ('click','view','purchase','signup','error')) AS BIGINT)
+               AS _bad_type,
+           CAST(count(*) FILTER (WHERE value < 0) AS BIGINT) AS _neg_value,
+           CAST(count(*) FILTER (WHERE value > 100) AS BIGINT) AS _gt_100,
+           CAST(count(*) FILTER (WHERE year(ts) != 2024) AS BIGINT)
+               AS _ts_out_of_range
+    FROM events
+)
+SELECT r."constraint", agg._n AS observed, r.v AS violations,
+       r.v = 0 AS passed
+FROM agg, LATERAL (VALUES
+    ('user_id_not_null', _null_user),
+    ('value_not_null', _null_value),
+    ('event_id_unique', _dup_event_id),
+    ('event_type_in_domain', _bad_type),
+    ('value_non_negative', _neg_value),
+    ('value_le_100', _gt_100),
+    ('ts_in_2024', _ts_out_of_range)) AS r("constraint", v)
+"""
+
+
+ORACLES["events_snapshot_diff"] = """
+WITH a AS (
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events WHERE day(ts) <= 15 GROUP BY 1
+),
+b AS (
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events WHERE day(ts) > 15 GROUP BY 1
+)
+SELECT coalesce(a.user_id, b.user_id) AS user_id,
+       CASE WHEN a.user_id IS NULL THEN 'added'
+            WHEN b.user_id IS NULL THEN 'removed'
+            WHEN a.n_events != b.n_events
+                 OR a.sum_value != b.sum_value THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       a.n_events AS n_events_before,
+       b.n_events AS n_events_after
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+WHERE (CASE WHEN a.user_id IS NULL THEN 'added'
+            WHEN b.user_id IS NULL THEN 'removed'
+            WHEN a.n_events != b.n_events
+                 OR a.sum_value != b.sum_value THEN 'changed'
+            ELSE 'unchanged' END) != 'unchanged'
+"""
+
+
+ORACLES["events_feature_hash"] = """
+WITH tok AS (
+    SELECT user_id,
+           event_type || ':' || CAST(hour(ts) AS VARCHAR) AS t
+    FROM events
+),
+h AS (
+    SELECT user_id,
+           CAST(('0x' || substr(md5('fh' || t), 1, 8)) AS BIGINT) % 64
+               AS bucket,
+           CASE WHEN CAST(('0x' || substr(md5('fhs' || t), 1, 8))
+                     AS BIGINT) % 2 = 0
+                THEN 1 ELSE -1 END AS s
+    FROM tok
+)
+SELECT user_id, bucket, CAST(sum(s) AS BIGINT) AS weight
+FROM h GROUP BY 1, 2
+HAVING sum(s) != 0
+"""
+
+
+ORACLES["events_daily_value_quantiles"] = """
+SELECT day(ts) AS day, count(*) AS n,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90
+FROM events GROUP BY 1
+"""
+
+
+ORACLES["text_readability"] = f"""
+WITH m AS (
+    SELECT doc_id,
+           len({_TOKS}) AS n_words,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS n_sentences,
+           greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+               AS n_syllables
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS INTEGER) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       206.835
+           - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+           - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+           AS flesch_score
+FROM m WHERE n_words > 0
+"""

@@ -3577,3 +3577,176 @@ def orders_top_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("pct_rank") >= 0.99)
     )
+
+
+@query("events_dq_checks")
+def events_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality constraint report in ONE pass: every
+    constraint is a conditional aggregate over the same scan, so adding
+    checks costs columns, not jobs — the pattern that keeps a 100 TB
+    validation suite at one table read. Emits (constraint, observed,
+    violations, passed) per rule: completeness, uniqueness, domain
+    membership, range, and timestamp sanity."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("user_id").isNull().cast("bigint")).alias("_null_user"),
+        F.sum(F.col("value").isNull().cast("bigint")).alias("_null_value"),
+        (
+            F.count(F.lit(1)) - F.count_distinct("event_id")
+        ).alias("_dup_event_id"),
+        F.sum(
+            (
+                ~F.col("event_type").isin(
+                    "click", "view", "purchase", "signup", "error"
+                )
+            ).cast("bigint")
+        ).alias("_bad_type"),
+        F.sum((F.col("value") < 0).cast("bigint")).alias("_neg_value"),
+        F.sum((F.col("value") > 100).cast("bigint")).alias("_gt_100"),
+        F.sum(
+            (F.year("ts") != 2024).cast("bigint")
+        ).alias("_ts_out_of_range"),
+    )
+    checks = [
+        ("user_id_not_null", "_null_user"),
+        ("value_not_null", "_null_value"),
+        ("event_id_unique", "_dup_event_id"),
+        ("event_type_in_domain", "_bad_type"),
+        ("value_non_negative", "_neg_value"),
+        ("value_le_100", "_gt_100"),
+        ("ts_in_2024", "_ts_out_of_range"),
+    ]
+    rules = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("constraint"),
+                F.col("_n").alias("observed"),
+                F.col(c).alias("violations"),
+                (F.col(c) == 0).alias("passed"),
+            )
+            for name, c in checks
+        ]
+    )
+    return agg.select(F.explode(rules).alias("r")).select(
+        "r.constraint", "r.observed", "r.violations", "r.passed"
+    )
+
+
+@query("events_snapshot_diff")
+def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (the batch half of CDC): per-user activity profile
+    of the first half of the month vs the second, full-outer joined on
+    the key and classified added / removed / changed / unchanged. At
+    scale this is one co-partitioned shuffle on the key — the standard
+    audit before publishing a refreshed derived table."""
+    ev = load(spark, sf_dir, "events")
+
+    def snap(pred):
+        return (
+            ev.filter(pred)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(dec("value")).cast("double").alias("sum_value"),
+            )
+        )
+
+    a = snap(F.dayofmonth("ts") <= 15).alias("a")
+    b = snap(F.dayofmonth("ts") > 15).alias("b")
+    joined = a.join(b, F.col("a.user_id") == F.col("b.user_id"), "full_outer")
+    status = (
+        F.when(F.col("a.user_id").isNull(), F.lit("added"))
+        .when(F.col("b.user_id").isNull(), F.lit("removed"))
+        .when(
+            (F.col("a.n_events") != F.col("b.n_events"))
+            | (F.col("a.sum_value") != F.col("b.sum_value")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+        status.alias("status"),
+        F.col("a.n_events").alias("n_events_before"),
+        F.col("b.n_events").alias("n_events_after"),
+    ).filter(F.col("status") != "unchanged")
+
+
+@query("events_feature_hash")
+def events_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick categorical features: (event_type x hour-of-day)
+    tokens hash into 64 buckets with md5-derived index and ±1 sign
+    (collision debiasing), summed per user — the fixed-width featurizer
+    that needs no vocabulary pass, so it runs in one shuffle at any
+    cardinality. Output is the exploded sparse vector (user, bucket,
+    weight); weights are exact integers."""
+    from .functions.sampling import hash_bucket
+
+    ev = load(spark, sf_dir, "events")
+    token = F.concat(
+        F.col("event_type"), F.lit(":"), F.hour("ts").cast("string")
+    )
+    idx = hash_bucket(token, "fh", 64)
+    sign = (
+        F.when(hash_bucket(token, "fhs", 2) == 0, F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+    ).cast("bigint")
+    return (
+        ev.select("user_id", idx.alias("bucket"), sign.alias("_s"))
+        .groupBy("user_id", "bucket")
+        .agg(F.sum("_s").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
+
+
+@query("events_daily_value_quantiles")
+def events_daily_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated p50/p90 of value per day — the ground-truth
+    twin of the approx_percentile sketches: both engines sort the day's
+    values and linearly interpolate at the same rank fractions, so the
+    doubles agree bit-for-bit. Per-day groups bound the sort; at 100 TB
+    each day partition sorts independently (and the sketch variant is
+    the first resort when even that is too wide)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.dayofmonth("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.9).alias("p90"),
+        )
+    )
+
+
+@query("text_readability")
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability proxy per document: sentences by
+    [.!?]+ runs, words by the shared token contract, syllables by
+    vowel-group runs — all regexp_count-able in both engines, so the
+    score (206.835 - 1.015*words/sentence - 84.6*syllables/word) is
+    exact-int ratios in IEEE doubles. Pure map-side projection."""
+    from .functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    words = F.size(tokens(F.col("text")))
+    sentences = F.greatest(
+        F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1)
+    )
+    syllables = F.greatest(
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")),
+        F.lit(1),
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / words.cast("double"))
+    )
+    return docs.filter(words > 0).select(
+        "doc_id",
+        words.alias("n_words"),
+        sentences.cast("bigint").alias("n_sentences"),
+        syllables.cast("bigint").alias("n_syllables"),
+        score.alias("flesch_score"),
+    )

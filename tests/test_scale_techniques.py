@@ -208,3 +208,20 @@ def test_streaming_session_window_matches_batch_islands(spark):
         if r["e"] <= max_ts
     }
     assert got == want and len(got) > 0
+
+
+def test_dq_checks_detects_violations(spark):
+    """The one-pass DQ report both passes clean constraints and counts
+    violations for failing ones (value_le_100 is violated by design)."""
+    from dataflow_example_spark.queries import QUERIES
+
+    rows = {
+        r["constraint"]: r
+        for r in QUERIES["events_dq_checks"](spark, SF_SMOKE).collect()
+    }
+    assert rows["event_id_unique"]["passed"]
+    assert rows["user_id_not_null"]["violations"] == 0
+    assert not rows["value_le_100"]["passed"]
+    assert rows["value_le_100"]["violations"] > 0
+    assert all(r["observed"] == rows["ts_in_2024"]["observed"]
+               for r in rows.values())

@@ -865,3 +865,62 @@ def test_stream_join_boundaries_and_user_isolation(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert got == {(2, 1), (3, 1)}
+
+
+def test_streaming_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Exactly-once across a stop/restart: drain half the events,
+    restart the SAME checkpoint with the rest of the topic, and the
+    sink must equal one uninterrupted run — closed windows are not
+    re-emitted, open windows keep their state across the restart."""
+    import pyspark.sql.functions as F
+
+    from dataflow_example_spark.streaming.events import run_sliding_stream
+    from dataflow_example_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    half1 = ev.filter(F.dayofmonth("ts") <= 15)
+    half2 = ev.filter(F.dayofmonth("ts") > 15)
+    topic = str(tmp_path / "topic")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    half1.repartition(2).write.mode("append").parquet(topic)
+    q1 = run_sliding_stream(
+        spark, topic, output_dir=out, checkpoint_dir=ckpt, schema=ev.schema
+    )
+    q1.awaitTermination(300)
+    n_first = spark.read.parquet(out).count()
+    assert n_first > 0
+
+    half2.repartition(2).write.mode("append").parquet(topic)
+    q2 = run_sliding_stream(
+        spark, topic, output_dir=out, checkpoint_dir=ckpt, schema=ev.schema
+    )
+    q2.awaitTermination(300)
+
+    got = {
+        (r["window_start"], r["window_end"], r["event_type"]): (
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) == spark.read.parquet(out).count()  # no dup windows
+
+    # one-shot reference: same stream over the full topic, fresh state
+    q3 = run_sliding_stream(
+        spark,
+        topic,
+        output_dir=str(tmp_path / "out_ref"),
+        checkpoint_dir=str(tmp_path / "ckpt_ref"),
+        schema=ev.schema,
+    )
+    q3.awaitTermination(300)
+    want = {
+        (r["window_start"], r["window_end"], r["event_type"]): (
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in spark.read.parquet(str(tmp_path / "out_ref")).collect()
+    }
+    assert got == want

@@ -173,6 +173,11 @@ AUDITS: dict[str, list[str]] = {
     # exception applies to the BNL it plans)
     "docs_tfidf_top_terms": ["broadcast", "partial", "codegen"],
     "orders_top_percentile": ["codegen", "no_bnl", "pruned:3"],
+    "events_dq_checks": ["partial", "codegen", "no_bnl", "pruned:5"],
+    "events_snapshot_diff": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "events_feature_hash": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "events_daily_value_quantiles": ["partial", "no_bnl", "pruned:2"],
+    "text_readability": ["codegen", "no_bnl", "pruned:2"],
 }
 
 
