@@ -3004,3 +3004,65 @@ SELECT doc_id,
            AS flesch_score
 FROM m WHERE n_words > 0
 """
+
+
+ORACLES["events_chi2_independence"] = """
+WITH obs AS (
+    SELECT event_type, dayofweek(ts) + 1 AS dow, count(*) AS observed
+    FROM events GROUP BY 1, 2
+),
+rt AS (SELECT event_type, sum(observed) AS _rt FROM obs GROUP BY 1),
+ct AS (SELECT dow, sum(observed) AS _ct FROM obs GROUP BY 1),
+n AS (SELECT sum(observed) AS _n FROM obs)
+SELECT obs.event_type, obs.dow, obs.observed,
+       CAST(_rt AS DOUBLE) * CAST(_ct AS DOUBLE) / CAST(_n AS DOUBLE)
+           AS expected,
+       (CAST(observed AS DOUBLE)
+        - CAST(_rt AS DOUBLE) * CAST(_ct AS DOUBLE) / CAST(_n AS DOUBLE))
+       * (CAST(observed AS DOUBLE)
+          - CAST(_rt AS DOUBLE) * CAST(_ct AS DOUBLE) / CAST(_n AS DOUBLE))
+       / (CAST(_rt AS DOUBLE) * CAST(_ct AS DOUBLE) / CAST(_n AS DOUBLE))
+           AS chi2_contrib
+FROM obs JOIN rt USING (event_type) JOIN ct USING (dow), n
+"""
+
+
+ORACLES["events_latest_per_user"] = """
+WITH r AS (
+    SELECT user_id, ts, event_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+       event_type AS last_event_type, value AS last_value
+FROM r WHERE rn = 1
+"""
+
+
+ORACLES["events_gap_duration_stats"] = """
+WITH g AS (
+    SELECT event_type,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id))
+               AS _gap
+    FROM events
+)
+SELECT event_type,
+       count(*) AS n_gaps,
+       min(_gap) AS min_gap_us,
+       max(_gap) AS max_gap_us,
+       CAST(sum(_gap) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_gap_us
+FROM g WHERE _gap IS NOT NULL
+GROUP BY 1
+"""
+
+
+ORACLES["orders_running_total"] = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+FROM orders
+"""

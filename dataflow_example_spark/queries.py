@@ -3750,3 +3750,115 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         syllables.cast("bigint").alias("n_syllables"),
         score.alias("flesch_score"),
     )
+
+
+@query("events_chi2_independence")
+def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency for event_type x day-of-week: per-cell
+    observed vs expected (row_total * col_total / N) and the cell's
+    chi2 contribution — the independence screen a feature pipeline runs
+    before trusting a categorical crossing. Marginals are two tiny
+    broadcast aggregates over the one observed-counts shuffle; all
+    counts exact, expected/contrib are exact-int double divisions."""
+    ev = load(spark, sf_dir, "events")
+    obs = (
+        ev.select("event_type", F.dayofweek("ts").alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    row_t = obs.groupBy("event_type").agg(F.sum("observed").alias("_rt"))
+    col_t = obs.groupBy("dow").agg(F.sum("observed").alias("_ct"))
+    tot = obs.agg(F.sum("observed").alias("_n"))
+    e = (
+        F.col("_rt").cast("double")
+        * F.col("_ct").cast("double")
+        / F.col("_n").cast("double")
+    )
+    o = F.col("observed").cast("double")
+    return (
+        obs.join(F.broadcast(row_t), "event_type")
+        .join(F.broadcast(col_t), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "dow",
+            "observed",
+            e.alias("expected"),
+            ((o - e) * (o - e) / e).alias("chi2_contrib"),
+        )
+    )
+
+
+@query("events_latest_per_user")
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record compaction (the batch form of CDC upsert
+    materialization): one row per user carrying their most recent event
+    (order by ts, then event_id for full determinism), via a single
+    struct-max aggregate — a map-side-combinable argmax, not a window
+    sort, so hot users cost one combiner cell instead of a per-key
+    sort at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    m = F.max(
+        F.struct("ts", "event_id", "event_type", "value")
+    ).alias("_m")
+    return (
+        ev.groupBy("user_id")
+        .agg(m)
+        .select(
+            "user_id",
+            F.col("_m.ts").alias("last_ts"),
+            F.col("_m.event_id").alias("last_event_id"),
+            F.col("_m.event_type").alias("last_event_type"),
+            F.col("_m.value").alias("last_value"),
+        )
+    )
+
+
+@query("events_gap_duration_stats")
+def events_gap_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap profile per event_type: each event's distance
+    (microseconds) to the same user's previous event, aggregated by the
+    later event's type — count, min, max, and exact mean (integer sum /
+    integer count in one IEEE division). The lag window partitions by
+    user, so no partition exceeds one user's history."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gaps = ev.select("event_type", gap.alias("_gap")).filter(
+        F.col("_gap").isNotNull()
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("_gap").alias("min_gap_us"),
+        F.max("_gap").alias("max_gap_us"),
+        (
+            F.sum("_gap").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_gap_us"),
+    )
+
+
+@query("orders_running_total")
+def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer cumulative revenue in order-date order (ties broken
+    by order key): the customer-lifetime-value curve. The running sum
+    stays in exact DECIMAL until the final cast, and the window
+    partitions by customer, so each task sorts one customer's orders —
+    bounded state at any corpus size."""
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias(
+            "cum_revenue"
+        ),
+    )

@@ -178,6 +178,11 @@ AUDITS: dict[str, list[str]] = {
     "events_feature_hash": ["partial", "codegen", "no_bnl", "pruned:3"],
     "events_daily_value_quantiles": ["partial", "no_bnl", "pruned:2"],
     "text_readability": ["codegen", "no_bnl", "pruned:2"],
+    # chi2 crossJoins a broadcast 1-row total (q22 BNL exception)
+    "events_chi2_independence": ["broadcast", "partial", "codegen", "pruned:2"],
+    "events_latest_per_user": ["partial", "codegen", "no_bnl", "pruned:5"],
+    "events_gap_duration_stats": ["partial", "codegen", "no_bnl", "pruned:4"],
+    "orders_running_total": ["codegen", "no_bnl", "pruned:4"],
 }
 
 
