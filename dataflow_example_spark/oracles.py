@@ -3066,3 +3066,98 @@ SELECT o_custkey, o_orderkey, o_orderdate,
                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
 FROM orders
 """
+
+
+ORACLES["events_daily_autocorr"] = """
+WITH daily AS (
+    SELECT event_type, day(ts) AS day, count(*) AS c
+    FROM events GROUP BY 1, 2
+),
+pairs AS (
+    SELECT event_type, c AS x,
+           lead(c) OVER (PARTITION BY event_type ORDER BY day) AS y
+    FROM daily
+),
+s AS (
+    SELECT event_type,
+           count(*) AS n,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+    FROM pairs WHERE y IS NOT NULL GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+              * CAST(n * syy - sy * sy AS DOUBLE)) AS lag1_autocorr
+FROM s
+"""
+
+
+ORACLES["lineitem_basket_pairs"] = """
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_ab
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+),
+marg AS (SELECT l_partkey AS part, count(*) AS n_part FROM items GROUP BY 1),
+tot AS (SELECT count(DISTINCT l_orderkey) AS _n FROM items)
+SELECT part_a, part_b, n_ab,
+       (CAST(_n AS DOUBLE) * CAST(n_ab AS DOUBLE))
+       / (CAST(ma.n_part AS DOUBLE) * CAST(mb.n_part AS DOUBLE)) AS lift
+FROM pairs
+JOIN marg ma ON ma.part = pairs.part_a
+JOIN marg mb ON mb.part = pairs.part_b, tot
+"""
+
+
+ORACLES["suppliers_full_nation_parts"] = """
+WITH shipped AS (
+    SELECT DISTINCT s.s_nationkey, s.s_suppkey, l.l_partkey
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#13'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+),
+req AS (
+    SELECT s_nationkey, count(DISTINCT l_partkey) AS _req
+    FROM shipped GROUP BY 1
+),
+got AS (
+    SELECT s_nationkey, s_suppkey,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM shipped GROUP BY 1, 2
+)
+SELECT got.s_nationkey, got.s_suppkey, got.n_parts
+FROM got JOIN req USING (s_nationkey)
+WHERE got.n_parts = req._req
+"""
+
+
+ORACLES["events_user_streaks"] = """
+WITH days AS (
+    SELECT DISTINCT user_id, day(ts) AS day FROM events
+),
+runs AS (
+    SELECT user_id, day,
+           day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS _grp
+    FROM days
+),
+streaks AS (
+    SELECT user_id, _grp, count(*) AS len, min(day) AS start_day
+    FROM runs GROUP BY 1, 2
+),
+best AS (
+    SELECT user_id, len AS longest_streak, start_day AS streak_start_day,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY len DESC, start_day DESC) AS rn
+    FROM streaks
+)
+SELECT user_id, longest_streak, streak_start_day
+FROM best WHERE rn = 1 AND longest_streak >= 5
+"""

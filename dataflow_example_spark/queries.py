@@ -3862,3 +3862,173 @@ def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_revenue"
         ),
     )
+
+
+@query("events_daily_autocorr")
+def events_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event count per event_type —
+    the seasonality screen for forecasting features. The (day, next
+    day) pairs come from one lag window over the tiny per-day count
+    series; every sum in Pearson's r is an exact integer, so the single
+    final division/sqrt is IEEE-identical across engines."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.dayofmonth("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    pairs = (
+        daily.withColumn("c_next", F.lead("c").over(w))
+        .filter(F.col("c_next").isNotNull())
+        .select(
+            "event_type",
+            F.col("c").alias("x"),
+            F.col("c_next").alias("y"),
+        )
+    )
+    s = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return s.select(
+        "event_type", "n", (num / den).alias("lag1_autocorr")
+    )
+
+
+@query("lineitem_basket_pairs")
+def lineitem_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket part co-occurrence with lift: part pairs appearing
+    together in >= 2 orders, scored by lift = N * n_ab / (n_a * n_b).
+    The self-join is keyed on the order, so fan-out is bounded by order
+    size squared (~7^2), never by part popularity — the safe basket
+    shape at any scale. Marginals broadcast; counts exact; lift is one
+    exact-int double expression."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    marg = items.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).alias("n_part")
+    )
+    tot = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg.withColumnRenamed("part", "part_a")
+                        .withColumnRenamed("n_part", "n_a")),
+            "part_a",
+        )
+        .join(
+            F.broadcast(marg.withColumnRenamed("part", "part_b")
+                        .withColumnRenamed("n_part", "n_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            (
+                F.col("_n").cast("double") * F.col("n_ab").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
+@query("suppliers_full_nation_parts")
+def suppliers_full_nation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division: suppliers that shipped EVERY distinct part
+    any Brand#13 order line ever shipped from their nation — the
+    for-all quantifier SQL lacks as a primitive, expressed as
+    count-distinct-equality against a broadcast per-nation requirement.
+    Division by counting is the scale-safe form: no nested NOT EXISTS
+    double anti-join over the fact table."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    brand = part.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    shipped = (
+        li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .select("s_nationkey", "s_suppkey", "l_partkey")
+        .distinct()
+    )
+    req = shipped.groupBy("s_nationkey").agg(
+        F.count_distinct("l_partkey").alias("_req")
+    )
+    got = shipped.groupBy("s_nationkey", "s_suppkey").agg(
+        F.count_distinct("l_partkey").alias("n_parts")
+    )
+    return (
+        got.join(F.broadcast(req), "s_nationkey")
+        .filter(F.col("n_parts") == F.col("_req"))
+        .select("s_nationkey", "s_suppkey", "n_parts")
+    )
+
+
+@query("events_user_streaks")
+def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (gaps-and-islands:
+    day - dense_rank is constant within a run of consecutive days).
+    Users with streaks >= 5 days. Distinct days first, so the window
+    input is <= 31 rows per user regardless of event volume."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.dayofmonth("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = days.withColumn(
+        "_grp", F.col("day") - F.row_number().over(w)
+    )
+    streaks = runs.groupBy("user_id", "_grp").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day").alias("start_day"),
+    )
+    best = streaks.groupBy("user_id").agg(
+        F.max(F.struct("len", F.col("start_day"))).alias("_b")
+    )
+    return (
+        best.select(
+            "user_id",
+            F.col("_b.len").alias("longest_streak"),
+            F.col("_b.start_day").alias("streak_start_day"),
+        )
+        .filter(F.col("longest_streak") >= 5)
+    )

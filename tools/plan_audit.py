@@ -183,6 +183,11 @@ AUDITS: dict[str, list[str]] = {
     "events_latest_per_user": ["partial", "codegen", "no_bnl", "pruned:5"],
     "events_gap_duration_stats": ["partial", "codegen", "no_bnl", "pruned:4"],
     "orders_running_total": ["codegen", "no_bnl", "pruned:4"],
+    "events_daily_autocorr": ["partial", "codegen", "no_bnl", "pruned:2"],
+    # basket/division crossJoin broadcast 1-row totals (q22 BNL exception)
+    "lineitem_basket_pairs": ["broadcast", "partial", "codegen"],
+    "suppliers_full_nation_parts": ["broadcast", "partial", "codegen", "no_bnl"],
+    "events_user_streaks": ["partial", "codegen", "no_bnl", "pruned:2"],
 }
 
 
