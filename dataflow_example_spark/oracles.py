@@ -3161,3 +3161,39 @@ best AS (
 SELECT user_id, longest_streak, streak_start_day
 FROM best WHERE rn = 1 AND longest_streak >= 5
 """
+
+
+ORACLES["orders_revenue_yoy_growth"] = """
+WITH yearly AS (
+    SELECT o_orderpriority, year(o_orderdate) AS year,
+           sum(CAST(o_totalprice AS DECIMAL(18,6))) AS _rev
+    FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, year,
+       CAST(_rev AS DOUBLE) AS revenue,
+       CAST(_rev - lag(_rev) OVER w AS DOUBLE)
+           / CAST(lag(_rev) OVER w AS DOUBLE) AS yoy_growth
+FROM yearly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY year)
+"""
+
+
+ORACLES["orders_customer_gini"] = """
+WITH per_cust AS (
+    SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,6))) AS _rev
+    FROM orders GROUP BY 1
+),
+ranked AS (
+    SELECT _rev, row_number() OVER (ORDER BY _rev, o_custkey) AS _i
+    FROM per_cust
+),
+s AS (
+    SELECT count(*) AS n, sum(_rev) AS sx, sum(_i * _rev) AS six
+    FROM ranked
+)
+SELECT n AS n_customers,
+       CAST(sx AS DOUBLE) AS total_revenue,
+       2.0 * CAST(six AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+           - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+FROM s
+"""

@@ -4032,3 +4032,63 @@ def events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("longest_streak") >= 5)
     )
+
+
+@query("orders_revenue_yoy_growth")
+def orders_revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per order priority: exact DECIMAL
+    yearly totals, lag window over the tiny (priority, year) series,
+    growth as one double division of exact decimals. The wide data
+    collapses in the first aggregate; everything after runs on
+    priority x year rows."""
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    yearly = (
+        orders.groupBy(
+            "o_orderpriority", F.year("o_orderdate").alias("year")
+        )
+        .agg(F.sum(dec("o_totalprice")).alias("_rev"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("year")
+    prev = F.lag("_rev").over(w)
+    return yearly.select(
+        "o_orderpriority",
+        "year",
+        F.col("_rev").cast("double").alias("revenue"),
+        (
+            (F.col("_rev") - prev).cast("double") / prev.cast("double")
+        ).alias("yoy_growth"),
+    )
+
+
+@query("orders_customer_gini")
+def orders_customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers — the
+    inequality gauge for skew dashboards. Per-customer totals first
+    (the only wide aggregate), then the rank window runs over the
+    aggregated series; G = (2*sum(i*x_i))/(n*sum(x)) - (n+1)/n with
+    exact DECIMAL sums, one final double expression."""
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice")).alias("_rev")
+    )
+    w = Window.orderBy("_rev", "o_custkey")
+    ranked = per_cust.withColumn("_i", F.row_number().over(w))
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_rev").alias("sx"),
+        F.sum(F.col("_i") * F.col("_rev")).alias("six"),
+    )
+    n = F.col("n").cast("double")
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("sx").cast("double").alias("total_revenue"),
+        (
+            F.lit(2.0) * F.col("six").cast("double")
+            / (n * F.col("sx").cast("double"))
+            - (n + F.lit(1.0)) / n
+        ).alias("gini"),
+    )

@@ -188,6 +188,8 @@ AUDITS: dict[str, list[str]] = {
     "lineitem_basket_pairs": ["broadcast", "partial", "codegen"],
     "suppliers_full_nation_parts": ["broadcast", "partial", "codegen", "no_bnl"],
     "events_user_streaks": ["partial", "codegen", "no_bnl", "pruned:2"],
+    "orders_revenue_yoy_growth": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "orders_customer_gini": ["partial", "codegen", "no_bnl", "pruned:2"],
 }
 
 
