@@ -3197,3 +3197,46 @@ SELECT n AS n_customers,
            - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
 FROM s
 """
+
+
+ORACLES["streaming_enrich_parity"] = """
+WITH dim AS (
+    SELECT DISTINCT user_id,
+           CASE WHEN user_id % 3 = 0 THEN 'gold'
+                WHEN user_id % 3 = 1 THEN 'silver'
+                ELSE 'bronze' END AS tier
+    FROM events
+)
+SELECT e.event_type, d.tier,
+       count(*) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events e JOIN dim d USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+ORACLES["events_attribution_first_touch"] = """
+WITH p AS (
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT event_id AS click_id, user_id, ts AS click_ts
+    FROM events WHERE event_type = 'click'
+),
+cand AS (
+    SELECT p.purchase_id, p.user_id, p.purchase_ts,
+           c.click_ts, c.click_id
+    FROM p JOIN c ON c.user_id = p.user_id
+     AND c.click_ts <= p.purchase_ts
+     AND c.click_ts > p.purchase_ts - INTERVAL 86400 SECOND
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY purchase_id
+                                 ORDER BY click_ts, click_id) AS rn
+    FROM cand
+)
+SELECT purchase_id, user_id, purchase_ts,
+       click_ts AS first_click_ts, click_id AS first_click_id
+FROM r WHERE rn = 1
+"""

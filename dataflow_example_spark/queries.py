@@ -4092,3 +4092,109 @@ def orders_customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (n + F.lit(1.0)) / n
         ).alias("gini"),
     )
+
+
+@query("streaming_enrich_parity")
+def streaming_enrich_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment, driver-verified end to end
+    (streaming/events.run_enrich_stream): the events stream broadcast-
+    joins a static per-user tier dimension (derived deterministically
+    from user_id) and drains to parquet under availableNow. Stream-
+    static joins are stateless — every micro-batch just broadcast-probes
+    the dimension — so the sink equals the batch join the oracle runs.
+    Output is the per-(type, tier) count/sum rollup of the enriched
+    stream (compact and order-insensitive)."""
+    import os
+    import tempfile
+
+    from .streaming.events import run_enrich_stream
+
+    base = tempfile.mkdtemp(prefix="dfx_enrich_parity_")
+    topic = os.path.join(base, "topic")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    ev = load(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(topic)
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(F.col("user_id") % 3 == 0, F.lit("gold"))
+            .when(F.col("user_id") % 3 == 1, F.lit("silver"))
+            .otherwise(F.lit("bronze"))
+            .alias("tier"),
+        )
+    )
+    q = run_enrich_stream(
+        spark, topic, dim, output_dir=out, checkpoint_dir=ckpt,
+        schema=ev.schema,
+    )
+    q.awaitTermination(600)
+    enriched = spark.read.parquet(out)
+    return enriched.groupBy("event_type", "tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    )
+
+
+@query("events_attribution_first_touch")
+def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase credits the user's
+    EARLIEST click in the preceding 24 h (vs the last-touch join of the
+    streaming parity). Min-struct argmin over the bucketed candidate
+    join, so hot users never sort — the same bounded-state shape as
+    events_nearest_join. Purchases with no qualifying click are
+    excluded (inner attribution)."""
+    ev = load(spark, sf_dir, "events")
+    window_s = 86400
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    g = F.lit(window_s).cast("long")
+    p = purchases.withColumn(
+        "_b", F.floor(F.unix_timestamp("purchase_ts") / g).cast("long")
+    )
+    c = clicks.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("click_ts") / g).cast("long"),
+                F.floor(
+                    (F.unix_timestamp("click_ts") + window_s) / g
+                ).cast("long"),
+            )
+        ),
+    )
+    cand = p.join(
+        c,
+        (p["_b"] == c["_b"])
+        & (p["user_id"] == c["c_user"])
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            > F.col("purchase_ts") - F.expr(f"INTERVAL {window_s} SECONDS")
+        ),
+    )
+    first = cand.groupBy("purchase_id").agg(
+        F.min(F.struct("click_ts", "click_id")).alias("_f"),
+        # constant within the group (one purchase row fans out); min is
+        # the deterministic way to say "the" value
+        F.min("user_id").alias("user_id"),
+        F.min("purchase_ts").alias("purchase_ts"),
+    )
+    return first.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.col("_f.click_ts").alias("first_click_ts"),
+        F.col("_f.click_id").alias("first_click_id"),
+    )

@@ -225,3 +225,33 @@ def run_session_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_enrich_stream(
+    spark,
+    topic_dir: str,
+    dim_df: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema,
+    available_now: bool = True,
+):
+    """Stream-static enrichment join — the canonical dimension-lookup
+    topology: the unbounded fact stream broadcast-joins a bounded
+    dimension DataFrame per micro-batch (no state store involved; the
+    static side is re-resolved each batch, which is also how dimension
+    refreshes propagate). Inner join, append mode, no watermark needed
+    — stream-static joins are stateless."""
+    stream = spark.readStream.schema(schema).parquet(topic_dir)
+    from pyspark.sql.functions import broadcast
+
+    out = stream.join(broadcast(dim_df), "user_id")
+    writer = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -190,6 +190,7 @@ AUDITS: dict[str, list[str]] = {
     "events_user_streaks": ["partial", "codegen", "no_bnl", "pruned:2"],
     "orders_revenue_yoy_growth": ["partial", "codegen", "no_bnl", "pruned:3"],
     "orders_customer_gini": ["partial", "codegen", "no_bnl", "pruned:2"],
+    "events_attribution_first_touch": ["partial", "codegen", "no_bnl", "pruned:4"],
 }
 
 
