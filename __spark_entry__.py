@@ -42,12 +42,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # round. Round-5 ordering: the SURVEY §2 reference core (always first, so
 # the judge gets a fresh driver row for every reference operator each
 # round), then the 11 round-4 additions that had never received a driver
-# CORRECTNESS row, then the 31 round-5 additions. With this window every
-# registry entry holds at least one driver-green row cumulatively after
-# round 5 (the five raw-order fill queries this round displaces were
-# driver-green in round 1). Round-6 rotation guidance: keep the 8-query
-# core, rotate the single-sampled round-1/2 tail (registry positions
-# 50+) through the remaining 42 slots to double-verify them.
+# CORRECTNESS row, then the first 31 round-5 additions. Later round-5
+# batches (positions 50+, through events_attribution_first_touch) are
+# strict-gate verified this round (ORACLES_LOCAL_r5.txt, 168/168) and
+# are first in line for round-6 sampling. Round-6 rotation guidance:
+# keep the 8-query core, then fill the remaining 42 slots with the
+# never-driver-sampled tail (registry order after position 50).
 _SAMPLE_FIRST = [
     # reference core (SURVEY §2 ops 1, 5-13 + window variants)
     "starter_pipeline",
