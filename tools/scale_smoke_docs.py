@@ -89,6 +89,64 @@ def main() -> None:
     ).save()
     print(f"multi_lsh_near_dup(sf0.1): {time.time() - t0:.1f}s")
 
+    # scale-technique ops (round-5 batch): bloom prune over the amplified
+    # corpus, and the prefix-scan / salted / argmax shapes over amplified
+    # events — all must stay ~linear in the amplification factor
+    from dataflow_example_spark.functions.bloom import bloom_semi_join
+    from dataflow_example_spark.functions.diagnostics import (
+        running_prefix_max,
+        salted_distinct_count,
+    )
+
+    fp = T.fingerprint(docs, prefix_tokens=12).select(
+        "doc_id", "fingerprint_md5"
+    )
+    small = fp.filter(F.col("doc_id") % 1000 == 0).select(
+        F.col("fingerprint_md5").alias("k")
+    )
+    t0 = time.time()
+    bloom_semi_join(
+        fp.select(F.col("fingerprint_md5").alias("k"), "doc_id"), small, "k"
+    ).write.format("noop").mode("overwrite").save()
+    print(f"bloom_semi_join: {time.time() - t0:.1f}s")
+
+    ev = load(spark, sf_dir, "events")
+    copies = [
+        ev.select(
+            (F.col("event_id") + F.lit(i * 100_000_000)).alias("event_id"),
+            (F.col("user_id") + F.lit(i * 1000)).alias("user_id"),
+            "ts",
+            "event_type",
+            "value",
+        )
+        for i in range(factor)
+    ]
+    big_ev = copies[0]
+    for c in copies[1:]:
+        big_ev = big_ev.unionByName(c)
+    big_ev = big_ev.repartition(
+        spark.sparkContext.defaultParallelism
+    ).persist()
+    print(f"amplified events={big_ev.count()}")
+
+    t0 = time.time()
+    running_prefix_max(big_ev, "event_id", "value").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    print(f"running_prefix_max: {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    salted_distinct_count(big_ev, "event_type", "user_id").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    print(f"salted_distinct: {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    big_ev.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("_m")
+    ).write.format("noop").mode("overwrite").save()
+    print(f"latest_compaction: {time.time() - t0:.1f}s")
+
 
 if __name__ == "__main__":
     main()
