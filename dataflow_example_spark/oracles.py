@@ -3240,3 +3240,63 @@ SELECT purchase_id, user_id, purchase_ts,
        click_ts AS first_click_ts, click_id AS first_click_id
 FROM r WHERE rn = 1
 """
+
+
+ORACLES["docs_cross_source_dup_matrix"] = f"""
+WITH {_TOKS_CTE},
+fp AS (
+    SELECT DISTINCT md5(array_to_string(t[1:12], ' ')) AS f, d.source
+    FROM toks JOIN documents d USING (doc_id)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*) AS shared_fingerprints
+FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+ORACLES["events_burst_detection"] = """
+WITH per_min AS (
+    SELECT event_type, date_trunc('minute', ts) AS minute, count(*) AS c
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type, count(*) AS n, sum(c) AS s1, sum(c * c) AS s2
+    FROM per_min GROUP BY 1
+)
+SELECT p.event_type, p.minute, p.c,
+       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_per_min,
+       (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS z
+FROM per_min p JOIN stats USING (event_type)
+WHERE (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) > 3.0
+"""
+
+
+ORACLES["events_user_lifecycle"] = """
+WITH days AS (
+    SELECT DISTINCT user_id, day(ts) AS day FROM events
+),
+tagged AS (
+    SELECT day,
+           CASE WHEN lag(day) OVER (PARTITION BY user_id ORDER BY day)
+                     IS NULL THEN 'new'
+                WHEN lag(day) OVER (PARTITION BY user_id ORDER BY day)
+                     = day - 1 THEN 'retained'
+                ELSE 'resurrected' END AS status
+    FROM days
+)
+SELECT day,
+       CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+       CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_retained,
+       CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_resurrected
+FROM tagged GROUP BY 1
+"""

@@ -4198,3 +4198,114 @@ def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("_f.click_ts").alias("first_click_ts"),
         F.col("_f.click_id").alias("first_click_id"),
     )
+
+
+@query("docs_cross_source_dup_matrix")
+def docs_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source x source contamination matrix: how many distinct
+    normalized fingerprints each ordered source pair shares — the
+    corpus-health view that tells you which crawls copied from which
+    before you pick mixture weights. Per-(fingerprint, source) distinct
+    first (the only wide shuffle), then the self-join runs on the
+    fingerprint level with fan-out bounded by sources-per-fingerprint,
+    never corpus size."""
+    from .functions.text import fingerprint
+
+    docs = load(spark, sf_dir, "documents")
+    fp = (
+        fingerprint(docs, prefix_tokens=12)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("fingerprint_md5", "source")
+        .distinct()
+    )
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint_md5") == F.col("b.fingerprint_md5"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+    )
+
+
+@query("events_burst_detection")
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detector: minutes whose event count exceeds the type's
+    mean by 3 sigma (moment-based, exact integer sums until the final
+    compare) — the ops alarm for traffic spikes / runaway producers.
+    Two grouped aggregates; the minute series per type is bounded by
+    the time range, not event volume."""
+    ev = load(spark, sf_dir, "events")
+    per_min = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("minute", F.col("ts")).alias("minute"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = per_min.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("s2").cast("double") / F.col("n").cast("double")
+        - mean * mean
+    )
+    return (
+        per_min.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "minute",
+            "c",
+            mean.alias("mean_per_min"),
+            (
+                (F.col("c").cast("double") - mean) / F.sqrt(var)
+            ).alias("z"),
+        )
+        .filter(F.col("z") > 3.0)
+    )
+
+
+@query("events_user_lifecycle")
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per day, how many active users are new
+    (first-ever day), retained (also active the previous day), or
+    resurrected (seen before, but not yesterday). Distinct user-days
+    first, then two windows over each user's <= 31-day series — state
+    bounded by days, not events. The standard DAU decomposition every
+    usage dashboard starts from."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.dayofmonth("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    tagged = days.select(
+        "user_id",
+        "day",
+        F.lag("day").over(w).alias("_prev"),
+    ).select(
+        "day",
+        F.when(F.col("_prev").isNull(), F.lit("new"))
+        .when(F.col("_prev") == F.col("day") - 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("status"),
+    )
+    return tagged.groupBy("day").agg(
+        F.sum((F.col("status") == "new").cast("bigint")).alias("n_new"),
+        F.sum((F.col("status") == "retained").cast("bigint")).alias(
+            "n_retained"
+        ),
+        F.sum((F.col("status") == "resurrected").cast("bigint")).alias(
+            "n_resurrected"
+        ),
+    )

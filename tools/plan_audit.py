@@ -191,6 +191,9 @@ AUDITS: dict[str, list[str]] = {
     "orders_revenue_yoy_growth": ["partial", "codegen", "no_bnl", "pruned:3"],
     "orders_customer_gini": ["partial", "codegen", "no_bnl", "pruned:2"],
     "events_attribution_first_touch": ["partial", "codegen", "no_bnl", "pruned:4"],
+    "docs_cross_source_dup_matrix": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "events_burst_detection": ["broadcast", "partial", "codegen", "no_bnl", "pruned:2"],
+    "events_user_lifecycle": ["partial", "codegen", "no_bnl", "pruned:2"],
 }
 
 
