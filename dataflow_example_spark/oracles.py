@@ -3300,3 +3300,29 @@ SELECT day,
             AS BIGINT) AS n_resurrected
 FROM tagged GROUP BY 1
 """
+
+
+ORACLES["events_trailing_hour_sum"] = """
+WITH w AS (
+    SELECT event_id, user_id, ts, event_type,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) // 1000000
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_1h_value
+    FROM events
+)
+SELECT event_id, user_id, ts, trailing_1h_value
+FROM w WHERE event_type = 'purchase'
+"""
+
+
+ORACLES["events_multi_distinct_profile"] = """
+SELECT day(ts) AS day,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(count(DISTINCT date_trunc('minute', ts)) AS BIGINT)
+           AS n_active_minutes
+FROM events GROUP BY 1
+"""

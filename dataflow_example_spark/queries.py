@@ -4309,3 +4309,47 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_resurrected"
         ),
     )
+
+
+@query("events_trailing_hour_sum")
+def events_trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1h spend per user at every event (RANGE frame over
+    event-time seconds, not row counts — the frame Spark evaluates by
+    value, so sparse and bursty streams get the same window
+    semantics). DECIMAL-exact sum; per-user partitions bound the frame
+    state. Returns one row per purchase event with its trailing-hour
+    total."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        ev.withColumn(
+            "trailing_1h_value",
+            F.sum(dec("value")).over(w).cast("double"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "trailing_1h_value")
+    )
+
+
+@query("events_multi_distinct_profile")
+def events_multi_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several exact COUNT(DISTINCT)s in one aggregate (users, types,
+    active minutes per day) — Spark plans this with expand + two-level
+    aggregation so each distinct gets its own dedup path in one pass
+    over the scan; the daily activity profile every usage report
+    needs."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.dayofmonth("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.count_distinct(
+            F.date_trunc("minute", F.col("ts"))
+        ).alias("n_active_minutes"),
+    )

@@ -194,6 +194,8 @@ AUDITS: dict[str, list[str]] = {
     "docs_cross_source_dup_matrix": ["partial", "codegen", "no_bnl", "pruned:3"],
     "events_burst_detection": ["broadcast", "partial", "codegen", "no_bnl", "pruned:2"],
     "events_user_lifecycle": ["partial", "codegen", "no_bnl", "pruned:2"],
+    "events_trailing_hour_sum": ["codegen", "no_bnl", "pruned:5"],
+    "events_multi_distinct_profile": ["partial", "codegen", "no_bnl", "pruned:3"],
 }
 
 
