@@ -3326,3 +3326,32 @@ SELECT day(ts) AS day,
            AS n_active_minutes
 FROM events GROUP BY 1
 """
+
+
+ORACLES["events_model_score"] = """
+WITH s AS (
+    SELECT event_id, user_id, event_type,
+           1.0 / (1.0 + exp(-(
+               -2.0
+               + 0.015 * CAST(value AS DOUBLE)
+               + 0.05 * CAST(hour(ts) AS DOUBLE)
+               + 0.3 * (CASE WHEN dayofweek(ts) + 1 IN (1, 7)
+                             THEN 1.0 ELSE 0.0 END)
+               + 1.2 * (CASE WHEN event_type = 'purchase'
+                             THEN 1.0 ELSE 0.0 END)
+           ))) AS score
+    FROM events
+)
+SELECT * FROM s WHERE score > 0.8
+"""
+
+
+ORACLES["events_k_anonymity"] = """
+SELECT event_type, hour(ts) AS hour,
+       CAST(least(CAST(floor(value / 50) AS INTEGER), 9) AS INTEGER)
+           AS value_bucket,
+       count(*) AS class_size
+FROM events
+GROUP BY 1, 2, 3
+HAVING count(*) < 5
+"""

@@ -4353,3 +4353,48 @@ def events_multi_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame
             F.date_trunc("minute", F.col("ts"))
         ).alias("n_active_minutes"),
     )
+
+
+@query("events_model_score")
+def events_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch inference with a fixed logistic model as pure column
+    expressions: z = w.x over derived features (value, hour, weekend,
+    is-purchase), sigmoid in one exp() — no UDF, so scoring runs inside
+    whole-stage codegen at scan speed, the shape batch model-apply
+    should take before anyone reaches for mapInPandas. Returns events
+    scored above 0.8."""
+    ev = load(spark, sf_dir, "events")
+    z = (
+        F.lit(-2.0)
+        + F.lit(0.015) * F.col("value").cast("double")
+        + F.lit(0.05) * F.hour("ts").cast("double")
+        + F.lit(0.3) * (F.dayofweek("ts").isin(1, 7)).cast("double")
+        + F.lit(1.2) * (F.col("event_type") == "purchase").cast("double")
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return (
+        ev.select("event_id", "user_id", "event_type", score.alias("score"))
+        .filter(F.col("score") > 0.8)
+    )
+
+
+@query("events_k_anonymity")
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (event_type, hour
+    bucket, value decile): equivalence classes with fewer than k=5
+    members are re-identification risks a training-data release must
+    suppress or generalize. One grouped count plus a summary row per
+    violating class — the privacy twin of the DQ report."""
+    ev = load(spark, sf_dir, "events")
+    classes = (
+        ev.select(
+            "event_type",
+            F.hour("ts").alias("hour"),
+            F.least(
+                F.floor(F.col("value") / 50).cast("int"), F.lit(9)
+            ).alias("value_bucket"),
+        )
+        .groupBy("event_type", "hour", "value_bucket")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    return classes.filter(F.col("class_size") < 5)

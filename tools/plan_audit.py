@@ -196,6 +196,8 @@ AUDITS: dict[str, list[str]] = {
     "events_user_lifecycle": ["partial", "codegen", "no_bnl", "pruned:2"],
     "events_trailing_hour_sum": ["codegen", "no_bnl", "pruned:5"],
     "events_multi_distinct_profile": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "events_model_score": ["codegen", "no_bnl", "pruned:5"],
+    "events_k_anonymity": ["partial", "codegen", "no_bnl", "pruned:3"],
 }
 
 
