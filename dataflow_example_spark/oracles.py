@@ -3355,3 +3355,96 @@ FROM events
 GROUP BY 1, 2, 3
 HAVING count(*) < 5
 """
+
+
+ORACLES["events_weekend_ttest"] = """
+WITH agg AS (
+    SELECT event_type,
+           CAST(sum(CASE WHEN dayofweek(ts) + 1 IN (1, 7)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_we,
+           CAST(sum(CASE WHEN dayofweek(ts) + 1 NOT IN (1, 7)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_wd,
+           sum(CASE WHEN dayofweek(ts) + 1 IN (1, 7)
+               THEN CAST(value AS DECIMAL(18,6))
+               ELSE CAST(0 AS DECIMAL(18,6)) END) AS s_we,
+           sum(CASE WHEN dayofweek(ts) + 1 NOT IN (1, 7)
+               THEN CAST(value AS DECIMAL(18,6))
+               ELSE CAST(0 AS DECIMAL(18,6)) END) AS s_wd,
+           sum(CASE WHEN dayofweek(ts) + 1 IN (1, 7)
+               THEN CAST(value AS DECIMAL(18,6))
+                    * CAST(value AS DECIMAL(18,6))
+               ELSE CAST(0 AS DECIMAL(18,6)) END) AS q_we,
+           sum(CASE WHEN dayofweek(ts) + 1 NOT IN (1, 7)
+               THEN CAST(value AS DECIMAL(18,6))
+                    * CAST(value AS DECIMAL(18,6))
+               ELSE CAST(0 AS DECIMAL(18,6)) END) AS q_wd
+    FROM events GROUP BY 1
+)
+SELECT event_type, n_we, n_wd,
+       (CAST(s_we AS DOUBLE) / CAST(n_we AS DOUBLE)
+        - CAST(s_wd AS DOUBLE) / CAST(n_wd AS DOUBLE)) AS mean_diff,
+       (CAST(s_we AS DOUBLE) / CAST(n_we AS DOUBLE)
+        - CAST(s_wd AS DOUBLE) / CAST(n_wd AS DOUBLE))
+       / sqrt((CAST(q_we AS DOUBLE) / CAST(n_we AS DOUBLE)
+               - (CAST(s_we AS DOUBLE) / CAST(n_we AS DOUBLE))
+                 * (CAST(s_we AS DOUBLE) / CAST(n_we AS DOUBLE)))
+              / CAST(n_we AS DOUBLE)
+              + (CAST(q_wd AS DOUBLE) / CAST(n_wd AS DOUBLE)
+                 - (CAST(s_wd AS DOUBLE) / CAST(n_wd AS DOUBLE))
+                   * (CAST(s_wd AS DOUBLE) / CAST(n_wd AS DOUBLE)))
+                / CAST(n_wd AS DOUBLE)) AS t_stat
+FROM agg
+"""
+
+
+# fixed 64-dim embeddings (TESTDATA.md); range(0, 64) instead of a
+# lateral len() because DuckDB's table-function ranges cannot see
+# lateral columns (same note as the shingles CTE)
+ORACLES["emb_dim_variance"] = """
+WITH exploded AS (
+    SELECT CAST(i AS INTEGER) AS dim,
+           CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) AS v
+    FROM embeddings, range(0, 64) t(i)
+),
+stats AS (
+    SELECT dim, count(*) AS n,
+           list_reduce(list_prepend(0.0, list_sort(list(v))),
+                       (acc, x) -> acc + x) / count(*) AS mean_v,
+           list_reduce(list_prepend(0.0, list_sort(list(v * v))),
+                       (acc, x) -> acc + x) / count(*) AS m2
+    FROM exploded GROUP BY dim
+)
+SELECT dim, n, mean_v, (m2 - mean_v * mean_v) AS var_v FROM stats
+"""
+
+
+ORACLES["docs_dedup_threshold_sweep"] = f"""
+WITH {_SHINGLES_CTE},
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({_BAND_MATCH})
+),
+inter AS (
+    SELECT p.doc_a, p.doc_b, count(*) AS n_common
+    FROM pairs p
+    JOIN sh a ON a.doc_id = p.doc_a
+    JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common)
+               AS jaccard
+    FROM inter
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.2
+)
+SELECT t.threshold, count(*) AS n_pairs
+FROM scored s
+JOIN (SELECT CAST(x AS DOUBLE) AS threshold
+      FROM (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)) v(x)) t
+  ON s.jaccard >= t.threshold
+GROUP BY 1
+"""

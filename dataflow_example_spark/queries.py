@@ -4398,3 +4398,102 @@ def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("class_size"))
     )
     return classes.filter(F.col("class_size") < 5)
+
+
+@query("events_weekend_ttest")
+def events_weekend_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t statistic for weekday-vs-weekend value per event_type
+    — the two-sample test a feature owner runs before claiming a
+    behavioral difference. All five moments per side are exact integer/
+    decimal sums in ONE conditional aggregate (no second scan); only
+    the final t expression is float."""
+    ev = load(spark, sf_dir, "events")
+    is_we = F.dayofweek("ts").isin(1, 7)
+    v = dec("value")
+    agg = ev.groupBy("event_type").agg(
+        F.sum(F.when(is_we, 1).otherwise(0)).alias("n_we"),
+        F.sum(F.when(~is_we, 1).otherwise(0)).alias("n_wd"),
+        F.sum(F.when(is_we, v).otherwise(F.lit(0).cast(DEC))).alias("s_we"),
+        F.sum(F.when(~is_we, v).otherwise(F.lit(0).cast(DEC))).alias("s_wd"),
+        F.sum(F.when(is_we, v * v).otherwise(F.lit(0).cast(DEC))).alias(
+            "q_we"
+        ),
+        F.sum(F.when(~is_we, v * v).otherwise(F.lit(0).cast(DEC))).alias(
+            "q_wd"
+        ),
+    )
+    m_we = F.col("s_we").cast("double") / F.col("n_we").cast("double")
+    m_wd = F.col("s_wd").cast("double") / F.col("n_wd").cast("double")
+    var_we = (
+        F.col("q_we").cast("double") / F.col("n_we").cast("double")
+        - m_we * m_we
+    )
+    var_wd = (
+        F.col("q_wd").cast("double") / F.col("n_wd").cast("double")
+        - m_wd * m_wd
+    )
+    t_stat = (m_we - m_wd) / F.sqrt(
+        var_we / F.col("n_we").cast("double")
+        + var_wd / F.col("n_wd").cast("double")
+    )
+    return agg.select(
+        "event_type",
+        "n_we",
+        "n_wd",
+        (m_we - m_wd).alias("mean_diff"),
+        t_stat.alias("t_stat"),
+    )
+
+
+@query("emb_dim_variance")
+def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance profile of the embedding space — dead or
+    near-constant dimensions (broken encoder heads, zero-padding) show
+    up as variance ~0 and waste index space. posexplode pivots vectors
+    to (dim, value); per-dim moments use the pinned sorted-fold so the
+    double sums are order-independent and engine-identical (the
+    label_centroids tradeoff: per-dim collect is bounded by corpus
+    rows, swap to tolerance oracles at extreme scale)."""
+    emb = load(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select("dim", F.col("v").cast("double").alias("v"))
+    fold = lambda c: F.aggregate(  # noqa: E731
+        F.sort_array(F.collect_list(c)), F.lit(0.0), lambda a, x: a + x
+    )
+    stats = exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (fold(F.col("v")) / F.count(F.lit(1))).alias("mean_v"),
+        (fold(F.col("v") * F.col("v")) / F.count(F.lit(1))).alias("_m2"),
+    )
+    return stats.select(
+        "dim",
+        "n",
+        "mean_v",
+        (F.col("_m2") - F.col("mean_v") * F.col("mean_v")).alias("var_v"),
+    )
+
+
+@query("docs_dedup_threshold_sweep")
+def docs_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity sweep for near-dup removal: surviving LSH
+    candidate pairs at each Jaccard cutoff in ONE pass (the candidate
+    scores fan out over a literal threshold array) — the tuning curve
+    you inspect before fixing the production cutoff. Candidate
+    generation and exact scoring run once; the sweep is a constant-
+    width explode over the scored pairs."""
+    from .functions.dedup import jaccard_on_candidates, minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    scored = jaccard_on_candidates(docs, minhash_lsh_pairs(docs))
+    thresholds = F.array(
+        *[F.lit(x) for x in (0.5, 0.6, 0.7, 0.8, 0.9)]
+    )
+    return (
+        scored.select(
+            "jaccard", F.explode(thresholds).alias("threshold")
+        )
+        .filter(F.col("jaccard") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

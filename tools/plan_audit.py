@@ -198,6 +198,9 @@ AUDITS: dict[str, list[str]] = {
     "events_multi_distinct_profile": ["partial", "codegen", "no_bnl", "pruned:3"],
     "events_model_score": ["codegen", "no_bnl", "pruned:5"],
     "events_k_anonymity": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "events_weekend_ttest": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "emb_dim_variance": ["partial", "no_bnl", "pruned:1"],
+    "docs_dedup_threshold_sweep": ["no_bnl", "partial"],
 }
 
 
