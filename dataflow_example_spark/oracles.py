@@ -3448,3 +3448,52 @@ JOIN (SELECT CAST(x AS DOUBLE) AS threshold
   ON s.jaccard >= t.threshold
 GROUP BY 1
 """
+
+
+ORACLES["events_sequence_violations"] = """
+WITH agg AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase,
+           min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+    FROM events GROUP BY 1
+)
+SELECT * FROM agg
+WHERE first_purchase IS NOT NULL
+  AND (first_click IS NULL OR first_purchase < first_click)
+  AND (first_view IS NULL OR first_purchase < first_view)
+"""
+
+
+ORACLES["lineitem_supplier_hhi"] = """
+WITH rev AS (
+    SELECT p.p_brand, l.l_suppkey,
+           sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS _rev
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1, 2
+),
+tot AS (SELECT p_brand, sum(_rev) AS _tot FROM rev GROUP BY 1)
+SELECT rev.p_brand,
+       CAST(sum(CAST(
+           (CAST(_rev AS DOUBLE) / CAST(_tot AS DOUBLE))
+           * (CAST(_rev AS DOUBLE) / CAST(_tot AS DOUBLE)) * 10000.0
+           AS DECIMAL(18,6))) AS DOUBLE) AS hhi
+FROM rev JOIN tot USING (p_brand)
+GROUP BY 1
+"""
+
+
+ORACLES["events_value_benford"] = """
+WITH d AS (
+    SELECT CAST(floor(value / pow(10.0, floor(log10(value))))
+               AS INTEGER) AS digit
+    FROM events WHERE value > 0
+),
+obs AS (SELECT digit, count(*) AS observed FROM d GROUP BY 1),
+tot AS (SELECT sum(observed) AS _n FROM obs)
+SELECT digit, observed,
+       CAST(observed AS DOUBLE) / CAST(_n AS DOUBLE) AS observed_share,
+       log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS benford_share
+FROM obs, tot
+"""

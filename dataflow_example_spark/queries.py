@@ -4497,3 +4497,97 @@ def docs_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("threshold")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query("events_sequence_violations")
+def events_sequence_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-constraint validation: users whose first purchase
+    precedes their first click AND first view — an impossible funnel
+    order that flags instrumentation bugs or replayed/forged traffic.
+    One conditional min-aggregate per user (no window, no join): the
+    state-machine check collapses to comparing conditional firsts."""
+    ev = load(spark, sf_dir, "events")
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    agg = ev.groupBy("user_id").agg(
+        first_ts("purchase").alias("first_purchase"),
+        first_ts("click").alias("first_click"),
+        first_ts("view").alias("first_view"),
+    )
+    return agg.filter(
+        F.col("first_purchase").isNotNull()
+        & (
+            F.col("first_click").isNull()
+            | (F.col("first_purchase") < F.col("first_click"))
+        )
+        & (
+            F.col("first_view").isNull()
+            | (F.col("first_purchase") < F.col("first_view"))
+        )
+    )
+
+
+@query("lineitem_supplier_hhi")
+def lineitem_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supply-concentration index per part brand:
+    sum of squared supplier revenue shares (10000 = single-source risk,
+    ->0 = fragmented). Shares come from exact DECIMAL revenue sums; the
+    share squaring is the only float step. Two grouped aggregates over
+    one scan-side join with the broadcast part dim."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    rev = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("_rev"))
+    )
+    tot = rev.groupBy("p_brand").agg(F.sum("_rev").alias("_tot"))
+    share = F.col("_rev").cast("double") / F.col("_tot").cast("double")
+    return (
+        rev.join(F.broadcast(tot), "p_brand")
+        .select("p_brand", (share * share * F.lit(10000.0)).alias("_h"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("_h").cast(DEC)).cast("double").alias("hhi")
+        )
+    )
+
+
+@query("events_value_benford")
+def events_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen on the value column: observed first-
+    significant-digit frequencies vs the log10(1+1/d) expectation —
+    the classic fabricated-data / unit-mixup detector. First digits
+    come from floor(v / 10^floor(log10 v)) (correctly-rounded libm on
+    both engines); expected shares are exact log10 expressions."""
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    digit = F.floor(
+        v / F.pow(F.lit(10.0), F.floor(F.log10(v)))
+    ).cast("int")
+    obs = (
+        ev.filter(v > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    tot = obs.agg(F.sum("observed").alias("_n"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "observed",
+            (
+                F.col("observed").cast("double")
+                / F.col("_n").cast("double")
+            ).alias("observed_share"),
+            F.log10(
+                F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")
+            ).alias("benford_share"),
+        )
+    )

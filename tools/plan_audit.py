@@ -201,6 +201,10 @@ AUDITS: dict[str, list[str]] = {
     "events_weekend_ttest": ["partial", "codegen", "no_bnl", "pruned:3"],
     "emb_dim_variance": ["partial", "no_bnl", "pruned:1"],
     "docs_dedup_threshold_sweep": ["no_bnl", "partial"],
+    "events_sequence_violations": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "lineitem_supplier_hhi": ["broadcast", "partial", "codegen", "no_bnl"],
+    # benford crossJoins a broadcast 1-row total (allow-listed BNL shape)
+    "events_value_benford": ["partial", "codegen", "pruned:1"],
 }
 
 
