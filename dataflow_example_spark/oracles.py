@@ -3497,3 +3497,65 @@ SELECT digit, observed,
        log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS benford_share
 FROM obs, tot
 """
+
+
+ORACLES["events_bounce_rate"] = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS _new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT *, sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS _sess
+    FROM flagged
+),
+grouped AS (
+    SELECT user_id, _sess, count(*) AS n_events,
+           min({'ts': ts, 'event_id': event_id,
+                'event_type': event_type}) AS _first
+    FROM sess GROUP BY 1, 2
+)
+SELECT _first.event_type AS entry_type,
+       count(*) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounces,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS bounce_rate
+FROM grouped GROUP BY 1
+"""
+
+
+ORACLES["events_top_minutes_with_ties"] = """
+WITH per_min AS (
+    SELECT event_type, date_trunc('minute', ts) AS minute, count(*) AS c
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, minute, c,
+       CAST(rank() OVER (PARTITION BY event_type ORDER BY c DESC)
+            AS INTEGER) AS rnk
+FROM per_min
+QUALIFY rnk <= 3
+"""
+
+
+ORACLES["docs_vocab_growth"] = f"""
+WITH {_TOKS_CTE},
+terms AS (
+    SELECT u.term, min(d.source) AS first_source
+    FROM toks JOIN documents d USING (doc_id), unnest(t) AS u(term)
+    GROUP BY 1
+),
+new_terms AS (
+    SELECT first_source AS source, count(*) AS new_terms
+    FROM terms GROUP BY 1
+)
+SELECT source, new_terms,
+       CAST(sum(new_terms) OVER (ORDER BY source
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_vocab
+FROM new_terms
+"""

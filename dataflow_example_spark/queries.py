@@ -4591,3 +4591,106 @@ def events_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("benford_share"),
         )
     )
+
+
+@query("events_bounce_rate")
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session bounce rate by entry event type: share of 30-min-gap
+    sessions that contain exactly one event, keyed by how the session
+    started — the engagement metric layered on the same islands rule as
+    events_sessionize. Struct-min picks the deterministic entry event;
+    rates are exact-int divisions."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "_new",
+        (
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts")
+                >= F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")
+            )
+        ).cast("int"),
+    ).withColumn(
+        "_sess",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sessions = flagged.groupBy("user_id", "_sess").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.struct("ts", "event_id", "event_type")).alias("_first"),
+    )
+    return (
+        sessions.select(
+            F.col("_first.event_type").alias("entry_type"),
+            (F.col("n_events") == 1).cast("bigint").alias("_bounce"),
+        )
+        .groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("_bounce").alias("n_bounces"),
+            (
+                F.sum("_bounce").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("bounce_rate"),
+        )
+    )
+
+
+@query("events_top_minutes_with_ties")
+def events_top_minutes_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 busiest minutes per event_type WITH TIES (rank, not
+    row_number): every minute tied with the third-busiest is included,
+    the correct leaderboard semantics when counts collide. The rank
+    window runs over per-minute pre-aggregates, bounded by the time
+    range."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    per_min = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("minute", F.col("ts")).alias("minute"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("c"))
+    return (
+        per_min.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "minute", "c", "rnk")
+    )
+
+
+@query("docs_vocab_growth")
+def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: cumulative distinct-term count as
+    the corpus accretes source by source (alphabetical order) — the
+    curve that says whether the next crawl still adds vocabulary. Each
+    term contributes at its FIRST source (min over sources), so the
+    cumulative count is a running sum over the tiny per-source series;
+    no term is ever counted twice."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    from .functions.text import tokens
+
+    first_src = (
+        docs.select(
+            "source", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.min("source").alias("first_source"))
+    )
+    new_terms = first_src.groupBy("first_source").agg(
+        F.count(F.lit(1)).alias("new_terms")
+    )
+    w = Window.orderBy("first_source").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return new_terms.select(
+        F.col("first_source").alias("source"),
+        "new_terms",
+        F.sum("new_terms").over(w).alias("cum_vocab"),
+    )

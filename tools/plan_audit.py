@@ -205,6 +205,9 @@ AUDITS: dict[str, list[str]] = {
     "lineitem_supplier_hhi": ["broadcast", "partial", "codegen", "no_bnl"],
     # benford crossJoins a broadcast 1-row total (allow-listed BNL shape)
     "events_value_benford": ["partial", "codegen", "pruned:1"],
+    "events_bounce_rate": ["partial", "codegen", "no_bnl", "pruned:4"],
+    "events_top_minutes_with_ties": ["partial", "codegen", "no_bnl", "pruned:2"],
+    "docs_vocab_growth": ["partial", "codegen", "no_bnl", "pruned:3"],
 }
 
 
