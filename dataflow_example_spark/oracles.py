@@ -3559,3 +3559,13 @@ SELECT source, new_terms,
            AS cum_vocab
 FROM new_terms
 """
+
+
+ORACLES["docs_jsonl_ingest"] = """
+SELECT lang, count(*) AS n_docs
+FROM documents WHERE doc_id % 97 != 0
+GROUP BY 1
+UNION ALL
+SELECT '_quarantined' AS lang, count(*) AS n_docs
+FROM documents WHERE doc_id % 97 = 0
+"""

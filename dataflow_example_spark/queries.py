@@ -4694,3 +4694,45 @@ def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_terms",
         F.sum("new_terms").over(w).alias("cum_vocab"),
     )
+
+
+@query("docs_jsonl_ingest")
+def docs_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest with corrupt-record quarantine, end to end: the
+    documents table is serialized to JSON lines in-plan (to_json), lines
+    for doc_id % 97 == 0 are deterministically truncated (simulated
+    transfer corruption), written as text, and read back through
+    sources/jsonl.read_jsonl's PERMISSIVE + corrupt-column contract.
+    Returns per-lang clean-row counts plus a '_quarantined' row — the
+    oracle recomputes both from the clean table, proving the parse path
+    loses nothing and quarantines exactly the corrupted subset."""
+    import os
+    import tempfile
+
+    from .sources.jsonl import read_jsonl, split_quarantine
+
+    docs = load(spark, sf_dir, "documents")
+    line = F.to_json(F.struct("doc_id", "lang", "source", "n_chars"))
+    corrupted = F.when(
+        F.col("doc_id") % 97 == 0,
+        F.substring(line, 1, 20),
+    ).otherwise(line)
+    base = tempfile.mkdtemp(prefix="dfx_jsonl_")
+    path = os.path.join(base, "docs.jsonl")
+    docs.select(corrupted.alias("value")).write.mode("overwrite").text(path)
+
+    # cache: Spark disallows projecting ONLY the corrupt column off a
+    # raw JSON scan; materializing the parsed frame is the documented
+    # contract (see sources/jsonl.split_quarantine)
+    parsed = read_jsonl(
+        spark, path, "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"
+    ).cache()
+    clean, quarantined = split_quarantine(parsed)
+    per_lang = clean.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    q = quarantined.agg(
+        F.lit("_quarantined").alias("lang"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return per_lang.unionByName(q)

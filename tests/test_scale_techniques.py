@@ -225,3 +225,65 @@ def test_dq_checks_detects_violations(spark):
     assert rows["value_le_100"]["violations"] > 0
     assert all(r["observed"] == rows["ts_in_2024"]["observed"]
                for r in rows.values())
+
+
+def test_running_prefix_max_property(spark):
+    """Property: for random value sequences and any order permutation,
+    the range-partitioned prefix max equals the naive window — catches
+    range-boundary and tie-handling bugs the fixture can't."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql.window import Window
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-1000, max_value=1000),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def check(vals):
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)], "k INT, v DOUBLE"
+        ).repartition(7)
+        got = {
+            r["k"]: r["prev_max"]
+            for r in running_prefix_max(df, "k", "v").collect()
+        }
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+        want = {
+            r["k"]: r["prev_max"]
+            for r in df.withColumn(
+                "prev_max", F.max("v").over(w)
+            ).collect()
+        }
+        assert got == want
+
+    check()
+
+
+def test_jsonl_quarantine_roundtrip(spark, tmp_path):
+    """Malformed JSON lines land whole in the quarantine side; clean
+    rows parse losslessly (including a unicode value and a null)."""
+    from dataflow_example_spark.sources.jsonl import (
+        read_jsonl,
+        split_quarantine,
+    )
+
+    lines = [
+        '{"id": 1, "name": "ok"}',
+        '{"id": 2, "name": "unicod\\u00e9"}',
+        '{"id": 3, "name": null}',
+        '{"id": 4, "name": "trunca',      # cut mid-string
+        "not json at all",
+        "",
+    ]
+    p = tmp_path / "in.jsonl"
+    p.write_text("\n".join(lines))
+    parsed = read_jsonl(spark, str(p), "id BIGINT, name STRING").cache()
+    clean, quarantined = split_quarantine(parsed)
+    got = {r["id"]: r["name"] for r in clean.collect()}
+    assert got == {1: "ok", 2: "unicodé", 3: None}
+    bad = {r["raw_line"] for r in quarantined.collect()}
+    assert bad == {'{"id": 4, "name": "trunca', "not json at all"}

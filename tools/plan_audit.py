@@ -208,6 +208,7 @@ AUDITS: dict[str, list[str]] = {
     "events_bounce_rate": ["partial", "codegen", "no_bnl", "pruned:4"],
     "events_top_minutes_with_ties": ["partial", "codegen", "no_bnl", "pruned:2"],
     "docs_vocab_growth": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "docs_jsonl_ingest": ["partial", "no_bnl"],
 }
 
 
