@@ -3569,3 +3569,68 @@ UNION ALL
 SELECT '_quarantined' AS lang, count(*) AS n_docs
 FROM documents WHERE doc_id % 97 = 0
 """
+
+
+ORACLES["docs_langid_confusion"] = f"""
+WITH {_TOKS_CTE},
+h AS (
+    SELECT doc_id,
+           {", ".join(f"{_hits(lang)} AS hits_{lang}" for lang in sorted(_SW))}
+    FROM toks
+),
+pred AS (
+    SELECT doc_id,
+           CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0
+                THEN 'und'
+                {" ".join(f"WHEN hits_{lang} = greatest(hits_de, hits_en, hits_es, hits_fr) THEN '{lang}'" for lang in sorted(_SW))}
+           END AS lang_pred
+    FROM h
+),
+cells AS (
+    SELECT d.lang, p.lang_pred, count(*) AS n
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY 1, 2
+),
+rt AS (SELECT lang, sum(n) AS _rt FROM cells GROUP BY 1)
+SELECT cells.lang, lang_pred, n,
+       CAST(n AS DOUBLE) / CAST(_rt AS DOUBLE) AS row_share
+FROM cells JOIN rt USING (lang)
+"""
+
+
+ORACLES["sim_lsh_recall_eval"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q0 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q0.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q0.query_id
+                   ORDER BY {_cosine("qv", "c.v")} DESC, c.vec_id ASC)
+                   AS rank
+        FROM e c, q0 WHERE c.vec_id <> q0.query_id
+    ) WHERE rank <= 5
+),
+b AS (SELECT vec_id, v, {_BUCKET} AS bucket FROM e),
+qb AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b
+       WHERE vec_id < 10),
+ann AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT qb.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qb.query_id
+                   ORDER BY {_cosine("qv", "c.v")} DESC, c.vec_id ASC)
+                   AS rank
+        FROM b c JOIN qb USING (bucket) WHERE c.vec_id <> qb.query_id
+    ) WHERE rank <= 5
+),
+hits AS (
+    SELECT exact.query_id, count(*) AS n_hits
+    FROM exact SEMI JOIN ann
+      ON exact.query_id = ann.query_id
+     AND exact.neighbor_id = ann.neighbor_id
+    GROUP BY 1
+)
+SELECT q0.query_id,
+       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(n_hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
+FROM q0 LEFT JOIN hits ON hits.query_id = q0.query_id
+"""

@@ -4736,3 +4736,70 @@ def docs_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
     )
     return per_lang.unionByName(q)
+
+
+@query("docs_langid_confusion")
+def docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of the stopword
+    heuristic's prediction against the labeled lang column, with
+    per-cell share of the true-label row — the in-engine classifier
+    report a curation pipeline keeps beside the classifier itself.
+    Prediction and marginals are two grouped aggregates over one
+    langid pass."""
+    from .functions.text import language_id
+
+    docs = load(spark, sf_dir, "documents")
+    pred = language_id(docs).select("doc_id", "lang_pred")
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    cells = joined.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = cells.groupBy("lang").agg(F.sum("n").alias("_rt"))
+    return (
+        cells.join(F.broadcast(row_tot), "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            (
+                F.col("n").cast("double") / F.col("_rt").cast("double")
+            ).alias("row_share"),
+        )
+    )
+
+
+@query("sim_lsh_recall_eval")
+def sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as a query: recall@5 of the LSH top-k against the
+    exact cosine top-k per query vector — the evaluation loop that
+    belongs in the engine next to the index. Both sides run their
+    normal plans; the metric is one semi-join + exact-int division.
+    At 100 TB the exact side runs on a sampled query panel (here: the
+    10-vector panel the topk queries already use)."""
+    from .functions import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = _query_vectors(spark, sf_dir)
+    exact = S.cosine_topk(emb, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ann = S.lsh_topk(emb, q, k=5, n_planes=8, dim=64).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+    per_q = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    # queries whose ANN list misses everything still need a row
+    all_q = exact.select("query_id").distinct()
+    return (
+        all_q.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(5.0)
+            ).alias("recall_at_5"),
+        )
+    )

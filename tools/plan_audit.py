@@ -209,6 +209,8 @@ AUDITS: dict[str, list[str]] = {
     "events_top_minutes_with_ties": ["partial", "codegen", "no_bnl", "pruned:2"],
     "docs_vocab_growth": ["partial", "codegen", "no_bnl", "pruned:3"],
     "docs_jsonl_ingest": ["partial", "no_bnl"],
+    "docs_langid_confusion": ["broadcast", "partial", "codegen", "no_bnl"],
+    "sim_lsh_recall_eval": ["partial"],
 }
 
 
