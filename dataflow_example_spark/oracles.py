@@ -3634,3 +3634,59 @@ SELECT q0.query_id,
        CAST(coalesce(n_hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
 FROM q0 LEFT JOIN hits ON hits.query_id = q0.query_id
 """
+
+
+ORACLES["dedup_minhash_error_eval"] = f"""
+WITH {_SHINGLES_CTE},
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({_EQ_SUM} AS DOUBLE) / {_N_MINHASH} AS est_jaccard
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({_BAND_MATCH})
+),
+inter AS (
+    SELECT p.doc_a, p.doc_b, count(*) AS n_common
+    FROM pairs p
+    JOIN sh a ON a.doc_id = p.doc_a
+    JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common)
+               AS jaccard
+    FROM inter
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.2
+)
+SELECT p.doc_a, p.doc_b, p.est_jaccard, e.jaccard,
+       abs(p.est_jaccard - e.jaccard) AS abs_err
+FROM pairs p JOIN exact e USING (doc_a, doc_b)
+"""
+
+
+ORACLES["events_session_duration_histogram"] = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS _new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT *, sum(_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS _sess
+    FROM flagged
+),
+dur AS (
+    SELECT epoch_us(max(ts)) - epoch_us(min(ts)) AS _dur_us
+    FROM sess GROUP BY user_id, _sess
+)
+SELECT CAST(floor(log2(_dur_us / 1000000 + 1)) AS INTEGER)
+           AS duration_bucket,
+       count(*) AS n_sessions
+FROM dur GROUP BY 1
+"""

@@ -4803,3 +4803,73 @@ def sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_5"),
         )
     )
+
+
+@query("dedup_minhash_error_eval")
+def dedup_minhash_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy evaluation: per LSH candidate pair, the minhash
+    similarity estimate (fraction of equal signature components)
+    against the exact n-gram Jaccard, with the absolute error — the
+    number that justifies the production band/width configuration.
+    Signatures and candidates are computed once; the exact side runs
+    candidate-scoped as always."""
+    from .functions.dedup import (
+        jaccard_on_candidates,
+        minhash_lsh_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    est = minhash_lsh_pairs(docs)
+    exact = jaccard_on_candidates(docs, est.select("doc_a", "doc_b"))
+    return (
+        est.join(exact, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            "jaccard",
+            F.abs(F.col("est_jaccard") - F.col("jaccard")).alias(
+                "abs_err"
+            ),
+        )
+    )
+
+
+@query("events_session_duration_histogram")
+def events_session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed session-duration histogram: sessions from the
+    30-min islands rule, duration = last - first event, bucket =
+    floor(log2(seconds + 1)) so each bar spans a doubling — the
+    long-tail-friendly histogram for dwell-time dashboards. Exact
+    integer durations; log2 on integers is correctly rounded in both
+    engines."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "_new",
+        (
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts")
+                >= F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")
+            )
+        ).cast("int"),
+    ).withColumn(
+        "_sess",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sessions = flagged.groupBy("user_id", "_sess").agg(
+        (
+            F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+        ).alias("_dur_us")
+    )
+    bucket = F.floor(
+        F.log2(F.col("_dur_us") / F.lit(1_000_000) + F.lit(1))
+    ).cast("int")
+    return (
+        sessions.select(bucket.alias("duration_bucket"))
+        .groupBy("duration_bucket")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )

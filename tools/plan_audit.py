@@ -211,6 +211,8 @@ AUDITS: dict[str, list[str]] = {
     "docs_jsonl_ingest": ["partial", "no_bnl"],
     "docs_langid_confusion": ["broadcast", "partial", "codegen", "no_bnl"],
     "sim_lsh_recall_eval": ["partial"],
+    "dedup_minhash_error_eval": ["no_bnl", "partial"],
+    "events_session_duration_histogram": ["partial", "codegen", "no_bnl", "pruned:3"],
 }
 
 
