@@ -3690,3 +3690,52 @@ SELECT CAST(floor(log2(_dur_us / 1000000 + 1)) AS INTEGER)
        count(*) AS n_sessions
 FROM dur GROUP BY 1
 """
+
+
+ORACLES["emb_label_separability"] = f"""
+WITH comp AS (
+    SELECT label,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+),
+cent_long AS (
+    SELECT label, pos,
+           list_reduce(list_prepend(0.0, list_sort(list(v))),
+                       (acc, x) -> acc + x) / count(*) AS centroid
+    FROM comp GROUP BY label, pos
+),
+cents AS (
+    SELECT label AS c_label,
+           list(centroid ORDER BY pos) AS cv
+    FROM cent_long GROUP BY label
+),
+e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings),
+scored AS (
+    SELECT vec_id, label, c_label, {_cosine("qv", "cv")} AS _cos
+    FROM e, cents
+),
+per_vec AS (
+    SELECT vec_id, label,
+           max(CASE WHEN label = c_label THEN _cos END) AS own_cos,
+           max(CASE WHEN label != c_label THEN _cos END)
+               AS best_other_cos
+    FROM scored GROUP BY 1, 2
+)
+SELECT label,
+       count(*) AS n_vectors,
+       list_reduce(list_prepend(0.0, list_sort(list(own_cos))),
+                   (acc, x) -> acc + x) / count(*) AS mean_own_cos,
+       list_reduce(list_prepend(0.0, list_sort(list(best_other_cos))),
+                   (acc, x) -> acc + x) / count(*) AS mean_best_other_cos
+FROM per_vec GROUP BY label
+"""
+
+
+ORACLES["orders_size_distribution"] = """
+WITH per_order AS (
+    SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY 1
+)
+SELECT n_items, count(*) AS n_orders FROM per_order GROUP BY 1
+"""

@@ -4873,3 +4873,72 @@ def events_session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy("duration_bucket")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
     )
+
+
+@query("emb_label_separability")
+def emb_label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-separability report on the labeled embedding space: per
+    label, the mean cosine of members to their OWN label centroid vs
+    the mean cosine to the BEST OTHER centroid — the margin says
+    whether labels are actually separable before anyone trains on
+    them. Centroids come from label_centroids (pinned folds);
+    per-vector cosines fan out over the broadcast 8-row centroid
+    table; per-label means use the pinned sorted fold so both engines
+    agree bit-exactly."""
+    from .functions.similarity import cosine, label_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = (
+        label_centroids(emb)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "centroid"))
+                ),
+                lambda s: s["centroid"],
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("c_label"), "cv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "label",
+            "c_label",
+            cosine(F.col("embedding"), F.col("cv")).alias("_cos"),
+        )
+    )
+    per_vec = scored.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("label") == F.col("c_label"), F.col("_cos"))).alias(
+            "own_cos"
+        ),
+        F.max(F.when(F.col("label") != F.col("c_label"), F.col("_cos"))).alias(
+            "best_other_cos"
+        ),
+    )
+    fold = lambda c: F.aggregate(  # noqa: E731
+        F.sort_array(F.collect_list(c)), F.lit(0.0), lambda a, x: a + x
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (fold(F.col("own_cos")) / F.count(F.lit(1))).alias("mean_own_cos"),
+        (fold(F.col("best_other_cos")) / F.count(F.lit(1))).alias(
+            "mean_best_other_cos"
+        ),
+    )
+
+
+@query("orders_size_distribution")
+def orders_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-size (lineitems per order) distribution — the basket-size
+    histogram. Two tiny grouped counts; the first collapses the fact
+    table, the second runs on per-order rows."""
+    li = load(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items")
+    )
+    return per_order.groupBy("n_items").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )

@@ -213,6 +213,10 @@ AUDITS: dict[str, list[str]] = {
     "sim_lsh_recall_eval": ["partial"],
     "dedup_minhash_error_eval": ["no_bnl", "partial"],
     "events_session_duration_histogram": ["partial", "codegen", "no_bnl", "pruned:3"],
+    # separability crossJoins the broadcast 8-row centroid table
+    # (constant-width fan-out, allow-listed BNL shape)
+    "emb_label_separability": ["partial", "pruned:2"],
+    "orders_size_distribution": ["partial", "codegen", "no_bnl", "pruned:1"],
 }
 
 
