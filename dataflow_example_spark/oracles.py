@@ -3739,3 +3739,52 @@ WITH per_order AS (
 )
 SELECT n_items, count(*) AS n_orders FROM per_order GROUP BY 1
 """
+
+
+ORACLES["events_peak_concurrent_sessions"] = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS _new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT *, sum(_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS _sess
+    FROM flagged
+),
+iv AS (
+    SELECT min(ts) AS s, max(ts) AS e
+    FROM sess GROUP BY user_id, _sess
+),
+bounds AS (
+    SELECT day(s) AS day, s AS t, 1 AS d FROM iv
+    UNION ALL
+    SELECT day(s) AS day, e AS t, -1 AS d FROM iv
+),
+running AS (
+    SELECT day,
+           sum(d) OVER (PARTITION BY day ORDER BY t, d
+                        ROWS UNBOUNDED PRECEDING) AS _open
+    FROM bounds
+)
+SELECT day, CAST(max(_open) AS BIGINT) AS peak_concurrent
+FROM running GROUP BY 1
+"""
+
+
+ORACLES["docs_dq_by_source"] = """
+SELECT source,
+       count(*) AS n_docs,
+       CAST(count(*) FILTER (WHERE length(text) > 0) AS BIGINT)
+           AS n_nonempty_text,
+       CAST(count(*) FILTER (WHERE lang IN ('en','de','es','fr'))
+            AS BIGINT) AS n_known_lang,
+       CAST(count(*) FILTER (WHERE length(text) = n_chars) AS BIGINT)
+           AS n_len_consistent,
+       CAST(count(*) FILTER (WHERE length(text) = n_chars) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS len_consistency_rate
+FROM documents GROUP BY 1
+"""

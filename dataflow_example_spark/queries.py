@@ -4942,3 +4942,76 @@ def orders_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_order.groupBy("n_items").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+@query("events_peak_concurrent_sessions")
+def events_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day by sweep line: session
+    intervals from the 30-min islands rule (attributed to their start
+    day), exploded to +1/-1 boundary events, running-summed in time
+    order with ends sorting BEFORE starts at ties (touching sessions
+    are not concurrent), max per day. The sweep window partitions by
+    day, so no task ever sorts more than one day's boundaries — the
+    capacity-planning number for connection-pool sizing."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "_new",
+        (
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts")
+                >= F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")
+            )
+        ).cast("int"),
+    ).withColumn(
+        "_sess",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sessions = flagged.groupBy("user_id", "_sess").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    bounds = sessions.select(
+        F.dayofmonth("s").alias("day"),
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("t"), F.lit(1).alias("d")),
+                F.struct(F.col("e").alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("b"),
+    ).select("day", "b.t", "b.d")
+    sweep = Window.partitionBy("day").orderBy("t", "d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    running = bounds.withColumn("_open", F.sum("d").over(sweep))
+    return running.groupBy("day").agg(
+        F.max("_open").alias("peak_concurrent")
+    )
+
+
+@query("docs_dq_by_source")
+def docs_dq_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped data-quality report: per source, completeness and
+    sanity rates (non-empty text, known lang, n_chars agrees with the
+    text length) — the per-supplier scorecard that decides which feed
+    needs fixing. One conditional aggregate per source, single scan."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.length("text") > 0).cast("bigint")
+        ).alias("n_nonempty_text"),
+        F.sum(
+            F.col("lang").isin("en", "de", "es", "fr").cast("bigint")
+        ).alias("n_known_lang"),
+        F.sum(
+            (F.length("text") == F.col("n_chars")).cast("bigint")
+        ).alias("n_len_consistent"),
+        (
+            F.sum((F.length("text") == F.col("n_chars")).cast("bigint"))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("len_consistency_rate"),
+    )

@@ -217,6 +217,8 @@ AUDITS: dict[str, list[str]] = {
     # (constant-width fan-out, allow-listed BNL shape)
     "emb_label_separability": ["partial", "pruned:2"],
     "orders_size_distribution": ["partial", "codegen", "no_bnl", "pruned:1"],
+    "events_peak_concurrent_sessions": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "docs_dq_by_source": ["partial", "codegen", "no_bnl", "pruned:4"],
 }
 
 
