@@ -164,3 +164,43 @@ def test_quarantine_routes_rejected_lines_with_reasons(spark):
     parsed = extract_flow_info(filter_header_and_empties(df)).collect()
     assert {r.recorded_timestamp for r in parsed} == {"01/01/2010 10:00:00"}
     assert len(parsed) == 2  # the 2-lane row; 0-lane row emits nothing
+
+
+def test_parser_never_throws_property(spark):
+    """ANSI-mode safety fuzz: arbitrary comma-separated garbage must
+    never crash the parse plan — malformed rows DROP (whole-row or
+    lane-prefix), they do not raise. Random numeric-ish fields also
+    exercise the try_cast boundaries (floats, overflow-length digits,
+    signs) that would throw under a plain ANSI cast."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dataflow_example_spark.operators.traffic import extract_flow_info
+
+    field = st.one_of(
+        st.text(
+            alphabet=st.characters(
+                blacklist_characters=",\n\r", max_codepoint=0x2FF
+            ),
+            max_size=8,
+        ),
+        st.integers(-(10**19), 10**19).map(str),
+        st.floats(allow_nan=False, allow_infinity=False).map(str),
+        st.just(""),
+    )
+    lines = st.lists(
+        st.lists(field, min_size=0, max_size=55).map(",".join),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(lines=lines)
+    def check(lines):
+        df = spark.createDataFrame([(l,) for l in lines], "value STRING")
+        out = extract_flow_info(df).collect()  # must not raise
+        for r in out:
+            # anything emitted parsed cleanly: lane fields are typed
+            assert r["lane"].startswith("lane")
+
+    check()
