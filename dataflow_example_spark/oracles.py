@@ -3788,3 +3788,71 @@ SELECT source,
            / CAST(count(*) AS DOUBLE) AS len_consistency_rate
 FROM documents GROUP BY 1
 """
+
+
+ORACLES["events_dow_anova"] = """
+WITH g AS (
+    SELECT event_type, dayofweek(ts) + 1 AS dow,
+           count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,6))) AS s,
+           sum(CAST(value AS DECIMAL(18,6))
+               * CAST(value AS DECIMAL(18,6))) AS q
+    FROM events GROUP BY 1, 2
+),
+t AS (
+    SELECT event_type,
+           count(*) AS k,
+           CAST(sum(n) AS BIGINT) AS N,
+           sum(s) AS S,
+           sum(q) AS Q,
+           sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               AS ssb_raw
+    FROM g GROUP BY 1
+)
+SELECT event_type,
+       k AS n_groups,
+       N AS n_obs,
+       ((ssb_raw - CAST(S AS DOUBLE) * CAST(S AS DOUBLE)
+                   / CAST(N AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+       / ((CAST(Q AS DOUBLE) - ssb_raw)
+          / (CAST(N AS DOUBLE) - CAST(k AS DOUBLE))) AS f_stat
+FROM t
+"""
+
+
+ORACLES["emb_quantization_report"] = """
+WITH v AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+    FROM embeddings
+),
+s AS (
+    SELECT vec_id, label, dv,
+           list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale
+    FROM v
+),
+q AS (
+    SELECT vec_id, label, dv, scale,
+           CASE WHEN scale = 0
+                THEN list_transform(dv, x -> 0)
+                ELSE list_transform(dv,
+                         x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+           END AS qvec
+    FROM s
+),
+e AS (
+    SELECT vec_id, label, scale,
+           coalesce(list_max(list_transform(range(1, len(dv) + 1),
+               i -> abs(dv[i] - CAST(qvec[i] AS DOUBLE) * scale))), 0.0)
+               AS max_abs_err
+    FROM q
+)
+SELECT label,
+       count(*) AS n_vectors,
+       max(max_abs_err) AS worst_err,
+       list_reduce(list_prepend(0.0, list_sort(list(max_abs_err))),
+                   (acc, x) -> acc + x) / count(*) AS mean_err,
+       CAST(count(*) FILTER (WHERE max_abs_err > scale / 2 + 1e-12)
+            AS BIGINT) AS n_bound_violations
+FROM e GROUP BY 1
+"""

@@ -5015,3 +5015,71 @@ def docs_dq_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("len_consistency_rate"),
     )
+
+
+@query("events_dow_anova")
+def events_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic of value across days-of-week per
+    event_type (the k-group generalization of the weekend t-test):
+    between/within sums of squares assembled from exact per-group
+    integer/decimal moments — one grouped aggregate plus a tiny
+    per-type combine, single scan."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type", F.dayofweek("ts").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).alias("s"),
+        F.sum(dec("value") * dec("value")).alias("q"),
+    )
+    t = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("N"),
+        F.sum("s").alias("S"),
+        F.sum("q").alias("Q"),
+        F.sum(
+            (
+                F.col("s").cast("double") * F.col("s").cast("double")
+            )
+            / F.col("n").cast("double")
+        ).alias("ssb_raw"),
+    )
+    ssb = F.col("ssb_raw") - (
+        F.col("S").cast("double") * F.col("S").cast("double")
+    ) / F.col("N").cast("double")
+    ssw = F.col("Q").cast("double") - F.col("ssb_raw")
+    f_stat = (ssb / (F.col("k").cast("double") - F.lit(1.0))) / (
+        ssw / (F.col("N").cast("double") - F.col("k").cast("double"))
+    )
+    return t.select(
+        "event_type",
+        F.col("k").alias("n_groups"),
+        F.col("N").alias("n_obs"),
+        f_stat.alias("f_stat"),
+    )
+
+
+@query("emb_quantization_report")
+def emb_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level int8 quantization quality: per label, the worst and
+    pinned-fold mean of the per-vector max reconstruction error, plus a
+    count of bound violations (error > scale/2 — must be 0 by
+    construction, so a nonzero is a broken quantizer). The invariant
+    check rides the same scan as the report."""
+    from .functions.similarity import quantize_int8
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    fold = lambda c: F.aggregate(  # noqa: E731
+        F.sort_array(F.collect_list(c)), F.lit(0.0), lambda a, x: a + x
+    )
+    return q.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.max("max_abs_err").alias("worst_err"),
+        (fold(F.col("max_abs_err")) / F.count(F.lit(1))).alias("mean_err"),
+        F.sum(
+            (
+                F.col("max_abs_err") > F.col("scale") / 2 + F.lit(1e-12)
+            ).cast("bigint")
+        ).alias("n_bound_violations"),
+    )

@@ -219,6 +219,8 @@ AUDITS: dict[str, list[str]] = {
     "orders_size_distribution": ["partial", "codegen", "no_bnl", "pruned:1"],
     "events_peak_concurrent_sessions": ["partial", "codegen", "no_bnl", "pruned:3"],
     "docs_dq_by_source": ["partial", "codegen", "no_bnl", "pruned:4"],
+    "events_dow_anova": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "emb_quantization_report": ["partial", "no_bnl", "pruned:3"],
 }
 
 
