@@ -3856,3 +3856,45 @@ SELECT label,
             AS BIGINT) AS n_bound_violations
 FROM e GROUP BY 1
 """
+
+
+ORACLES["events_type_entropy"] = """
+WITH counts AS (
+    SELECT event_type,
+           least(greatest(CAST(floor(value / 50) AS INTEGER), 0), 9)
+               AS bucket,
+           count(*) AS c
+    FROM events GROUP BY 1, 2
+),
+tot AS (SELECT event_type, sum(c) AS t FROM counts GROUP BY 1),
+terms AS (
+    SELECT counts.event_type,
+           CAST(-(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                * ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                AS DECIMAL(18,6)) AS _term
+    FROM counts JOIN tot USING (event_type)
+)
+SELECT event_type,
+       CAST(sum(_term) AS DOUBLE) AS entropy,
+       exp(CAST(sum(_term) AS DOUBLE)) AS perplexity
+FROM terms GROUP BY 1
+"""
+
+
+ORACLES["docs_lang_diversity"] = """
+WITH counts AS (
+    SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT source, sum(c) AS t FROM counts GROUP BY 1),
+terms AS (
+    SELECT counts.source,
+           CAST(-(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                * ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                AS DECIMAL(18,6)) AS _term
+    FROM counts JOIN tot USING (source)
+)
+SELECT source,
+       CAST(sum(_term) AS DOUBLE) AS entropy,
+       exp(CAST(sum(_term) AS DOUBLE)) AS effective_languages
+FROM terms GROUP BY 1
+"""

@@ -5083,3 +5083,62 @@ def emb_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint")
         ).alias("n_bound_violations"),
     )
+
+
+@query("events_type_entropy")
+def events_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the value-bucket distribution per event_type
+    (how spread out each type's values are, in nats) plus perplexity
+    (exp entropy = effective number of buckets). Bucket counts are
+    exact; -sum(p ln p) folds through exact decimal terms so the float
+    result is engine-identical."""
+    ev = load(spark, sf_dir, "events")
+    b = F.least(
+        F.greatest(F.floor(F.col("value") / 50).cast("int"), F.lit(0)),
+        F.lit(9),
+    )
+    counts = ev.groupBy("event_type", b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = counts.groupBy("event_type").agg(F.sum("c").alias("t"))
+    p = F.col("c").cast("double") / F.col("t").cast("double")
+    return (
+        counts.join(F.broadcast(tot), "event_type")
+        .select("event_type", (-p * F.log(p)).alias("_term"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("_term").cast(DEC)).cast("double").alias("entropy")
+        )
+        .select(
+            "event_type",
+            "entropy",
+            F.exp(F.col("entropy")).alias("perplexity"),
+        )
+    )
+
+
+@query("docs_lang_diversity")
+def docs_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language diversity per source as effective language count
+    (exp of Shannon entropy over the lang mix) — 1.0 means
+    monolingual, higher means balanced multilingual; the number
+    mixture planning actually wants, not raw counts."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = counts.groupBy("source").agg(F.sum("c").alias("t"))
+    p = F.col("c").cast("double") / F.col("t").cast("double")
+    return (
+        counts.join(F.broadcast(tot), "source")
+        .select("source", (-p * F.log(p)).alias("_term"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("_term").cast(DEC)).cast("double").alias("entropy")
+        )
+        .select(
+            "source",
+            "entropy",
+            F.exp(F.col("entropy")).alias("effective_languages"),
+        )
+    )

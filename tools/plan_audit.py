@@ -221,6 +221,8 @@ AUDITS: dict[str, list[str]] = {
     "docs_dq_by_source": ["partial", "codegen", "no_bnl", "pruned:4"],
     "events_dow_anova": ["partial", "codegen", "no_bnl", "pruned:3"],
     "emb_quantization_report": ["partial", "no_bnl", "pruned:3"],
+    "events_type_entropy": ["broadcast", "partial", "codegen", "no_bnl", "pruned:2"],
+    "docs_lang_diversity": ["broadcast", "partial", "codegen", "no_bnl", "pruned:2"],
 }
 
 
