@@ -3898,3 +3898,52 @@ SELECT source,
        exp(CAST(sum(_term) AS DOUBLE)) AS effective_languages
 FROM terms GROUP BY 1
 """
+
+
+ORACLES["docs_char_trigram_profile"] = """
+WITH d AS (SELECT lang, lower(text) AS _t FROM documents),
+tris AS (
+    SELECT lang,
+           unnest(list_transform(range(1, greatest(length(_t) - 2, 0) + 1),
+                                 i -> substr(_t, CAST(i AS INTEGER), 3)))
+               AS trigram
+    FROM d
+),
+counts AS (
+    SELECT lang, trigram, count(*) AS n FROM tris GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (PARTITION BY lang
+                   ORDER BY n DESC, trigram ASC) AS INTEGER) AS rnk
+    FROM counts
+)
+SELECT lang, trigram, n, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+ORACLES["events_hourly_variance_explained"] = """
+WITH g AS (
+    SELECT event_type, hour(ts) AS hour,
+           count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,6))) AS s,
+           sum(CAST(value AS DECIMAL(18,6))
+               * CAST(value AS DECIMAL(18,6))) AS q
+    FROM events GROUP BY 1, 2
+),
+t AS (
+    SELECT event_type,
+           CAST(sum(n) AS BIGINT) AS N,
+           sum(s) AS S,
+           sum(q) AS Q,
+           sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               AS ssb_raw
+    FROM g GROUP BY 1
+)
+SELECT event_type,
+       N AS n_obs,
+       1.0 - (CAST(Q AS DOUBLE) - ssb_raw)
+             / (CAST(Q AS DOUBLE)
+                - CAST(S AS DOUBLE) * CAST(S AS DOUBLE)
+                  / CAST(N AS DOUBLE)) AS variance_explained
+FROM t
+"""

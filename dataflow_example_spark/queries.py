@@ -5142,3 +5142,73 @@ def docs_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp(F.col("entropy")).alias("effective_languages"),
         )
     )
+
+
+@query("docs_char_trigram_profile")
+def docs_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 character trigrams per language (counts over the lowercased
+    text, ties alphabetical) — the char-level feature profile real
+    language ID models are built on, and a second text representation
+    beside word shingles. The trigram explode is expression-level
+    (sequence + transform), one shuffle on (lang, trigram)."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    # substring with a column start position needs the SQL form
+    docs2 = docs.select(
+        "lang", F.lower(F.col("text")).alias("_t")
+    ).withColumn(
+        "_tris",
+        F.expr(
+            "transform(sequence(1, greatest(length(_t) - 2, 0)),"
+            " i -> substring(_t, i, 3))"
+        ),
+    )
+    counts = (
+        docs2.select("lang", F.explode("_tris").alias("trigram"))
+        .groupBy("lang", "trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("n"), F.asc("trigram")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", "trigram", "n", "rnk")
+    )
+
+
+@query("events_hourly_variance_explained")
+def events_hourly_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of each event_type's value variance hour-of-day
+    seasonality explains (the R^2 of the hour-mean model): 1 -
+    SSW/SST where SSW sums within-hour squared deviations — assembled
+    entirely from exact per-(type, hour) integer/decimal moments, one
+    scan, no residual materialization."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type", F.hour("ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).alias("s"),
+        F.sum(dec("value") * dec("value")).alias("q"),
+    )
+    t = g.groupBy("event_type").agg(
+        F.sum("n").alias("N"),
+        F.sum("s").alias("S"),
+        F.sum("q").alias("Q"),
+        F.sum(
+            (
+                F.col("s").cast("double") * F.col("s").cast("double")
+            )
+            / F.col("n").cast("double")
+        ).alias("ssb_raw"),
+    )
+    sst = F.col("Q").cast("double") - (
+        F.col("S").cast("double") * F.col("S").cast("double")
+    ) / F.col("N").cast("double")
+    ssw = F.col("Q").cast("double") - F.col("ssb_raw")
+    return t.select(
+        "event_type",
+        F.col("N").alias("n_obs"),
+        (F.lit(1.0) - ssw / sst).alias("variance_explained"),
+    )

@@ -223,6 +223,8 @@ AUDITS: dict[str, list[str]] = {
     "emb_quantization_report": ["partial", "no_bnl", "pruned:3"],
     "events_type_entropy": ["broadcast", "partial", "codegen", "no_bnl", "pruned:2"],
     "docs_lang_diversity": ["broadcast", "partial", "codegen", "no_bnl", "pruned:2"],
+    "docs_char_trigram_profile": ["partial", "codegen", "no_bnl", "pruned:2"],
+    "events_hourly_variance_explained": ["partial", "codegen", "no_bnl", "pruned:3"],
 }
 
 
