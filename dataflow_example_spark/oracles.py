@@ -3947,3 +3947,17 @@ SELECT event_type,
                   / CAST(N AS DOUBLE)) AS variance_explained
 FROM t
 """
+
+
+ORACLES["tables_row_counts"] = """
+SELECT 'region' AS table_name, count(*) AS n_rows FROM region
+UNION ALL SELECT 'nation', count(*) FROM nation
+UNION ALL SELECT 'customer', count(*) FROM customer
+UNION ALL SELECT 'supplier', count(*) FROM supplier
+UNION ALL SELECT 'part', count(*) FROM part
+UNION ALL SELECT 'orders', count(*) FROM orders
+UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+UNION ALL SELECT 'events', count(*) FROM events
+UNION ALL SELECT 'documents', count(*) FROM documents
+UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+"""

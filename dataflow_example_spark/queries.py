@@ -5212,3 +5212,26 @@ def events_hourly_variance_explained(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("N").alias("n_obs"),
         (F.lit(1.0) - ssw / sst).alias("variance_explained"),
     )
+
+
+@query("tables_row_counts")
+def tables_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog sanity report: row count of every table in the dataset —
+    the first query every migration runs against both engines. Ten
+    count(*) scans (column-pruned to zero columns by Spark's count
+    optimization) unioned into one frame."""
+    names = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    parts = [
+        load(spark, sf_dir, n).agg(
+            F.lit(n).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        for n in names
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
