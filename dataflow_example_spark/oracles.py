@@ -3961,3 +3961,51 @@ UNION ALL SELECT 'events', count(*) FROM events
 UNION ALL SELECT 'documents', count(*) FROM documents
 UNION ALL SELECT 'embeddings', count(*) FROM embeddings
 """
+
+
+ORACLES["events_user_powerlaw_alpha"] = """
+WITH per_user AS (
+    SELECT user_id, count(*) AS x FROM events GROUP BY 1
+)
+SELECT count(*) AS n_users,
+       max(x) AS max_events,
+       1.0 + CAST(count(*) AS DOUBLE)
+           / list_reduce(
+                 list_prepend(0.0,
+                     list_sort(list(ln(CAST(x AS DOUBLE))))),
+                 (acc, v) -> acc + v) AS alpha
+FROM per_user
+"""
+
+
+ORACLES["events_bot_users"] = """
+WITH g AS (
+    SELECT user_id, ts,
+           CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id))
+               AS DOUBLE) / 1000000.0 AS _gap
+    FROM events
+),
+per_user AS (
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE)
+               / 60000000.0 AS span_min,
+           count(_gap) AS _ng,
+           sum(CAST(_gap AS DECIMAL(18,6))) AS _gs,
+           sum(CAST(_gap * _gap AS DECIMAL(18,6))) AS _gq
+    FROM g GROUP BY 1
+),
+m AS (
+    SELECT user_id, n_events,
+           CAST(n_events AS DOUBLE) / greatest(span_min, 1.0)
+               AS events_per_min,
+           sqrt(CAST(_gq AS DOUBLE) / CAST(_ng AS DOUBLE)
+                - (CAST(_gs AS DOUBLE) / CAST(_ng AS DOUBLE))
+                  * (CAST(_gs AS DOUBLE) / CAST(_ng AS DOUBLE)))
+           / (CAST(_gs AS DOUBLE) / CAST(_ng AS DOUBLE)) AS gap_cv
+    FROM per_user WHERE _ng >= 10
+)
+SELECT user_id, n_events, events_per_min, gap_cv
+FROM m WHERE events_per_min > 2.0 AND gap_cv < 0.3
+"""

@@ -5235,3 +5235,87 @@ def tables_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query("events_user_powerlaw_alpha")
+def events_user_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-tail screen: the MLE power-law exponent of the events-per-
+    user distribution (alpha = 1 + n / sum ln(x/xmin), xmin = 1) — says
+    whether user activity is Zipf-like (a few users dominate; plan for
+    skew) or flat. The ln sum uses the pinned sorted fold over per-user
+    counts, bounded by user cardinality, not event volume."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    fold = F.aggregate(
+        F.sort_array(
+            F.collect_list(F.log(F.col("x").cast("double")))
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.max("x").alias("max_events"),
+        (
+            F.lit(1.0)
+            + F.count(F.lit(1)).cast("double") / fold
+        ).alias("alpha"),
+    )
+
+
+@query("events_bot_users")
+def events_bot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-traffic heuristic: users whose event rate over their active
+    span exceeds 2 events/minute AND whose inter-arrival variance is
+    implausibly low (metronomic automation) — the cleaning gate run
+    before behavioral data enters training. Rates and gap moments are
+    exact integer/decimal arithmetic from one pass plus a per-user lag
+    window bounded by each user's history."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_micros(F.col("ts"))
+        - F.unix_micros(F.lag("ts").over(w))
+    ).cast("double") / F.lit(1_000_000.0)
+    per_user = (
+        ev.withColumn("_gap", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                (
+                    F.unix_micros(F.max("ts"))
+                    - F.unix_micros(F.min("ts"))
+                ).cast("double")
+                / F.lit(60_000_000.0)
+            ).alias("span_min"),
+            F.count("_gap").alias("_ng"),
+            F.sum(F.col("_gap").cast(DEC)).alias("_gs"),
+            F.sum(
+                (F.col("_gap") * F.col("_gap")).cast(DEC)
+            ).alias("_gq"),
+        )
+    )
+    rate = F.col("n_events").cast("double") / F.greatest(
+        F.col("span_min"), F.lit(1.0)
+    )
+    gmean = F.col("_gs").cast("double") / F.col("_ng").cast("double")
+    gvar = (
+        F.col("_gq").cast("double") / F.col("_ng").cast("double")
+        - gmean * gmean
+    )
+    cv = F.sqrt(gvar) / gmean  # coefficient of variation; bots << 1
+    return (
+        per_user.filter(F.col("_ng") >= 10)
+        .select(
+            "user_id",
+            "n_events",
+            rate.alias("events_per_min"),
+            cv.alias("gap_cv"),
+        )
+        .filter((rate > 2.0) & (cv < 0.3))
+    )

@@ -287,3 +287,36 @@ def test_jsonl_quarantine_roundtrip(spark, tmp_path):
     assert got == {1: "ok", 2: "unicodé", 3: None}
     bad = {r["raw_line"] for r in quarantined.collect()}
     assert bad == {'{"id": 4, "name": "trunca', "not json at all"}
+
+
+def test_bot_detector_fires_on_metronomic_user(spark):
+    """A metronomic high-rate user is flagged; a jittery low-rate user
+    is not (the 0-row result on organic data is meaningful only if the
+    detector provably fires on actual automation)."""
+    import datetime as dt
+
+    from dataflow_example_spark.queries import QUERIES
+    from dataflow_example_spark.tables import load
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # bot: every 10s exactly, 30 events -> 6/min, cv = 0
+    for i in range(30):
+        rows.append((i, base + dt.timedelta(seconds=10 * i), 1, "click", 1.0, "{}"))
+    # human: irregular gaps (60-600s), low rate
+    t = base
+    for i in range(30):
+        t += dt.timedelta(seconds=60 + (i * 97) % 540)
+        rows.append((100 + i, t, 2, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="bot_t_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = QUERIES["events_bot_users"](spark, d).collect()
+    flagged = {r["user_id"] for r in out}
+    assert flagged == {1}

@@ -225,6 +225,8 @@ AUDITS: dict[str, list[str]] = {
     "docs_lang_diversity": ["broadcast", "partial", "codegen", "no_bnl", "pruned:2"],
     "docs_char_trigram_profile": ["partial", "codegen", "no_bnl", "pruned:2"],
     "events_hourly_variance_explained": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "events_user_powerlaw_alpha": ["partial", "no_bnl", "pruned:1"],
+    "events_bot_users": ["partial", "codegen", "no_bnl", "pruned:3"],
 }
 
 
