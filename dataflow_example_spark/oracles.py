@@ -4009,3 +4009,51 @@ m AS (
 SELECT user_id, n_events, events_per_min, gap_cv
 FROM m WHERE events_per_min > 2.0 AND gap_cv < 0.3
 """
+
+
+ORACLES["events_attribution_latency"] = """
+WITH p AS (
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT event_id AS click_id, user_id, ts AS click_ts
+    FROM events WHERE event_type = 'click'
+),
+cand AS (
+    SELECT p.purchase_id, p.purchase_ts, c.click_ts, c.click_id
+    FROM p JOIN c ON c.user_id = p.user_id
+     AND c.click_ts <= p.purchase_ts
+     AND c.click_ts > p.purchase_ts - INTERVAL 86400 SECOND
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY purchase_id
+                                 ORDER BY click_ts, click_id) AS rn
+    FROM cand
+),
+lat AS (
+    SELECT CAST(epoch_us(purchase_ts) - epoch_us(click_ts) AS DOUBLE)
+               / 60000000.0 AS lat_min
+    FROM r WHERE rn = 1
+)
+SELECT CAST(floor(log2(lat_min + 1.0)) AS INTEGER) AS latency_bucket,
+       count(*) AS n_purchases
+FROM lat GROUP BY 1
+"""
+
+
+ORACLES["docs_hash_partition_balance"] = """
+WITH per AS (
+    SELECT CAST(('0x' || substr(md5('part' || CAST(doc_id AS VARCHAR)),
+                1, 8)) AS BIGINT) % 32 AS bucket,
+           count(*) AS n
+    FROM documents GROUP BY 1
+)
+SELECT count(*) AS n_buckets,
+       min(n) AS min_docs,
+       max(n) AS max_docs,
+       CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_docs,
+       CAST(max(n) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+           / CAST(sum(n) AS DOUBLE) AS imbalance_ratio
+FROM per
+"""

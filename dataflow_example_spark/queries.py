@@ -5319,3 +5319,53 @@ def events_bot_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((rate > 2.0) & (cv < 0.3))
     )
+
+
+@query("events_attribution_latency")
+def events_attribution_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase latency distribution: log2-bucketed minutes
+    between each purchase and its first-touch click (same bucketed
+    candidate join as events_attribution_first_touch) — the conversion-
+    lag curve that sets the attribution window itself. Exact integer
+    durations; one extra grouped count over the argmin output."""
+    ev = load(spark, sf_dir, "events")
+    first = QUERIES["events_attribution_first_touch"](spark, sf_dir)
+    lat_min = (
+        F.unix_micros(F.col("purchase_ts"))
+        - F.unix_micros(F.col("first_click_ts"))
+    ) / F.lit(60_000_000.0)
+    bucket = F.floor(F.log2(lat_min + F.lit(1.0))).cast("int")
+    return (
+        first.select(bucket.alias("latency_bucket"))
+        .groupBy("latency_bucket")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+
+
+@query("docs_hash_partition_balance")
+def docs_hash_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioner-quality audit: docs spread across 32 md5-derived
+    partitions — max/min/mean bucket sizes and the imbalance ratio
+    (max/mean). A ratio near 1 certifies the content-hash partitioning
+    the dedup and split families rely on actually balances load; a
+    high ratio means hot partitions at 100 TB. One grouped count plus
+    a 32-row summary."""
+    from .functions.sampling import hash_bucket
+
+    docs = load(spark, sf_dir, "documents")
+    per = docs.select(
+        hash_bucket(F.col("doc_id"), "part", 32).alias("bucket")
+    ).groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.min("n").alias("min_docs"),
+        F.max("n").alias("max_docs"),
+        (
+            F.sum("n").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_docs"),
+        (
+            F.max("n").cast("double")
+            * F.count(F.lit(1)).cast("double")
+            / F.sum("n").cast("double")
+        ).alias("imbalance_ratio"),
+    )

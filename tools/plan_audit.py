@@ -227,6 +227,8 @@ AUDITS: dict[str, list[str]] = {
     "events_hourly_variance_explained": ["partial", "codegen", "no_bnl", "pruned:3"],
     "events_user_powerlaw_alpha": ["partial", "no_bnl", "pruned:1"],
     "events_bot_users": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "events_attribution_latency": ["partial", "codegen", "no_bnl", "pruned:4"],
+    "docs_hash_partition_balance": ["partial", "codegen", "no_bnl", "pruned:1"],
 }
 
 
