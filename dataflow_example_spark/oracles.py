@@ -4057,3 +4057,18 @@ SELECT count(*) AS n_buckets,
            / CAST(sum(n) AS DOUBLE) AS imbalance_ratio
 FROM per
 """
+
+
+ORACLES["events_kpi_summary"] = """
+SELECT count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS n_purchases,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS purchase_rate,
+       CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(value AS DECIMAL(18,6))
+                ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS gmv,
+       CAST(count(DISTINCT (user_id, day(ts))) AS BIGINT) AS user_days
+FROM events
+"""

@@ -5369,3 +5369,30 @@ def docs_hash_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").cast("double")
         ).alias("imbalance_ratio"),
     )
+
+
+@query("events_kpi_summary")
+def events_kpi_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row executive KPI rollup: events, users, purchase count and
+    rate, exact decimal GMV, average daily actives — the dashboard
+    header every pipeline ultimately feeds. One pass, one conditional
+    aggregate (count_distinct is the only wide state)."""
+    ev = load(spark, sf_dir, "events")
+    purchases = (F.col("event_type") == "purchase").cast("bigint")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(purchases).alias("n_purchases"),
+        (
+            F.sum(purchases).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("purchase_rate"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", dec("value")
+            ).otherwise(F.lit(0).cast(DEC))
+        ).cast("double").alias("gmv"),
+        F.count_distinct(
+            "user_id", F.dayofmonth("ts")
+        ).alias("user_days"),
+    )
