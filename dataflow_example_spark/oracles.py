@@ -4072,3 +4072,45 @@ SELECT count(*) AS n_events,
        CAST(count(DISTINCT (user_id, day(ts))) AS BIGINT) AS user_days
 FROM events
 """
+
+
+ORACLES["lineitem_brand_price_qty_corr"] = """
+WITH s AS (
+    SELECT p.p_brand,
+           count(*) AS n,
+           sum(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+           sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+           sum(CAST(l_quantity AS DECIMAL(19,6))
+               * CAST(l_extendedprice AS DECIMAL(19,6))) AS sxy,
+           sum(CAST(l_quantity AS DECIMAL(19,6))
+               * CAST(l_quantity AS DECIMAL(19,6))) AS sxx,
+           sum(CAST(l_extendedprice AS DECIMAL(19,6))
+               * CAST(l_extendedprice AS DECIMAL(19,6))) AS syy
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1
+)
+SELECT p_brand, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           AS corr_qty_price
+FROM s
+"""
+
+
+ORACLES["orders_customer_lifetime"] = """
+WITH span AS (
+    SELECT o_custkey,
+           min(o_orderdate) AS first_o,
+           max(o_orderdate) AS last_o
+    FROM orders GROUP BY 1
+)
+SELECT CAST(floor(((year(last_o) - year(first_o)) * 12
+                   + (month(last_o) - month(first_o))) / 12)
+            AS INTEGER) AS lifetime_years,
+       count(*) AS n_customers
+FROM span GROUP BY 1
+"""

@@ -5396,3 +5396,68 @@ def events_kpi_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.dayofmonth("ts")
         ).alias("user_days"),
     )
+
+
+@query("lineitem_brand_price_qty_corr")
+def lineitem_brand_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Pearson correlation (quantity vs extended price per part
+    brand): every sum in r is exact integer/decimal, assembled per
+    group in one scan — the grouped twin of lineitem_corr_stats, for
+    when the question is 'does the relationship hold in every
+    segment'."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    x = dec("l_quantity")
+    y = dec("l_extendedprice")
+    s = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = F.sqrt(
+        (
+            nd * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * (
+            nd * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+    )
+    return s.select("p_brand", "n", (num / den).alias("corr_qty_price"))
+
+
+@query("orders_customer_lifetime")
+def orders_customer_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime distribution: months between first and last
+    order per customer, bucketed — the retention-horizon histogram
+    subscription planning reads. Integer month arithmetic
+    (12*yeardiff + monthdiff), two tiny aggregates."""
+    orders = load(spark, sf_dir, "orders")
+    span = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_o"),
+        F.max("o_orderdate").alias("last_o"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    months = (
+        (F.year("last_o") - F.year("first_o")) * 12
+        + (F.month("last_o") - F.month("first_o"))
+    )
+    return (
+        span.select(
+            (F.floor(months / 12)).cast("int").alias("lifetime_years"),
+        )
+        .groupBy("lifetime_years")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

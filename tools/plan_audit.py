@@ -229,6 +229,9 @@ AUDITS: dict[str, list[str]] = {
     "events_bot_users": ["partial", "codegen", "no_bnl", "pruned:3"],
     "events_attribution_latency": ["partial", "codegen", "no_bnl", "pruned:4"],
     "docs_hash_partition_balance": ["partial", "codegen", "no_bnl", "pruned:1"],
+    "lineitem_brand_price_qty_corr": ["broadcast", "partial", "codegen", "no_bnl"],
+    "orders_customer_lifetime": ["partial", "codegen", "no_bnl", "pruned:2"],
+    "events_kpi_summary": ["partial", "codegen", "no_bnl", "pruned:4"],
 }
 
 
