@@ -4114,3 +4114,68 @@ SELECT CAST(floor(((year(last_o) - year(first_o)) * 12
        count(*) AS n_customers
 FROM span GROUP BY 1
 """
+
+
+ORACLES["events_transition_entropy"] = """
+WITH t AS (
+    SELECT user_id, event_type AS cur,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+    FROM events
+),
+trans AS (
+    SELECT cur, nxt, count(*) AS c FROM t WHERE nxt IS NOT NULL
+    GROUP BY 1, 2
+),
+tot AS (SELECT cur, sum(c) AS tt FROM trans GROUP BY 1),
+terms AS (
+    SELECT trans.cur,
+           CAST(-(CAST(c AS DOUBLE) / CAST(tt AS DOUBLE))
+                * ln(CAST(c AS DOUBLE) / CAST(tt AS DOUBLE))
+                AS DECIMAL(18,6)) AS _term
+    FROM trans JOIN tot USING (cur)
+)
+SELECT cur, CAST(sum(_term) AS DOUBLE) AS conditional_entropy
+FROM terms GROUP BY 1
+"""
+
+
+ORACLES["supplier_acctbal_boxstats"] = """
+SELECT s_nationkey,
+       count(*) AS n,
+       min(s_acctbal) AS min_bal,
+       quantile_cont(s_acctbal, 0.25) AS q1,
+       quantile_cont(s_acctbal, 0.5) AS median,
+       quantile_cont(s_acctbal, 0.75) AS q3,
+       max(s_acctbal) AS max_bal
+FROM supplier GROUP BY 1
+"""
+
+
+ORACLES["orders_reorder_consistency"] = """
+WITH g AS (
+    SELECT o_custkey,
+           date_diff('day',
+               lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS _gap
+    FROM orders
+),
+m AS (
+    SELECT o_custkey,
+           count(*) AS n_gaps,
+           sum(_gap) AS s,
+           sum(_gap * _gap) AS q
+    FROM g WHERE _gap IS NOT NULL
+    GROUP BY 1
+    HAVING count(*) >= 4
+)
+SELECT o_custkey,
+       CAST(n_gaps AS BIGINT) AS n_gaps,
+       CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_days,
+       sqrt(CAST(q AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+            - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+              * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+       / (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS gap_cv
+FROM m
+"""

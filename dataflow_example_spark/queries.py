@@ -5461,3 +5461,93 @@ def orders_customer_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lifetime_years")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@query("events_transition_entropy")
+def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral predictability: conditional entropy H(next | current)
+    of the per-user event-type Markov chain, per current state — low
+    entropy states are deterministic funnels, high entropy states are
+    branch points. Transition counts are exact; the -sum(p ln p) terms
+    fold through exact decimals like events_type_entropy."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("_next", F.lead("event_type").over(w))
+        .filter(F.col("_next").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("cur"),
+            F.col("_next").alias("nxt"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = trans.groupBy("cur").agg(F.sum("c").alias("t"))
+    p = F.col("c").cast("double") / F.col("t").cast("double")
+    return (
+        trans.join(F.broadcast(tot), "cur")
+        .select("cur", (-p * F.log(p)).alias("_term"))
+        .groupBy("cur")
+        .agg(
+            F.sum(F.col("_term").cast(DEC)).cast("double").alias(
+                "conditional_entropy"
+            )
+        )
+    )
+
+
+@query("supplier_acctbal_boxstats")
+def supplier_acctbal_boxstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-number box-plot summary of supplier account balance per
+    nation (exact interpolated quartiles + min/max) — the grouped
+    distribution snapshot every ops report draws. Per-nation sorts are
+    bounded by group size; the sketch twin (approx_percentile) is the
+    fallback when even that is too wide."""
+    supp = load(spark, sf_dir, "supplier")
+    return supp.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("s_acctbal").alias("min_bal"),
+        F.percentile("s_acctbal", 0.25).alias("q1"),
+        F.percentile("s_acctbal", 0.5).alias("median"),
+        F.percentile("s_acctbal", 0.75).alias("q3"),
+        F.max("s_acctbal").alias("max_bal"),
+    )
+
+
+@query("orders_reorder_consistency")
+def orders_reorder_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder-rhythm profile: for customers with >= 5 orders, the mean
+    and coefficient of variation of their inter-order gaps (days) —
+    low CV means subscription-like cadence. Gap moments are exact
+    integer day arithmetic; the per-customer lag window is bounded by
+    order history."""
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(
+        F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+    ).cast("bigint")
+    g = (
+        orders.withColumn("_gap", gap)
+        .filter(F.col("_gap").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("_gap").alias("s"),
+            F.sum(F.col("_gap") * F.col("_gap")).alias("q"),
+        )
+        .filter(F.col("n_gaps") >= 4)
+    )
+    mean = F.col("s").cast("double") / F.col("n_gaps").cast("double")
+    var = (
+        F.col("q").cast("double") / F.col("n_gaps").cast("double")
+        - mean * mean
+    )
+    return g.select(
+        "o_custkey",
+        "n_gaps",
+        mean.alias("mean_gap_days"),
+        (F.sqrt(var) / mean).alias("gap_cv"),
+    )
