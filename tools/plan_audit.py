@@ -232,7 +232,7 @@ AUDITS: dict[str, list[str]] = {
     "lineitem_brand_price_qty_corr": ["broadcast", "partial", "codegen", "no_bnl"],
     "orders_customer_lifetime": ["partial", "codegen", "no_bnl", "pruned:2"],
     "events_kpi_summary": ["partial", "codegen", "no_bnl", "pruned:4"],
-    "events_transition_entropy": ["broadcast", "partial", "codegen", "no_bnl", "pruned:3"],
+    "events_transition_entropy": ["broadcast", "partial", "codegen", "no_bnl", "pruned:4"],
     "supplier_acctbal_boxstats": ["partial", "no_bnl", "pruned:2"],
     "orders_reorder_consistency": ["partial", "codegen", "no_bnl", "pruned:3"],
 }
