@@ -4179,3 +4179,35 @@ SELECT o_custkey,
        / (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS gap_cv
 FROM m
 """
+
+
+ORACLES["docs_dedup_savings"] = """
+WITH groups AS (
+    SELECT md5(text) AS _h, source,
+           count(*) AS n,
+           sum(n_chars) AS chars,
+           max(n_chars) AS keeper_chars
+    FROM documents GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(sum(n - 1) AS BIGINT) AS n_dropped,
+       CAST(sum(chars - keeper_chars) AS BIGINT) AS chars_saved,
+       CAST(sum(n - 1) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS drop_rate
+FROM groups GROUP BY 1
+"""
+
+
+ORACLES["part_type_hierarchy_stats"] = """
+WITH lv AS (
+    SELECT string_split(p_type, ' ')[1] AS grade,
+           string_split(p_type, ' ')[2] AS finish,
+           p_retailprice
+    FROM part
+)
+SELECT grade, finish,
+       count(*) AS n_parts,
+       CAST(sum(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mean_price
+FROM lv GROUP BY ROLLUP (grade, finish)
+"""

@@ -5551,3 +5551,56 @@ def orders_reorder_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("mean_gap_days"),
         (F.sqrt(var) / mean).alias("gap_cv"),
     )
+
+
+@query("docs_dedup_savings")
+def docs_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI report: per source, how many documents and characters
+    exact dedup would drop (duplicates beyond each content group's
+    keeper) — the bytes-saved number that justifies running the fuzzy
+    families at all. One md5 groupBy plus a per-source rollup, exact
+    integer sums."""
+    docs = load(spark, sf_dir, "documents")
+    groups = docs.groupBy(F.md5("text").alias("_h"), "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+        F.max("n_chars").alias("keeper_chars"),
+    )
+    return groups.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(F.col("n") - 1).alias("n_dropped"),
+        F.sum(
+            F.col("chars") - F.col("keeper_chars")
+        ).alias("chars_saved"),
+        (
+            F.sum(F.col("n") - 1).cast("double")
+            / F.sum("n").cast("double")
+        ).alias("drop_rate"),
+    )
+
+
+@query("part_type_hierarchy_stats")
+def part_type_hierarchy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-hierarchy ROLLUP: p_type ('STANDARD POLISHED BRASS')
+    splits into (grade, finish) levels; ROLLUP aggregates part counts
+    and exact-decimal mean retail price at every level including the
+    grand total — dimensional modeling from a string column with no
+    dimension table."""
+    part = load(spark, sf_dir, "part")
+    # F.get (not getItem): single-word types must yield NULL finish
+    # under ANSI mode, matching string_split(...)[2] in the oracle
+    lv = part.select(
+        F.get(F.split(F.col("p_type"), " "), 0).alias("grade"),
+        F.get(F.split(F.col("p_type"), " "), 1).alias("finish"),
+        "p_retailprice",
+    )
+    return (
+        lv.rollup("grade", "finish")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (
+                F.sum(dec("p_retailprice")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_price"),
+        )
+    )

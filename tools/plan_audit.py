@@ -235,6 +235,8 @@ AUDITS: dict[str, list[str]] = {
     "events_transition_entropy": ["broadcast", "partial", "codegen", "no_bnl", "pruned:4"],
     "supplier_acctbal_boxstats": ["partial", "no_bnl", "pruned:2"],
     "orders_reorder_consistency": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "docs_dedup_savings": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "part_type_hierarchy_stats": ["partial", "codegen", "no_bnl", "pruned:2"],
 }
 
 
