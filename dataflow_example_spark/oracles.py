@@ -4211,3 +4211,38 @@ SELECT grade, finish,
            / CAST(count(*) AS DOUBLE) AS mean_price
 FROM lv GROUP BY ROLLUP (grade, finish)
 """
+
+
+ORACLES["docs_neardup_degree_distribution"] = f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({_BAND_MATCH})
+),
+degree AS (
+    SELECT doc, count(*) AS degree FROM (
+        SELECT doc_a AS doc FROM pairs
+        UNION ALL SELECT doc_b AS doc FROM pairs
+    ) GROUP BY 1
+)
+SELECT degree, count(*) AS n_docs FROM degree GROUP BY 1
+"""
+
+
+ORACLES["events_time_to_first_purchase"] = """
+WITH agg AS (
+    SELECT user_id,
+           min(ts) AS first_seen,
+           min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+    FROM events GROUP BY 1
+)
+SELECT CAST(floor((CAST(epoch_us(first_purchase)
+                        - epoch_us(first_seen) AS DOUBLE)
+                   / 3600000000.0) / 24) AS INTEGER)
+           AS days_to_activate,
+       count(*) AS n_users
+FROM agg WHERE first_purchase IS NOT NULL
+GROUP BY 1
+"""

@@ -5604,3 +5604,53 @@ def part_type_hierarchy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_price"),
         )
     )
+
+
+@query("docs_neardup_degree_distribution")
+def docs_neardup_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure of the near-dup graph: how many docs have 1, 2, ...
+    LSH partners (degree histogram over the candidate pairs) — stars
+    and cliques need different dedup strategies, and this is the query
+    that tells them apart. Pair fan-out is the already-bounded LSH
+    output; two tiny grouped counts after."""
+    from .functions.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    degree = (
+        pairs.select(F.col("doc_a").alias("doc"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc")))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return degree.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query("events_time_to_first_purchase")
+def events_time_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation latency: hours from each user's first event to their
+    first purchase (users who never purchase are excluded), bucketed
+    by day — the activation curve growth teams tune onboarding
+    against. Two conditional min-aggregates per user, exact integer
+    microsecond arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    hours = (
+        F.unix_micros(F.col("first_purchase"))
+        - F.unix_micros(F.col("first_seen"))
+    ) / F.lit(3_600_000_000.0)
+    return (
+        agg.filter(F.col("first_purchase").isNotNull())
+        .select(
+            F.floor(hours / 24).cast("int").alias("days_to_activate")
+        )
+        .groupBy("days_to_activate")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

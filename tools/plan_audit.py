@@ -237,6 +237,8 @@ AUDITS: dict[str, list[str]] = {
     "orders_reorder_consistency": ["partial", "codegen", "no_bnl", "pruned:3"],
     "docs_dedup_savings": ["partial", "codegen", "no_bnl", "pruned:3"],
     "part_type_hierarchy_stats": ["partial", "codegen", "no_bnl", "pruned:2"],
+    "docs_neardup_degree_distribution": ["no_bnl", "partial"],
+    "events_time_to_first_purchase": ["partial", "codegen", "no_bnl", "pruned:3"],
 }
 
 
