@@ -4246,3 +4246,37 @@ SELECT CAST(floor((CAST(epoch_us(first_purchase)
 FROM agg WHERE first_purchase IS NOT NULL
 GROUP BY 1
 """
+
+
+ORACLES["orders_segment_priority_mix"] = """
+WITH cells AS (
+    SELECT c.c_mktsegment, o.o_orderpriority, count(*) AS n
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+),
+tot AS (SELECT c_mktsegment, sum(n) AS _t FROM cells GROUP BY 1)
+SELECT cells.c_mktsegment, o_orderpriority, n,
+       CAST(n AS DOUBLE) / CAST(_t AS DOUBLE) AS segment_share
+FROM cells JOIN tot USING (c_mktsegment)
+"""
+
+
+ORACLES["events_daily_drawdown"] = """
+WITH daily AS (
+    SELECT day(ts) AS day,
+           sum(CAST(value AS DECIMAL(18,6))) AS _gmv
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+),
+run AS (
+    SELECT day, _gmv,
+           max(_gmv) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+               AS _peak
+    FROM daily
+)
+SELECT day,
+       CAST(_gmv AS DOUBLE) AS gmv,
+       CAST(_peak AS DOUBLE) AS peak_gmv,
+       CAST(_peak - _gmv AS DOUBLE) / CAST(_peak AS DOUBLE) AS drawdown
+FROM run
+"""

@@ -5654,3 +5654,59 @@ def events_time_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("days_to_activate")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query("orders_segment_priority_mix")
+def orders_segment_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority mix per market segment (share within segment):
+    the broadcast-dim share matrix marketing reads weekly. One
+    broadcast join of the customer dim + two grouped counts."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    cells = j.groupBy("c_mktsegment", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cells.groupBy("c_mktsegment").agg(F.sum("n").alias("_t"))
+    return (
+        cells.join(F.broadcast(tot), "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "o_orderpriority",
+            "n",
+            (
+                F.col("n").cast("double") / F.col("_t").cast("double")
+            ).alias("segment_share"),
+        )
+    )
+
+
+@query("events_daily_drawdown")
+def events_daily_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max drawdown of the daily purchase-GMV series: each day's gap to
+    the best day so far (running max), plus the worst gap overall per
+    event stream — the health metric that catches revenue cliffs a
+    mean hides. Exact decimal daily sums; the running max runs over
+    the tiny per-day series."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.dayofmonth("ts").alias("day"))
+        .agg(F.sum(dec("value")).alias("_gmv"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    run = daily.withColumn("_peak", F.max("_gmv").over(w))
+    return run.select(
+        "day",
+        F.col("_gmv").cast("double").alias("gmv"),
+        F.col("_peak").cast("double").alias("peak_gmv"),
+        (
+            (F.col("_peak") - F.col("_gmv")).cast("double")
+            / F.col("_peak").cast("double")
+        ).alias("drawdown"),
+    )

@@ -239,6 +239,8 @@ AUDITS: dict[str, list[str]] = {
     "part_type_hierarchy_stats": ["partial", "codegen", "no_bnl", "pruned:2"],
     "docs_neardup_degree_distribution": ["no_bnl", "partial"],
     "events_time_to_first_purchase": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "orders_segment_priority_mix": ["broadcast", "partial", "codegen", "no_bnl"],
+    "events_daily_drawdown": ["partial", "codegen", "no_bnl", "pruned:3"],
 }
 
 
