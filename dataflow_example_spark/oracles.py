@@ -4280,3 +4280,41 @@ SELECT day,
        CAST(_peak - _gmv AS DOUBLE) / CAST(_peak AS DOUBLE) AS drawdown
 FROM run
 """
+
+
+ORACLES["docs_quality_length_matrix"] = f"""
+WITH {_TOKS_CTE},
+m AS (
+    SELECT d.doc_id, d.n_chars,
+           (CAST({_hits("en")} AS DOUBLE) / greatest(len(t), 1)) * 0.5
+             + (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]',
+                        '', 'g')) AS DOUBLE) / greatest(length(text), 1))
+               * 0.25
+             + least(CAST(len(t) AS DOUBLE) / 256.0, 1.0) * 0.25
+             - (CAST(length(text) - length(regexp_replace(text, '[0-9]',
+                        '', 'g')) AS DOUBLE) / greatest(length(text), 1))
+               * 0.125 AS quality_score
+    FROM documents d JOIN toks USING (doc_id)
+)
+SELECT CAST(least(greatest(CAST(floor(quality_score * 10) AS INTEGER),
+                           0), 9) AS INTEGER) AS quality_bucket,
+       CAST(floor(log2(n_chars + 1)) AS INTEGER) AS length_bucket,
+       count(*) AS n_docs
+FROM m GROUP BY 1, 2
+"""
+
+
+ORACLES["lineitem_returns_by_brand"] = """
+SELECT p.p_brand,
+       count(*) AS n_items,
+       CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+           AS n_returned,
+       CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS return_rate,
+       CAST(sum(CASE WHEN l_returnflag = 'R'
+                THEN CAST(l_extendedprice AS DECIMAL(18,6))
+                ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+           AS returned_revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY 1
+"""

@@ -5710,3 +5710,59 @@ def events_daily_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("_peak").cast("double")
         ).alias("drawdown"),
     )
+
+
+@query("docs_quality_length_matrix")
+def docs_quality_length_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint quality x length profile: documents cross-tabbed by
+    quality-score bucket (floor(score*10), clamped) and log2 length
+    bucket — the 2-D view that shows whether low quality is just
+    shortness (filter on one axis) or independent (filter on both).
+    Composes the quality_score operator; one extra grouped count."""
+    from .functions.text import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    q = quality_score(docs).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    qb = F.least(
+        F.greatest(
+            F.floor(F.col("quality_score") * 10).cast("int"), F.lit(0)
+        ),
+        F.lit(9),
+    )
+    lb = F.floor(F.log2(F.col("n_chars") + 1)).cast("int")
+    return q.groupBy(
+        qb.alias("quality_bucket"), lb.alias("length_bucket")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query("lineitem_returns_by_brand")
+def lineitem_returns_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate per part brand (share of lineitems with returnflag
+    'R' and the exact-decimal revenue at risk) — the supplier-quality
+    triage list. One broadcast part-dim join, one conditional
+    aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    ret = (F.col("l_returnflag") == "R").cast("bigint")
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(ret).alias("n_returned"),
+            (
+                F.sum(ret).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("return_rate"),
+            F.sum(
+                F.when(
+                    F.col("l_returnflag") == "R", dec("l_extendedprice")
+                ).otherwise(F.lit(0).cast(DEC))
+            ).cast("double").alias("returned_revenue"),
+        )
+    )

@@ -241,6 +241,8 @@ AUDITS: dict[str, list[str]] = {
     "events_time_to_first_purchase": ["partial", "codegen", "no_bnl", "pruned:3"],
     "orders_segment_priority_mix": ["broadcast", "partial", "codegen", "no_bnl"],
     "events_daily_drawdown": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "docs_quality_length_matrix": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "lineitem_returns_by_brand": ["broadcast", "partial", "codegen", "no_bnl"],
 }
 
 
