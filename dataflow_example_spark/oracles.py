@@ -4318,3 +4318,49 @@ SELECT p.p_brand,
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 GROUP BY 1
 """
+
+
+ORACLES["events_hourly_profile_similarity"] = f"""
+WITH counts AS (
+    SELECT event_type, hour(ts) AS h, count(*) AS c
+    FROM events GROUP BY 1, 2
+),
+prof AS (
+    SELECT event_type,
+           list_transform(
+               list_sort(list({{'h': h, 'c': c}})),
+               s -> CAST(s.c AS DOUBLE)) AS v
+    FROM counts GROUP BY 1
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       {_cosine("a.v", "b.v")} AS profile_cosine
+FROM prof a JOIN prof b ON a.event_type < b.event_type
+"""
+
+
+ORACLES["emb_centroid_drift"] = """
+WITH comp AS (
+    SELECT label,
+           CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS half,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+),
+cents AS (
+    SELECT label, half, pos,
+           list_reduce(list_prepend(0.0, list_sort(list(v))),
+                       (acc, x) -> acc + x) / count(*) AS m
+    FROM comp GROUP BY 1, 2, 3
+),
+j AS (
+    SELECT a.label, a.pos,
+           (a.m - b.m) * (a.m - b.m) AS d2
+    FROM cents a JOIN cents b
+      ON a.label = b.label AND a.pos = b.pos
+     AND a.half = 'a' AND b.half = 'b'
+)
+SELECT label,
+       sqrt(list_reduce(list_prepend(0.0, list_sort(list(d2))),
+                        (acc, x) -> acc + x)) AS centroid_l2_drift
+FROM j GROUP BY label
+"""

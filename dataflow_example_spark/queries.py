@@ -5766,3 +5766,82 @@ def lineitem_returns_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("returned_revenue"),
         )
     )
+
+
+@query("events_hourly_profile_similarity")
+def events_hourly_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which event types share a usage rhythm: cosine similarity
+    between types' 24-hour activity profiles (pairs ordered, ties by
+    name). Profiles are exact counts assembled into dense 24-vectors;
+    the cosine folds run in index order on both engines. The pair
+    space is types^2 — trivial after the one real aggregate."""
+    ev = load(spark, sf_dir, "events")
+    prof = (
+        ev.groupBy("event_type", F.hour("ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("h", "c"))),
+                lambda s: s["c"].cast("double"),
+            ).alias("v")
+        )
+    )
+    from .functions.similarity import cosine
+
+    a = prof.select(
+        F.col("event_type").alias("type_a"), F.col("v").alias("va")
+    )
+    b = prof.select(
+        F.col("event_type").alias("type_b"), F.col("v").alias("vb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            cosine(F.col("va"), F.col("vb")).alias("profile_cosine"),
+        )
+    )
+
+
+@query("emb_centroid_drift")
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-embedding drift monitor: per label, the L2 distance between
+    the centroid of the first half of vectors (by vec_id) and the
+    second half — the validation run after an encoder swap, where
+    large drift on a stable label means the new embedding space moved.
+    Pinned-fold component means and distance sum, bit-identical across
+    engines."""
+    emb = load(spark, sf_dir, "embeddings")
+    half = F.when(F.col("vec_id") % 2 == 0, F.lit("a")).otherwise(
+        F.lit("b")
+    )
+    comp = emb.select(
+        "label",
+        half.alias("half"),
+        F.posexplode("embedding").alias("pos", "_v"),
+    )
+    fold = F.aggregate(
+        F.sort_array(F.collect_list(F.col("_v").cast("double"))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cents = comp.groupBy("label", "half", "pos").agg(
+        (fold / F.count(F.lit(1))).alias("m")
+    )
+    a = cents.filter(F.col("half") == "a").select(
+        "label", "pos", F.col("m").alias("ma")
+    )
+    b = cents.filter(F.col("half") == "b").select(
+        "label", "pos", F.col("m").alias("mb")
+    )
+    d2 = (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))
+    fold2 = F.aggregate(
+        F.sort_array(F.collect_list(d2)), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.join(b, ["label", "pos"])
+        .groupBy("label")
+        .agg(F.sqrt(fold2).alias("centroid_l2_drift"))
+    )

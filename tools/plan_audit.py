@@ -243,6 +243,10 @@ AUDITS: dict[str, list[str]] = {
     "events_daily_drawdown": ["partial", "codegen", "no_bnl", "pruned:3"],
     "docs_quality_length_matrix": ["partial", "codegen", "no_bnl", "pruned:3"],
     "lineitem_returns_by_brand": ["broadcast", "partial", "codegen", "no_bnl"],
+    # profile pairs join is a broadcast of the tiny per-type profile
+    # table under an inequality predicate (constant-width BNL shape)
+    "events_hourly_profile_similarity": ["partial", "pruned:2"],
+    "emb_centroid_drift": ["partial", "no_bnl", "pruned:3"],
 }
 
 
