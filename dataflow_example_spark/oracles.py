@@ -4364,3 +4364,49 @@ SELECT label,
                         (acc, x) -> acc + x)) AS centroid_l2_drift
 FROM j GROUP BY label
 """
+
+
+ORACLES["ri_check_report"] = """
+SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk_edge,
+       count(*) AS child_rows,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS distinct_keys,
+       CAST(count(*) FILTER (WHERE l_orderkey NOT IN
+            (SELECT o_orderkey FROM orders)) AS BIGINT) AS orphan_rows
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.l_partkey->part.p_partkey', count(*),
+       CAST(count(DISTINCT l_partkey) AS BIGINT),
+       CAST(count(*) FILTER (WHERE l_partkey NOT IN
+            (SELECT p_partkey FROM part)) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier.s_suppkey', count(*),
+       CAST(count(DISTINCT l_suppkey) AS BIGINT),
+       CAST(count(*) FILTER (WHERE l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier)) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders.o_custkey->customer.c_custkey', count(*),
+       CAST(count(DISTINCT o_custkey) AS BIGINT),
+       CAST(count(*) FILTER (WHERE o_custkey NOT IN
+            (SELECT c_custkey FROM customer)) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'customer.c_nationkey->nation.n_nationkey', count(*),
+       CAST(count(DISTINCT c_nationkey) AS BIGINT),
+       CAST(count(*) FILTER (WHERE c_nationkey NOT IN
+            (SELECT n_nationkey FROM nation)) AS BIGINT)
+FROM customer
+UNION ALL
+SELECT 'supplier.s_nationkey->nation.n_nationkey', count(*),
+       CAST(count(DISTINCT s_nationkey) AS BIGINT),
+       CAST(count(*) FILTER (WHERE s_nationkey NOT IN
+            (SELECT n_nationkey FROM nation)) AS BIGINT)
+FROM supplier
+UNION ALL
+SELECT 'nation.n_regionkey->region.r_regionkey', count(*),
+       CAST(count(DISTINCT n_regionkey) AS BIGINT),
+       CAST(count(*) FILTER (WHERE n_regionkey NOT IN
+            (SELECT r_regionkey FROM region)) AS BIGINT)
+FROM nation
+"""

@@ -5845,3 +5845,50 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.sqrt(fold2).alias("centroid_l2_drift"))
     )
+
+
+@query("ri_check_report")
+def ri_check_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the schema's foreign keys
+    (lineitem->orders, lineitem->part, lineitem->supplier,
+    orders->customer, customer->nation, supplier->nation,
+    nation->region): child rows, distinct keys, and orphan count per
+    edge — the first structural check of any migration. Each edge is
+    one left-anti-style aggregate (count of keys missing from the
+    broadcast/distinct parent side); edges union into one report."""
+    tables = {
+        n: load(spark, sf_dir, n)
+        for n in [
+            "region", "nation", "customer", "supplier",
+            "part", "orders", "lineitem",
+        ]
+    }
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    parts = []
+    for child, ck, parent, pk in edges:
+        c = tables[child].select(F.col(ck).alias("_k"))
+        p = tables[parent].select(F.col(pk).alias("_k")).distinct()
+        orphans = c.join(p, "_k", "left_anti")
+        parts.append(
+            c.agg(
+                F.lit(f"{child}.{ck}->{parent}.{pk}").alias("fk_edge"),
+                F.count(F.lit(1)).alias("child_rows"),
+                F.count_distinct("_k").alias("distinct_keys"),
+            ).crossJoin(
+                F.broadcast(
+                    orphans.agg(F.count(F.lit(1)).alias("orphan_rows"))
+                )
+            )
+        )
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out

@@ -247,6 +247,8 @@ AUDITS: dict[str, list[str]] = {
     # table under an inequality predicate (constant-width BNL shape)
     "events_hourly_profile_similarity": ["partial", "pruned:2"],
     "emb_centroid_drift": ["partial", "no_bnl", "pruned:3"],
+    # per-edge 1-row orphan aggregates crossJoin in (allow-listed shape)
+    "ri_check_report": ["partial", "codegen"],
 }
 
 
