@@ -4410,3 +4410,18 @@ SELECT 'nation.n_regionkey->region.r_regionkey', count(*),
             (SELECT r_regionkey FROM region)) AS BIGINT)
 FROM nation
 """
+
+
+ORACLES["lineitem_linenumber_integrity"] = """
+WITH per AS (
+    SELECT l_orderkey, count(*) AS n,
+           min(l_linenumber) AS mn, max(l_linenumber) AS mx,
+           sum(l_linenumber) AS s
+    FROM lineitem GROUP BY 1
+)
+SELECT count(*) AS n_orders,
+       CAST(count(*) FILTER (WHERE NOT (mn = 1 AND mx = n
+            AND s = n * (n + 1) / 2)) AS BIGINT) AS n_violations,
+       CAST(max(n) AS BIGINT) AS max_lines_per_order
+FROM per
+"""

@@ -5892,3 +5892,30 @@ def ri_check_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pdf in parts[1:]:
         out = out.unionByName(pdf)
     return out
+
+
+@query("lineitem_linenumber_integrity")
+def lineitem_linenumber_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-sequence contract check: l_linenumber must be exactly
+    1..n within every order (no gaps, no duplicates, starts at 1).
+    Verified without a sort via the arithmetic identity: count = max,
+    min = 1, and sum = n(n+1)/2 — three aggregates per order, then
+    one violation rollup. The integrity op for any positional child
+    table."""
+    li = load(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_linenumber").alias("mn"),
+        F.max("l_linenumber").alias("mx"),
+        F.sum("l_linenumber").alias("s"),
+    )
+    ok = (
+        (F.col("mn") == 1)
+        & (F.col("mx") == F.col("n"))
+        & (F.col("s") == F.col("n") * (F.col("n") + 1) / 2)
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum((~ok).cast("bigint")).alias("n_violations"),
+        F.max("n").alias("max_lines_per_order"),
+    )

@@ -249,6 +249,7 @@ AUDITS: dict[str, list[str]] = {
     "emb_centroid_drift": ["partial", "no_bnl", "pruned:3"],
     # per-edge 1-row orphan aggregates crossJoin in (allow-listed shape)
     "ri_check_report": ["partial", "codegen"],
+    "lineitem_linenumber_integrity": ["partial", "codegen", "no_bnl", "pruned:2"],
 }
 
 
