@@ -4425,3 +4425,29 @@ SELECT count(*) AS n_orders,
        CAST(max(n) AS BIGINT) AS max_lines_per_order
 FROM per
 """
+
+
+ORACLES["events_error_pchart"] = """
+WITH daily AS (
+    SELECT day(ts) AS day, count(*) AS n,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+               AS errs
+    FROM events GROUP BY 1
+),
+center AS (
+    SELECT CAST(sum(errs) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS _p
+    FROM daily
+)
+SELECT day, n, errs,
+       CAST(errs AS DOUBLE) / CAST(n AS DOUBLE) AS error_share,
+       _p AS center_line,
+       _p + 3.0 * sqrt(_p * (1.0 - _p) / CAST(n AS DOUBLE)) AS ucl,
+       greatest(_p - 3.0 * sqrt(_p * (1.0 - _p) / CAST(n AS DOUBLE)),
+                0.0) AS lcl,
+       (CAST(errs AS DOUBLE) / CAST(n AS DOUBLE)
+        > _p + 3.0 * sqrt(_p * (1.0 - _p) / CAST(n AS DOUBLE)))
+       OR (CAST(errs AS DOUBLE) / CAST(n AS DOUBLE)
+           < greatest(_p - 3.0 * sqrt(_p * (1.0 - _p)
+                      / CAST(n AS DOUBLE)), 0.0)) AS out_of_control
+FROM daily, center
+"""

@@ -5919,3 +5919,44 @@ def lineitem_linenumber_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum((~ok).cast("bigint")).alias("n_violations"),
         F.max("n").alias("max_lines_per_order"),
     )
+
+
+@query("events_error_pchart")
+def events_error_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p-chart (SPC control chart) for the daily error-event share:
+    each day's error proportion against the corpus-wide center line
+    with 3-sigma binomial control limits (sqrt(p(1-p)/n)), flagging
+    out-of-control days — the ops chart that separates noise from
+    regressions. Exact counts; the center line is one broadcast 1-row
+    aggregate."""
+    ev = load(spark, sf_dir, "events")
+    is_err = (F.col("event_type") == "error").cast("bigint")
+    daily = ev.groupBy(F.dayofmonth("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(is_err).alias("errs"),
+    )
+    center = daily.agg(
+        (
+            F.sum("errs").cast("double") / F.sum("n").cast("double")
+        ).alias("_p")
+    )
+    share = F.col("errs").cast("double") / F.col("n").cast("double")
+    sigma = F.sqrt(
+        F.col("_p") * (F.lit(1.0) - F.col("_p"))
+        / F.col("n").cast("double")
+    )
+    ucl = F.col("_p") + F.lit(3.0) * sigma
+    lcl = F.greatest(F.col("_p") - F.lit(3.0) * sigma, F.lit(0.0))
+    return (
+        daily.crossJoin(F.broadcast(center))
+        .select(
+            "day",
+            "n",
+            "errs",
+            share.alias("error_share"),
+            F.col("_p").alias("center_line"),
+            ucl.alias("ucl"),
+            lcl.alias("lcl"),
+            ((share > ucl) | (share < lcl)).alias("out_of_control"),
+        )
+    )

@@ -250,6 +250,8 @@ AUDITS: dict[str, list[str]] = {
     # per-edge 1-row orphan aggregates crossJoin in (allow-listed shape)
     "ri_check_report": ["partial", "codegen"],
     "lineitem_linenumber_integrity": ["partial", "codegen", "no_bnl", "pruned:2"],
+    # p-chart crossJoins the broadcast 1-row center line (allow-listed)
+    "events_error_pchart": ["partial", "codegen", "pruned:2"],
 }
 
 
