@@ -691,7 +691,9 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path, fixture_csv):
         config=cfg,
         available_now=True,
     )
-    q2.awaitTermination(120)
+    # assert the drain actually finished: under heavy machine load a
+    # silent timeout would read a partial sink and fail confusingly
+    assert q2.awaitTermination(300), "recovery drain timed out"
     recovered = {
         tuple(r) for r in spark.read.parquet(str(tmp_path / "rec_out")).collect()
     }
@@ -704,7 +706,7 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path, fixture_csv):
         config=cfg,
         available_now=True,
     )
-    q3.awaitTermination(120)
+    assert q3.awaitTermination(300), "clean drain timed out"
     clean = {
         tuple(r)
         for r in spark.read.parquet(str(tmp_path / "clean_out")).collect()
