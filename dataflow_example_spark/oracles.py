@@ -4451,3 +4451,22 @@ SELECT day, n, errs,
                       / CAST(n AS DOUBLE)), 0.0)) AS out_of_control
 FROM daily, center
 """
+
+
+ORACLES["docs_dup_shardability"] = f"""
+WITH {_TOKS_CTE},
+fp AS (
+    SELECT t.doc_id, md5(array_to_string(t.t[1:12], ' ')) AS f, d.source
+    FROM toks t JOIN documents d USING (doc_id)
+),
+groups AS (
+    SELECT f, count(*) AS n, count(DISTINCT source) AS n_sources
+    FROM fp GROUP BY 1
+    HAVING count(*) > 1
+)
+SELECT CASE WHEN n_sources = 1 THEN 'within_source'
+            ELSE 'cross_source' END AS dup_scope,
+       count(*) AS n_groups,
+       CAST(sum(n - 1) AS BIGINT) AS n_redundant_docs
+FROM groups GROUP BY 1
+"""

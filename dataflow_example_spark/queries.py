@@ -5960,3 +5960,35 @@ def events_error_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((share > ucl) | (share < lcl)).alias("out_of_control"),
         )
     )
+
+
+@query("docs_dup_shardability")
+def docs_dup_shardability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Can dedup shard by source? Near-duplicate groups (12-token
+    prefix fingerprint, the decontamination key) classified as
+    within-source vs cross-source — if cross-source dups are rare, the
+    100 TB dedup can run per-source shards with a tiny cross-shard
+    reconciliation pass; if common, it needs the global shuffle. One
+    fingerprint groupBy carrying a distinct-source count, then a
+    two-row rollup."""
+    from .functions.text import fingerprint
+
+    docs = load(spark, sf_dir, "documents")
+    fp = fingerprint(docs, prefix_tokens=12).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    groups = (
+        fp.groupBy("fingerprint_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    scope = F.when(
+        F.col("n_sources") == 1, F.lit("within_source")
+    ).otherwise(F.lit("cross_source"))
+    return groups.groupBy(scope.alias("dup_scope")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.col("n") - 1).alias("n_redundant_docs"),
+    )

@@ -252,6 +252,7 @@ AUDITS: dict[str, list[str]] = {
     "lineitem_linenumber_integrity": ["partial", "codegen", "no_bnl", "pruned:2"],
     # p-chart crossJoins the broadcast 1-row center line (allow-listed)
     "events_error_pchart": ["partial", "codegen", "pruned:2"],
+    "docs_dup_shardability": ["partial", "codegen", "no_bnl", "pruned:3"],
 }
 
 
