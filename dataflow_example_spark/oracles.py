@@ -4470,3 +4470,54 @@ SELECT CASE WHEN n_sources = 1 THEN 'within_source'
        CAST(sum(n - 1) AS BIGINT) AS n_redundant_docs
 FROM groups GROUP BY 1
 """
+
+
+ORACLES["events_lorenz_concentration"] = """
+WITH per_user AS (
+    SELECT user_id, count(*) AS c FROM events GROUP BY 1
+),
+tot AS (SELECT sum(c) AS _t, count(*) AS _n FROM per_user),
+ranked AS (
+    SELECT row_number() OVER (ORDER BY c DESC, user_id) AS _r,
+           sum(c) OVER (ORDER BY c DESC, user_id
+                        ROWS UNBOUNDED PRECEDING) AS _cum
+    FROM per_user
+)
+SELECT p.top_pct,
+       CAST(ranked._r AS BIGINT) AS n_top_users,
+       CAST(_cum AS DOUBLE) / CAST(_t AS DOUBLE) AS event_share
+FROM ranked, tot,
+     (SELECT CAST(x AS INTEGER) AS top_pct
+      FROM (VALUES (1), (5), (10), (20)) v(x)) p
+WHERE ranked._r = greatest(CAST(floor(_n * p.top_pct / 100)
+                                AS INTEGER), 1)
+"""
+
+
+ORACLES["docs_fingerprint_collision_rate"] = f"""
+WITH {_TOKS_CTE},
+fp AS (
+    SELECT DISTINCT md5(array_to_string(t, ' ')) AS fingerprint_md5,
+           CAST(('0x' || substr(md5(array_to_string(t, ' ')), 1, 8))
+                AS BIGINT) AS fingerprint32
+    FROM toks
+),
+per32 AS (
+    SELECT fingerprint32, count(*) AS n_md5 FROM fp GROUP BY 1
+)
+SELECT CAST(sum(n_md5) AS BIGINT) AS distinct_md5,
+       count(*) AS distinct_fp32,
+       CAST(count(*) FILTER (WHERE n_md5 > 1) AS BIGINT)
+           AS colliding_fp32
+FROM per32
+"""
+
+
+ORACLES["supplier_portfolio_breadth"] = """
+WITH per AS (
+    SELECT l_suppkey,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem GROUP BY 1
+)
+SELECT n_parts, count(*) AS n_suppliers FROM per GROUP BY 1
+"""

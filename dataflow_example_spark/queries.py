@@ -5992,3 +5992,91 @@ def docs_dup_shardability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_groups"),
         F.sum(F.col("n") - 1).alias("n_redundant_docs"),
     )
+
+
+@query("events_lorenz_concentration")
+def events_lorenz_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve concentration points: what share of all events the
+    top 1 / 5 / 10 / 20 percent of users generate — the curve behind
+    the Gini number, read directly by capacity and abuse teams. The
+    rank window runs over per-user aggregates (bounded by user
+    cardinality, the orders_customer_gini tradeoff); thresholds are a
+    constant-width explode."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy(F.desc("c"), "user_id")
+    tot = per_user.agg(
+        F.sum("c").alias("_t"), F.count(F.lit(1)).alias("_n")
+    )
+    ranked = (
+        per_user.withColumn("_r", F.row_number().over(w))
+        .withColumn(
+            "_cum",
+            F.sum("c").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    pct = F.explode(
+        F.array(*[F.lit(x) for x in (1, 5, 10, 20)])
+    ).alias("top_pct")
+    fan = ranked.select("_r", "_cum", "_t", "_n", pct)
+    k = F.greatest(
+        F.floor(F.col("_n") * F.col("top_pct") / 100).cast("int"),
+        F.lit(1),
+    )
+    return (
+        fan.filter(F.col("_r") == k)
+        .select(
+            "top_pct",
+            F.col("_r").alias("n_top_users"),
+            (
+                F.col("_cum").cast("double") / F.col("_t").cast("double")
+            ).alias("event_share"),
+        )
+    )
+
+
+@query("docs_fingerprint_collision_rate")
+def docs_fingerprint_collision_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How lossy is the compact 32-bit fingerprint key? Distinct md5
+    fingerprints vs distinct 32-bit prefixes, and the number of 32-bit
+    values shared by more than one md5 (true collisions) — the
+    evaluation behind using the compact key for bucketing. One
+    distinct + two grouped counts."""
+    from .functions.text import fingerprint
+
+    docs = load(spark, sf_dir, "documents")
+    fp = fingerprint(docs).select(
+        "fingerprint_md5", "fingerprint32"
+    ).distinct()
+    per32 = fp.groupBy("fingerprint32").agg(
+        F.count(F.lit(1)).alias("n_md5")
+    )
+    return per32.agg(
+        F.sum("n_md5").alias("distinct_md5"),
+        F.count(F.lit(1)).alias("distinct_fp32"),
+        F.sum(
+            (F.col("n_md5") > 1).cast("bigint")
+        ).alias("colliding_fp32"),
+    )
+
+
+@query("supplier_portfolio_breadth")
+def supplier_portfolio_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier portfolio breadth histogram: how many suppliers ship 1,
+    2, ... distinct parts — single-part specialists vs broad-line
+    suppliers, the supply-base segmentation view. Two grouped counts
+    on the fact table."""
+    li = load(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_suppkey").agg(
+        F.count_distinct("l_partkey").alias("n_parts")
+    )
+    return per.groupBy("n_parts").agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )

@@ -253,6 +253,10 @@ AUDITS: dict[str, list[str]] = {
     # p-chart crossJoins the broadcast 1-row center line (allow-listed)
     "events_error_pchart": ["partial", "codegen", "pruned:2"],
     "docs_dup_shardability": ["partial", "codegen", "no_bnl", "pruned:3"],
+    # lorenz crossJoins the broadcast 1-row totals (allow-listed shape)
+    "events_lorenz_concentration": ["partial", "codegen", "pruned:2"],
+    "docs_fingerprint_collision_rate": ["partial", "codegen", "no_bnl", "pruned:2"],
+    "supplier_portfolio_breadth": ["partial", "codegen", "no_bnl", "pruned:2"],
 }
 
 
