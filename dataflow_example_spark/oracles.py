@@ -4521,3 +4521,41 @@ WITH per AS (
 )
 SELECT n_parts, count(*) AS n_suppliers FROM per GROUP BY 1
 """
+
+
+ORACLES["events_session_type_lift"] = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS _new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT *, sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS _sess
+    FROM flagged
+),
+items AS (
+    SELECT DISTINCT CAST(user_id AS VARCHAR) || '#'
+               || CAST(_sess AS VARCHAR) AS sid,
+           event_type
+    FROM sess
+),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_ab
+    FROM items a JOIN items b
+      ON a.sid = b.sid AND a.event_type < b.event_type
+    GROUP BY 1, 2
+),
+marg AS (SELECT event_type AS t, count(*) AS n_t FROM items GROUP BY 1),
+tot AS (SELECT count(DISTINCT sid) AS _n FROM items)
+SELECT type_a, type_b, n_ab,
+       CAST(_n AS DOUBLE) * CAST(n_ab AS DOUBLE)
+       / (CAST(ma.n_t AS DOUBLE) * CAST(mb.n_t AS DOUBLE)) AS lift
+FROM pairs
+JOIN marg ma ON ma.t = pairs.type_a
+JOIN marg mb ON mb.t = pairs.type_b, tot
+"""

@@ -6080,3 +6080,82 @@ def supplier_portfolio_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.groupBy("n_parts").agg(
         F.count(F.lit(1)).alias("n_suppliers")
     )
+
+
+@query("events_session_type_lift")
+def events_session_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which event types co-occur in the same session beyond chance:
+    market-basket lift over islands sessions (baskets = distinct types
+    per session, pairs ordered). The self-join keys on the session, so
+    fan-out is bounded by types-per-session (<= 5), never by type
+    popularity — the association view that catches 'errors cluster
+    with purchases' patterns."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "_new",
+        (
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts")
+                >= F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")
+            )
+        ).cast("int"),
+    ).withColumn(
+        "_sess",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    items = flagged.select(
+        F.concat_ws("#", "user_id", "_sess").alias("sid"), "event_type"
+    ).distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    marg = items.groupBy(
+        F.col("event_type").alias("t")
+    ).agg(F.count(F.lit(1)).alias("n_t"))
+    tot = items.select("sid").distinct().agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                marg.withColumnRenamed("t", "type_a")
+                .withColumnRenamed("n_t", "n_a")
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                marg.withColumnRenamed("t", "type_b")
+                .withColumnRenamed("n_t", "n_b")
+            ),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            (
+                F.col("_n").cast("double") * F.col("n_ab").cast("double")
+                / (
+                    F.col("n_a").cast("double")
+                    * F.col("n_b").cast("double")
+                )
+            ).alias("lift"),
+        )
+    )

@@ -257,6 +257,8 @@ AUDITS: dict[str, list[str]] = {
     "events_lorenz_concentration": ["partial", "codegen", "pruned:2"],
     "docs_fingerprint_collision_rate": ["partial", "codegen", "no_bnl", "pruned:2"],
     "supplier_portfolio_breadth": ["partial", "codegen", "no_bnl", "pruned:2"],
+    # lift crossJoins a broadcast 1-row session total (allow-listed)
+    "events_session_type_lift": ["broadcast", "partial", "codegen"],
 }
 
 
