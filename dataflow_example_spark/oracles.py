@@ -4559,3 +4559,34 @@ FROM pairs
 JOIN marg ma ON ma.t = pairs.type_a
 JOIN marg mb ON mb.t = pairs.type_b, tot
 """
+
+
+ORACLES["events_churn_risk"] = """
+WITH per_user AS (
+    SELECT user_id, count(*) AS n_events, max(ts) AS last_seen,
+           CAST(count(DISTINCT day(ts)) AS BIGINT) AS active_days
+    FROM events GROUP BY 1
+),
+horizon AS (SELECT max(ts) AS _end FROM events)
+SELECT user_id, n_events, active_days,
+       CAST(floor(CAST(epoch_us(_end) - epoch_us(last_seen) AS DOUBLE)
+                  / 86400000000.0) AS INTEGER) AS silent_days,
+       CAST(n_events AS DOUBLE) / CAST(active_days AS DOUBLE)
+           AS events_per_active_day
+FROM per_user, horizon
+WHERE floor(CAST(epoch_us(_end) - epoch_us(last_seen) AS DOUBLE)
+            / 86400000000.0) >= 7
+"""
+
+
+ORACLES["orders_cohort_repeat"] = """
+WITH first AS (
+    SELECT o_custkey, min(year(o_orderdate)) AS cohort_year
+    FROM orders GROUP BY 1
+)
+SELECT f.cohort_year,
+       year(o.o_orderdate) - f.cohort_year AS age_years,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS active_customers
+FROM orders o JOIN first f USING (o_custkey)
+GROUP BY 1, 2
+"""

@@ -6159,3 +6159,61 @@ def events_session_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query("events_churn_risk")
+def events_churn_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-risk list: users silent for >= 7 days at the end of the
+    observation window, with their historical cadence (events per
+    active day) — the re-engagement targeting query. Conditional
+    aggregates per user plus one broadcast 1-row corpus max-date; risk
+    tiers from exact day arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("last_seen"),
+        F.count_distinct(F.dayofmonth("ts")).alias("active_days"),
+    )
+    horizon = ev.agg(F.max("ts").alias("_end"))
+    silent_days = F.floor(
+        (
+            F.unix_micros(F.col("_end"))
+            - F.unix_micros(F.col("last_seen"))
+        )
+        / F.lit(86_400_000_000.0)
+    ).cast("int")
+    return (
+        per_user.crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            "n_events",
+            "active_days",
+            silent_days.alias("silent_days"),
+            (
+                F.col("n_events").cast("double")
+                / F.col("active_days").cast("double")
+            ).alias("events_per_active_day"),
+        )
+        .filter(F.col("silent_days") >= 7)
+    )
+
+
+@query("orders_cohort_repeat")
+def orders_cohort_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annual-cohort repeat curve: customers grouped by first-order
+    year, tracked by how many are still ordering 1, 2, ... years later
+    — the relational-side retention triangle (the events-side twin is
+    events_cohort_retention). First-order year via one min-aggregate;
+    the triangle is a distinct-count grid over (cohort, age)."""
+    orders = load(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort_year")
+    )
+    aged = orders.join(first, "o_custkey").select(
+        "cohort_year",
+        (F.year("o_orderdate") - F.col("cohort_year")).alias("age_years"),
+        "o_custkey",
+    )
+    return aged.groupBy("cohort_year", "age_years").agg(
+        F.count_distinct("o_custkey").alias("active_customers")
+    )

@@ -320,3 +320,31 @@ def test_bot_detector_fires_on_metronomic_user(spark):
     out = QUERIES["events_bot_users"](spark, d).collect()
     flagged = {r["user_id"] for r in out}
     assert flagged == {1}
+
+
+def test_churn_risk_fires_on_lapsed_user(spark):
+    """A user silent for 10 days is listed with the right silent_days;
+    a recently-active user is not (0 rows on the dense corpus is
+    meaningful only because this proves the gate fires)."""
+    import datetime as dt
+    import tempfile
+
+    from dataflow_example_spark.queries import QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(5):  # lapsed: active days 1-5, then silent
+        rows.append((i, base + dt.timedelta(days=i), 1, "click", 1.0, "{}"))
+    for i in range(15):  # active through day 15 (the horizon)
+        rows.append((100 + i, base + dt.timedelta(days=i), 2, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    d = tempfile.mkdtemp(prefix="churn_t_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["user_id"]: r for r in QUERIES["events_churn_risk"](spark, d).collect()}
+    assert set(out) == {1}
+    assert out[1]["silent_days"] == 10
+    assert out[1]["active_days"] == 5

@@ -259,6 +259,9 @@ AUDITS: dict[str, list[str]] = {
     "supplier_portfolio_breadth": ["partial", "codegen", "no_bnl", "pruned:2"],
     # lift crossJoins a broadcast 1-row session total (allow-listed)
     "events_session_type_lift": ["broadcast", "partial", "codegen"],
+    # churn crossJoins the broadcast 1-row horizon (allow-listed shape)
+    "events_churn_risk": ["partial", "codegen", "pruned:3"],
+    "orders_cohort_repeat": ["partial", "codegen", "no_bnl", "pruned:3"],
 }
 
 
