@@ -3805,8 +3805,10 @@ t AS (
            CAST(sum(n) AS BIGINT) AS N,
            sum(s) AS S,
            sum(q) AS Q,
-           sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-               AS ssb_raw
+           list_reduce(list_prepend(0.0, list_sort(
+               list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                    / CAST(n AS DOUBLE)))),
+               (acc, x) -> acc + x) AS ssb_raw
     FROM g GROUP BY 1
 )
 SELECT event_type,
@@ -3935,8 +3937,10 @@ t AS (
            CAST(sum(n) AS BIGINT) AS N,
            sum(s) AS S,
            sum(q) AS Q,
-           sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-               AS ssb_raw
+           list_reduce(list_prepend(0.0, list_sort(
+               list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                    / CAST(n AS DOUBLE)))),
+               (acc, x) -> acc + x) AS ssb_raw
     FROM g GROUP BY 1
 )
 SELECT event_type,
@@ -4589,4 +4593,58 @@ SELECT f.cohort_year,
        CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS active_customers
 FROM orders o JOIN first f USING (o_custkey)
 GROUP BY 1, 2
+"""
+
+
+ORACLES["events_user_icc"] = """
+WITH g AS (
+    SELECT user_id, count(*) AS n,
+           sum(CAST(value AS DECIMAL(18,6))) AS s,
+           sum(CAST(value AS DECIMAL(18,6))
+               * CAST(value AS DECIMAL(18,6))) AS q
+    FROM events GROUP BY 1
+),
+t AS (
+    SELECT count(*) AS k,
+           CAST(sum(n) AS BIGINT) AS N,
+           sum(s) AS S,
+           sum(q) AS Q,
+           list_reduce(list_prepend(0.0, list_sort(
+               list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                    / CAST(n AS DOUBLE)))),
+               (acc, x) -> acc + x) AS ssb_raw
+    FROM g
+)
+SELECT k AS n_users, N AS n_events,
+       ((ssb_raw - CAST(S AS DOUBLE) * CAST(S AS DOUBLE)
+                   / CAST(N AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)
+        - (CAST(Q AS DOUBLE) - ssb_raw)
+          / (CAST(N AS DOUBLE) - CAST(k AS DOUBLE)))
+       / ((ssb_raw - CAST(S AS DOUBLE) * CAST(S AS DOUBLE)
+                     / CAST(N AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)
+          + ((CAST(N AS DOUBLE) * CAST(N AS DOUBLE))
+             / (CAST(N AS DOUBLE) * CAST(k AS DOUBLE)) - 1.0)
+            * (CAST(Q AS DOUBLE) - ssb_raw)
+              / (CAST(N AS DOUBLE) - CAST(k AS DOUBLE))) AS icc
+FROM t
+"""
+
+
+ORACLES["orders_month_seasonal_index"] = """
+WITH ym AS (
+    SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+           sum(CAST(o_totalprice AS DECIMAL(18,6))) AS _rev
+    FROM orders GROUP BY 1, 2
+),
+yr AS (SELECT y, sum(_rev) AS _yr FROM ym GROUP BY 1),
+sh AS (
+    SELECT m,
+           CAST(CAST(_rev AS DOUBLE) / CAST(_yr AS DOUBLE)
+                AS DECIMAL(18,6)) AS _share
+    FROM ym JOIN yr USING (y)
+)
+SELECT m, count(*) AS n_years,
+       CAST(sum(_share) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 12.0
+           AS seasonal_index
+FROM sh GROUP BY 1
 """

@@ -5035,11 +5035,23 @@ def events_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("N"),
         F.sum("s").alias("S"),
         F.sum("q").alias("Q"),
-        F.sum(
-            (
-                F.col("s").cast("double") * F.col("s").cast("double")
-            )
-            / F.col("n").cast("double")
+        # pinned sorted fold: a raw double sum of the s^2/n terms is
+        # partition-order-dependent (observed on the 150-user ICC), and
+        # a decimal cast tie-breaks differently across engines on exact
+        # half-digit values (the label_centroids hazard) — sorting the
+        # terms and folding sequentially is deterministic AND portable
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    (
+                        F.col("s").cast("double")
+                        * F.col("s").cast("double")
+                    )
+                    / F.col("n").cast("double")
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
         ).alias("ssb_raw"),
     )
     ssb = F.col("ssb_raw") - (
@@ -5196,11 +5208,23 @@ def events_hourly_variance_explained(spark: SparkSession, sf_dir: str) -> DataFr
         F.sum("n").alias("N"),
         F.sum("s").alias("S"),
         F.sum("q").alias("Q"),
-        F.sum(
-            (
-                F.col("s").cast("double") * F.col("s").cast("double")
-            )
-            / F.col("n").cast("double")
+        # pinned sorted fold: a raw double sum of the s^2/n terms is
+        # partition-order-dependent (observed on the 150-user ICC), and
+        # a decimal cast tie-breaks differently across engines on exact
+        # half-digit values (the label_centroids hazard) — sorting the
+        # terms and folding sequentially is deterministic AND portable
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    (
+                        F.col("s").cast("double")
+                        * F.col("s").cast("double")
+                    )
+                    / F.col("n").cast("double")
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
         ).alias("ssb_raw"),
     )
     sst = F.col("Q").cast("double") - (
@@ -6216,4 +6240,86 @@ def orders_cohort_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return aged.groupBy("cohort_year", "age_years").agg(
         F.count_distinct("o_custkey").alias("active_customers")
+    )
+
+
+@query("events_user_icc")
+def events_user_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraclass correlation of value by user: how much of total value
+    variance is BETWEEN users vs within them (ICC(1) from the one-way
+    ANOVA decomposition) — high ICC means user-level features carry
+    signal, near-zero means per-event modeling. Same exact-moment
+    assembly as events_dow_anova, grouped by user instead of time."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).alias("s"),
+        F.sum(dec("value") * dec("value")).alias("q"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("N"),
+        F.sum("s").alias("S"),
+        F.sum("q").alias("Q"),
+        # pinned sorted fold: a raw double sum of the s^2/n terms is
+        # partition-order-dependent (observed on the 150-user ICC), and
+        # a decimal cast tie-breaks differently across engines on exact
+        # half-digit values (the label_centroids hazard) — sorting the
+        # terms and folding sequentially is deterministic AND portable
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    (
+                        F.col("s").cast("double")
+                        * F.col("s").cast("double")
+                    )
+                    / F.col("n").cast("double")
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("ssb_raw"),
+    )
+    ssb = F.col("ssb_raw") - (
+        F.col("S").cast("double") * F.col("S").cast("double")
+    ) / F.col("N").cast("double")
+    ssw = F.col("Q").cast("double") - F.col("ssb_raw")
+    msb = ssb / (F.col("k").cast("double") - F.lit(1.0))
+    msw = ssw / (F.col("N").cast("double") - F.col("k").cast("double"))
+    n0 = (F.col("N").cast("double") * F.col("N").cast("double")) / (
+        F.col("N").cast("double") * F.col("k").cast("double")
+    )
+    return t.select(
+        F.col("k").alias("n_users"),
+        F.col("N").alias("n_events"),
+        ((msb - msw) / (msb + (n0 - 1) * msw)).alias("icc"),
+    )
+
+
+@query("orders_month_seasonal_index")
+def orders_month_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonal index: each calendar month's mean share
+    of annual revenue vs 1/12 (index > 1 = peak month), averaged over
+    the seven order years — the classical seasonal decomposition a
+    demand planner starts from. Exact decimal sums; two tiny grouped
+    aggregates after the first collapse."""
+    orders = load(spark, sf_dir, "orders")
+    ym = orders.groupBy(
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+    ).agg(F.sum(dec("o_totalprice")).alias("_rev"))
+    yr = ym.groupBy("y").agg(F.sum("_rev").alias("_yr"))
+    share = F.col("_rev").cast("double") / F.col("_yr").cast("double")
+    return (
+        ym.join(F.broadcast(yr), "y")
+        .select("m", share.alias("_share"))
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_years"),
+            (
+                F.sum(F.col("_share").cast(DEC)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                * F.lit(12.0)
+            ).alias("seasonal_index"),
+        )
     )

@@ -262,6 +262,8 @@ AUDITS: dict[str, list[str]] = {
     # churn crossJoins the broadcast 1-row horizon (allow-listed shape)
     "events_churn_risk": ["partial", "codegen", "pruned:3"],
     "orders_cohort_repeat": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "events_user_icc": ["partial", "no_bnl", "pruned:2"],
+    "orders_month_seasonal_index": ["broadcast", "partial", "codegen", "no_bnl"],
 }
 
 
