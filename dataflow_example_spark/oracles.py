@@ -4648,3 +4648,42 @@ SELECT m, count(*) AS n_years,
            AS seasonal_index
 FROM sh GROUP BY 1
 """
+
+
+ORACLES["lineitem_ship_lag_profile"] = """
+SELECT o.o_orderpriority,
+       CAST(floor(date_diff('day', o.o_orderdate, l.l_shipdate) / 7)
+            AS INTEGER) AS lag_weeks,
+       count(*) AS n_items
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+"""
+
+
+ORACLES["events_first_session_conversion"] = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS _new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT *, sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS _sess
+    FROM flagged
+),
+per_user AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'purchase' THEN _sess END)
+               AS first_purchase_sess
+    FROM sess GROUP BY 1
+)
+SELECT count(*) AS n_converting_users,
+       CAST(sum(CASE WHEN first_purchase_sess = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_first_session,
+       CAST(sum(CASE WHEN first_purchase_sess = 1 THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS first_session_share
+FROM per_user WHERE first_purchase_sess IS NOT NULL
+"""

@@ -6323,3 +6323,68 @@ def orders_month_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seasonal_index"),
         )
     )
+
+
+@query("lineitem_ship_lag_profile")
+def lineitem_ship_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag distribution per priority: days between the
+    order date and each lineitem's ship date, bucketed by week — the
+    fulfillment-SLA histogram behind q4's late-count. One fact-fact
+    join co-partitioned on the order key, exact day arithmetic."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    j = li.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    lag_weeks = F.floor(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) / 7
+    ).cast("int")
+    return j.groupBy(
+        "o_orderpriority", lag_weeks.alias("lag_weeks")
+    ).agg(F.count(F.lit(1)).alias("n_items"))
+
+
+@query("events_first_session_conversion")
+def events_first_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-session conversion: of users who ever purchase, what share
+    converted inside their very first 30-min session — the activation
+    quality number separating 'product sells itself' from 'needs
+    nurture'. Sessions from the islands rule; firsts from conditional
+    mins; one summary row."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "_new",
+        (
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts")
+                >= F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")
+            )
+        ).cast("int"),
+    ).withColumn(
+        "_sess",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_user = flagged.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("_sess"))
+        ).alias("first_purchase_sess")
+    )
+    converted = per_user.filter(
+        F.col("first_purchase_sess").isNotNull()
+    )
+    return converted.agg(
+        F.count(F.lit(1)).alias("n_converting_users"),
+        F.sum(
+            (F.col("first_purchase_sess") == 1).cast("bigint")
+        ).alias("n_first_session"),
+        (
+            F.sum((F.col("first_purchase_sess") == 1).cast("bigint"))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("first_session_share"),
+    )

@@ -264,6 +264,8 @@ AUDITS: dict[str, list[str]] = {
     "orders_cohort_repeat": ["partial", "codegen", "no_bnl", "pruned:3"],
     "events_user_icc": ["partial", "no_bnl", "pruned:2"],
     "orders_month_seasonal_index": ["broadcast", "partial", "codegen", "no_bnl"],
+    "lineitem_ship_lag_profile": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "events_first_session_conversion": ["partial", "codegen", "no_bnl", "pruned:4"],
 }
 
 
