@@ -348,3 +348,113 @@ def test_churn_risk_fires_on_lapsed_user(spark):
     assert set(out) == {1}
     assert out[1]["silent_days"] == 10
     assert out[1]["active_days"] == 5
+
+
+def test_bloom_property_random_membership(spark):
+    """Property: for random key sets and filter geometries, bloom_build
+    + bloom_filter_candidates never yields a false negative, and the
+    exact bloom_semi_join equals the plain semi join."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        keys=st.lists(
+            st.integers(min_value=0, max_value=10_000),
+            min_size=1,
+            max_size=40,
+            unique=True,
+        ),
+        m_exp=st.integers(min_value=10, max_value=14),
+        k=st.integers(min_value=1, max_value=6),
+    )
+    def check(keys, m_exp, k):
+        m = 1 << m_exp
+        small = spark.createDataFrame(
+            [(str(x),) for x in keys], "kk STRING"
+        )
+        words = bloom_build(small, "kk", m_bits=m, k=k)
+        probed = bloom_filter_candidates(
+            small, "kk", words, m_bits=m, k=k
+        )
+        assert probed.filter(~F.col("_bloom_hit")).count() == 0
+        big = spark.createDataFrame(
+            [(str(x),) for x in range(0, 200)], "kk STRING"
+        )
+        got = sorted(
+            r["kk"]
+            for r in bloom_semi_join(
+                big, small, "kk", m_bits=m, k=k
+            ).collect()
+        )
+        want = sorted(
+            r["kk"]
+            for r in big.join(small, "kk", "left_semi").collect()
+        )
+        assert got == want
+
+    check()
+
+
+def test_zorder_property_random_widths(spark):
+    """Property: for random bit widths the interleave stays within
+    2^(2*bits) and decodes back to the inputs bit-exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        bits=st.integers(min_value=1, max_value=16),
+        vals=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=(1 << 16) - 1),
+                st.integers(min_value=0, max_value=(1 << 16) - 1),
+            ),
+            min_size=1,
+            max_size=30,
+        ),
+    )
+    def check(bits, vals):
+        mask = (1 << bits) - 1
+        df = spark.createDataFrame(vals, "d1 BIGINT, d2 BIGINT")
+        rows = df.select(
+            "d1", "d2", zorder_value(F.col("d1"), F.col("d2"), bits).alias("z")
+        ).collect()
+        for r in rows:
+            assert 0 <= r["z"] < (1 << (2 * bits))
+            d1 = sum(((r["z"] >> (2 * b + 1)) & 1) << b for b in range(bits))
+            d2 = sum(((r["z"] >> (2 * b)) & 1) << b for b in range(bits))
+            assert d1 == (r["d1"] & mask) and d2 == (r["d2"] & mask)
+
+    check()
+
+
+def test_salted_distinct_property_skewed(spark):
+    """Property: salted COUNT(DISTINCT) stays exact under pathological
+    skew (one group holding almost all rows) and any salt count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dataflow_example_spark.functions.diagnostics import (
+        salted_distinct_count,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        n_hot=st.integers(min_value=1, max_value=300),
+        n_salts=st.integers(min_value=1, max_value=32),
+    )
+    def check(n_hot, n_salts):
+        rows = [("hot", i % 97) for i in range(n_hot)] + [
+            ("cold", i) for i in range(5)
+        ]
+        df = spark.createDataFrame(rows, "g STRING, v BIGINT")
+        got = {
+            r["g"]: r["n_distinct"]
+            for r in salted_distinct_count(
+                df, "g", "v", n_salts=n_salts
+            ).collect()
+        }
+        assert got == {"hot": min(n_hot, 97), "cold": 5}
+
+    check()
