@@ -4687,3 +4687,41 @@ SELECT count(*) AS n_converting_users,
             AS DOUBLE) / CAST(count(*) AS DOUBLE) AS first_session_share
 FROM per_user WHERE first_purchase_sess IS NOT NULL
 """
+
+
+ORACLES["orders_status_year_matrix"] = """
+WITH cells AS (
+    SELECT year(o_orderdate) AS year, o_orderstatus, count(*) AS n
+    FROM orders GROUP BY 1, 2
+),
+tot AS (SELECT year, sum(n) AS _t FROM cells GROUP BY 1)
+SELECT cells.year, o_orderstatus, n,
+       CAST(n AS DOUBLE) / CAST(_t AS DOUBLE) AS year_share
+FROM cells JOIN tot USING (year)
+"""
+
+
+ORACLES["emb_1nn_label_consistency"] = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+probes AS (
+    SELECT vec_id AS query_id, v AS qv, label AS q_label
+    FROM e WHERE vec_id % 10 = 0
+),
+nn AS (
+    SELECT query_id, q_label, n_label FROM (
+        SELECT p.query_id, p.q_label, c.label AS n_label,
+               row_number() OVER (PARTITION BY p.query_id
+                   ORDER BY {_cosine("p.qv", "c.v")} DESC, c.vec_id ASC)
+                   AS _r
+        FROM e c, probes p WHERE c.vec_id <> p.query_id
+    ) WHERE _r = 1
+)
+SELECT q_label,
+       count(*) AS n_probes,
+       CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_label_match,
+       CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS consistency
+FROM nn GROUP BY 1
+"""

@@ -6388,3 +6388,81 @@ def events_first_session_conversion(spark: SparkSession, sf_dir: str) -> DataFra
             / F.count(F.lit(1)).cast("double")
         ).alias("first_session_share"),
     )
+
+
+@query("orders_status_year_matrix")
+def orders_status_year_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-status aging matrix: status mix (O/F/P) per order year
+    with within-year shares — old years should be ~all F; open orders
+    concentrated in recent years is the healthy pattern, anything else
+    is a stuck-workflow signal. Two grouped counts."""
+    orders = load(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.year("o_orderdate").alias("year"), "o_orderstatus"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.groupBy("year").agg(F.sum("n").alias("_t"))
+    return (
+        cells.join(F.broadcast(tot), "year")
+        .select(
+            "year",
+            "o_orderstatus",
+            "n",
+            (
+                F.col("n").cast("double") / F.col("_t").cast("double")
+            ).alias("year_share"),
+        )
+    )
+
+
+@query("emb_1nn_label_consistency")
+def emb_1nn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality via 1-NN consistency: for a deterministic probe
+    panel (vec_id % 10 == 0), does each probe's cosine nearest
+    neighbor share its label? High agreement certifies the labels
+    respect the embedding geometry before anyone trains a probe head.
+    The probe panel bounds the exact scan (panel x corpus, the
+    cosine_topk shape); ties break by neighbor id; shares are
+    exact-int divisions."""
+    from pyspark.sql.window import Window
+
+    from .functions.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("n_label"),
+    )
+    scored = cand.crossJoin(F.broadcast(probes)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    nn = (
+        scored.select(
+            "query_id",
+            "q_label",
+            "neighbor_id",
+            "n_label",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+    )
+    return nn.groupBy("q_label").agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(
+            (F.col("n_label") == F.col("q_label")).cast("bigint")
+        ).alias("n_label_match"),
+        (
+            F.sum((F.col("n_label") == F.col("q_label")).cast("bigint"))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("consistency"),
+    )

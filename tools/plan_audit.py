@@ -266,6 +266,9 @@ AUDITS: dict[str, list[str]] = {
     "orders_month_seasonal_index": ["broadcast", "partial", "codegen", "no_bnl"],
     "lineitem_ship_lag_profile": ["partial", "codegen", "no_bnl", "pruned:3"],
     "events_first_session_conversion": ["partial", "codegen", "no_bnl", "pruned:4"],
+    "orders_status_year_matrix": ["broadcast", "partial", "codegen", "no_bnl"],
+    # 1-NN probe panel is a broadcast crossJoin (cosine_topk shape)
+    "emb_1nn_label_consistency": ["partial", "pruned:3"],
 }
 
 
