@@ -4725,3 +4725,38 @@ SELECT q_label,
             AS DOUBLE) / CAST(count(*) AS DOUBLE) AS consistency
 FROM nn GROUP BY 1
 """
+
+
+ORACLES["orders_basket_size_trend"] = """
+WITH per_order AS (
+    SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY 1
+)
+SELECT year(o.o_orderdate) AS year,
+       count(*) AS n_orders,
+       CAST(sum(p.n_items) AS BIGINT) AS n_items,
+       CAST(sum(p.n_items) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS avg_items_per_order
+FROM orders o JOIN per_order p ON p.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
+ORACLES["supplier_quartile_mobility"] = """
+WITH a AS (
+    SELECT l_suppkey,
+           ntile(4) OVER (ORDER BY sum(CAST(l_extendedprice
+               AS DECIMAL(18,6))), l_suppkey) AS q1996
+    FROM lineitem WHERE year(l_shipdate) = 1996
+    GROUP BY l_suppkey
+),
+b AS (
+    SELECT l_suppkey,
+           ntile(4) OVER (ORDER BY sum(CAST(l_extendedprice
+               AS DECIMAL(18,6))), l_suppkey) AS q1999
+    FROM lineitem WHERE year(l_shipdate) = 1999
+    GROUP BY l_suppkey
+)
+SELECT q1996, q1999, count(*) AS n_suppliers
+FROM a JOIN b USING (l_suppkey)
+GROUP BY 1, 2
+"""

@@ -6466,3 +6466,56 @@ def emb_1nn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("consistency"),
     )
+
+
+@query("orders_basket_size_trend")
+def orders_basket_size_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size trend: average lineitems per order by order year
+    (exact integer ratio) — the simplest demand-shape drift signal.
+    One co-partitioned fact-fact count then a per-year combine."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items")
+    )
+    j = orders.join(
+        per_order, orders.o_orderkey == per_order.l_orderkey
+    )
+    return j.groupBy(F.year("o_orderdate").alias("year")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("n_items").alias("n_items"),
+        (
+            F.sum("n_items").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_items_per_order"),
+    )
+
+
+@query("supplier_quartile_mobility")
+def supplier_quartile_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue-rank mobility: quartile (by shipped revenue) in
+    1996 vs quartile in 1999, as a transition matrix — a diagonal-heavy
+    matrix means a static supply base, off-diagonal churn means rank
+    volatility. Exact decimal revenue; ntile windows run over per-year
+    per-supplier aggregates (bounded by supplier cardinality)."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+
+    def year_quartile(y):
+        rev = (
+            li.filter(F.year("l_shipdate") == y)
+            .groupBy("l_suppkey")
+            .agg(F.sum(dec("l_extendedprice")).alias("_rev"))
+        )
+        w = Window.orderBy("_rev", "l_suppkey")
+        return rev.select(
+            "l_suppkey", F.ntile(4).over(w).alias(f"q{y}")
+        )
+    a = year_quartile(1996)
+    b = year_quartile(1999)
+    return (
+        a.join(b, "l_suppkey")
+        .groupBy("q1996", "q1999")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )

@@ -269,6 +269,8 @@ AUDITS: dict[str, list[str]] = {
     "orders_status_year_matrix": ["broadcast", "partial", "codegen", "no_bnl"],
     # 1-NN probe panel is a broadcast crossJoin (cosine_topk shape)
     "emb_1nn_label_consistency": ["partial", "pruned:3"],
+    "orders_basket_size_trend": ["partial", "codegen", "no_bnl", "pruned:2"],
+    "supplier_quartile_mobility": ["partial", "codegen", "no_bnl", "pruned:3"],
 }
 
 
