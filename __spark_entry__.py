@@ -39,15 +39,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries per
-# round. Round-5 ordering: the SURVEY §2 reference core (always first, so
-# the judge gets a fresh driver row for every reference operator each
-# round), then the 11 round-4 additions that had never received a driver
-# CORRECTNESS row, then the first 31 round-5 additions. Later round-5
-# batches (positions 50+, through events_attribution_first_touch) are
-# strict-gate verified this round (ORACLES_LOCAL_r5.txt, 168/168) and
-# are first in line for round-6 sampling. Round-6 rotation guidance:
-# keep the 8-query core, then fill the remaining 42 slots with the
-# never-driver-sampled tail (registry order after position 50).
+# round. Round-6 ordering (registry FROZEN at 238 — drain the never-
+# driver-sampled tail before any growth): the SURVEY §2 reference core
+# (always first, so the judge gets a fresh driver row for every reference
+# operator each round), then the 3 round-5 non-green rows re-pinned after
+# their round-6 fixes (the sketch pair now carries bound-assertion
+# oracles; emb_quantize_int8 serializes its code vector), then the first
+# 39 never-driver-sampled queries in registry order. Remaining tail after
+# this window: 69 queries (drained over rounds 7-8 at ~39 slots/round).
 _SAMPLE_FIRST = [
     # reference core (SURVEY §2 ops 1, 5-13 + window variants)
     "starter_pipeline",
@@ -60,51 +59,50 @@ _SAMPLE_FIRST = [
     # streaming ops 2-4 proof (injector -> file-drop source -> watermarked
     # tumbling agg -> parquet sink, availableNow drain vs batch oracle)
     "streaming_traffic_parity",
-    # never driver-sampled in rounds 1-4 (the r4 registry tail); a green
-    # row for each completes 99/99 cumulative driver verification
+    # round-5 non-green rows, re-pinned after their round-6 fixes
     "events_approx_distinct",
     "events_approx_percentiles",
-    "text_repetition_filter",
-    "text_pii_redact",
-    "docs_mix_weights",
     "emb_quantize_int8",
-    "text_unigram_logprob",
-    "docs_token_budget_plan",
-    "events_winsorize",
-    "docs_source_vocab_overlap",
-    "docs_cap_per_source",
-    # new in round 5 — first driver verification (extended as each lands)
-    "streaming_dedup_parity",
-    "dedup_clusters_star",
-    "dedup_minhash_lsh_capped",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q20_promo_part_suppliers",
-    "q21_late_suppliers",
-    "docs_pack_bins",
-    "events_session_funnel_windowed",
-    "docs_minhash_containment",
-    "events_interval_overlap_count",
-    "docs_quality_gate_report",
-    "emb_pq_codes",
-    "docs_shingle_novelty",
-    "sim_pq_adc_topk",
-    "events_scd2_intervals",
-    "text_bigram_logprob",
-    "docs_dedup_survivorship",
-    "orders_rfm_segments",
-    "events_hourly_seasonality",
-    "events_resample_ffill",
-    "docs_importance_resample",
-    "part_price_equidepth",
-    "events_mad_outliers",
-    "events_cohort_retention",
-    "events_markov_transitions",
-    "orders_abc_pareto",
-    "dedup_cluster_stats",
-    "events_funnel_step_latency",
+    # never driver-sampled (registry order) — round-6 rotation slots
+    "emb_random_projection",
+    "docs_incremental_dedup",
+    "events_nearest_join",
+    "streaming_sliding_parity",
+    "streaming_join_parity",
+    "events_ewma",
+    "text_substring_dup",
+    "docs_cluster_balanced_sample",
+    "events_point_in_time_join",
+    "events_rolling_active_users",
+    "events_psi_drift",
+    "emb_norm_outliers",
+    "docs_bloom_decontaminate",
+    "events_zorder_layout",
+    "orders_join_skew_report",
+    "docs_ngram_dup_rate",
+    "events_arrival_lateness",
+    "streaming_session_parity",
+    "events_salted_distinct_users",
+    "docs_tfidf_top_terms",
+    "orders_top_percentile",
+    "events_dq_checks",
+    "events_snapshot_diff",
+    "events_feature_hash",
+    "events_daily_value_quantiles",
+    "text_readability",
+    "events_chi2_independence",
+    "events_latest_per_user",
+    "events_gap_duration_stats",
+    "orders_running_total",
+    "events_daily_autocorr",
+    "lineitem_basket_pairs",
+    "suppliers_full_nation_parts",
+    "events_user_streaks",
+    "orders_revenue_yoy_growth",
+    "orders_customer_gini",
+    "streaming_enrich_parity",
+    "events_attribution_first_touch",
+    "docs_cross_source_dup_matrix",
 ]
 
 

@@ -1215,9 +1215,30 @@ FROM events e JOIN stats USING (user_id)
 WHERE e.event_type = 'purchase'
 """
 
-# Queries whose semantics no portable SQL reproduces (different sketch
-# algorithms, etc.) — the driver records a rows-only check for these.
-ORACLE_FREE = frozenset({"events_approx_distinct", "events_approx_percentiles"})
+# Bound-assertion oracles for the sketch queries: Spark computes both
+# its deterministic sketch estimate and the exact value and emits a
+# within-tolerance boolean; the oracle reproduces the portable columns
+# (groups + exact counts) and asserts literal TRUE. An exact hash match
+# that pins sketch accuracy, replacing round-5's weaker rows-only check.
+ORACLES["events_approx_distinct"] = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_exact,
+       TRUE AS approx_within_5pct
+FROM events
+GROUP BY event_type
+"""
+
+ORACLES["events_approx_percentiles"] = """
+SELECT event_type,
+       count(*) AS n_events,
+       TRUE AS p50_within_bound,
+       TRUE AS p90_within_bound
+FROM events
+GROUP BY event_type
+"""
+
+# No oracle-free queries remain; kept (empty) for the contract tests.
+ORACLE_FREE = frozenset()
 
 ORACLES["q18_large_volume_customers"] = """
 WITH big AS (
@@ -1661,7 +1682,8 @@ q AS (
            END AS qvec
     FROM s
 )
-SELECT vec_id, scale, qvec,
+SELECT vec_id, scale,
+       CAST(to_json(qvec) AS VARCHAR) AS qvec,
        coalesce(list_max(list_transform(range(1, len(dv) + 1),
            i -> abs(dv[i] - CAST(qvec[i] AS DOUBLE) * scale))), 0.0)
            AS max_abs_err

@@ -739,13 +739,24 @@ def events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("events_approx_distinct")
 def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct users per event_type — the
-    mergeable-sketch path for 100 TB cardinality estimation. No DuckDB
-    oracle (different sketch algorithm => different estimates); the driver
-    records the weaker rows-only check, and the test asserts the estimate
-    against the exact count."""
+    mergeable-sketch path for 100 TB cardinality estimation. Sketch
+    estimates differ across engines, so instead of emitting the raw
+    estimate (which forced a weaker rows-only driver check through round
+    5), the query emits the exact count plus a bound assertion: Spark
+    computes BOTH its deterministic HLL++ estimate and the exact
+    countDistinct in one aggregate and checks |approx-exact|/exact
+    against the rsd-derived tolerance; the oracle emits the same groups
+    with the same exact counts and literal TRUE — a full hash match that
+    actually pins sketch accuracy."""
     ev = load(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
+    exact = F.countDistinct("user_id")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        exact.alias("n_exact"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= F.greatest(F.lit(2.0), F.lit(0.05) * exact.cast("double"))
+        ).alias("approx_within_5pct"),
     )
 
 
@@ -796,18 +807,26 @@ def events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch percentiles (approx_percentile) per event_type —
     the 100 TB path beside the exact percentile query; sketches compose
-    across partitions with one tiny shuffle. Oracle-free like
-    events_approx_distinct (sketch algorithms differ across engines);
-    the test asserts the estimates bracket the exact values."""
+    across partitions with one tiny shuffle. Like events_approx_distinct,
+    raw sketch outputs aren't portable across engines, so the query emits
+    a bound assertion instead: Spark computes its deterministic KLL-style
+    approx_percentile AND the exact percentile in one aggregate and
+    checks the estimate lands within 5% (or 2.0 absolute) of exact; the
+    oracle emits the same groups/counts with literal TRUE."""
     ev = load(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+
+    def within(p: float) -> F.Column:
+        approx = F.percentile_approx(v, F.lit(p), F.lit(1000)).cast("double")
+        exact = F.percentile(v, F.lit(p))
+        return F.abs(approx - exact) <= F.greatest(
+            F.lit(2.0), F.lit(0.05) * F.abs(exact)
+        )
+
     return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", F.lit(0.5), F.lit(1000)).alias(
-            "p50_approx"
-        ),
-        F.percentile_approx("value", F.lit(0.9), F.lit(1000)).alias(
-            "p90_approx"
-        ),
         F.count(F.lit(1)).alias("n_events"),
+        within(0.5).alias("p50_within_bound"),
+        within(0.9).alias("p90_within_bound"),
     )
 
 
@@ -1772,8 +1791,17 @@ def docs_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding column
     (functions/similarity.quantize_int8): 4x memory for ANN candidate
-    storage, with per-vector max reconstruction error."""
-    return S.quantize_int8(load(spark, sf_dir, "embeddings"))
+    storage, with per-vector max reconstruction error.
+
+    The code vector is serialized with ``to_json`` in the final select:
+    the driver's canonicalizer sorts rows through pandas, which cannot
+    hash ndarray cells (round-5 driver err), so the registry contract is
+    atomic output columns only — ``[1,-3,...]`` as a string hashes
+    identically in both engines."""
+    q = S.quantize_int8(load(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id", "scale", F.to_json("qvec").alias("qvec"), "max_abs_err"
+    )
 
 
 @query("streaming_traffic_parity")

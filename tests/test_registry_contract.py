@@ -9,9 +9,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import __spark_entry__ as entry
 
-# queries that deliberately ship without an oracle (sketch outputs differ
-# across engines); everything else must be oracle-backed
-ORACLE_EXEMPT = {"events_approx_distinct", "events_approx_percentiles"}
+# Round 6: the sketch queries gained bound-assertion oracles (Spark
+# emits within-tolerance booleans, the oracle asserts literal TRUE), so
+# every registry query is now oracle-backed.
+ORACLE_EXEMPT: set[str] = set()
 
 
 def test_every_query_has_oracle_or_documented_exemption():
@@ -33,15 +34,48 @@ def test_oracles_reference_existing_queries():
 
 def test_driver_sample_window_is_fully_oracle_backed():
     """The driver verifies the first 50 registry entries; every one must
-    have an oracle except the two deliberately oracle-free sketch queries
-    (approx_distinct / approx_percentiles — sketch internals differ across
-    engines; round 5 rotates them into the window for their rows-only
-    driver check)."""
-    ORACLE_FREE = {"events_approx_distinct", "events_approx_percentiles"}
+    have an oracle (round 6: the former oracle-free sketch queries now
+    carry bound-assertion oracles)."""
     qs, osql = entry.queries(), entry.oracle_sql()
     first50 = list(qs)[:50]
-    unbacked = [n for n in first50 if n not in osql and n not in ORACLE_FREE]
+    unbacked = [n for n in first50 if n not in osql]
     assert not unbacked, f"first-50 entries without oracle: {unbacked}"
+
+
+# Streaming-parity / ingest queries execute on construction (they drain
+# a stream into a sink and return the sink read); their outputs are
+# parquet reads of atomic columns, asserted by their own tests. Excluded
+# here so the schema sweep stays lazy (analysis only, no jobs).
+_EXECUTES_ON_BUILD = {
+    "streaming_traffic_parity",
+    "streaming_dedup_parity",
+    "streaming_sliding_parity",
+    "streaming_join_parity",
+    "streaming_session_parity",
+    "streaming_enrich_parity",
+    "docs_jsonl_ingest",
+}
+
+
+def test_no_query_returns_non_atomic_columns(spark):
+    """Driver contract (round-5 lesson): the driver canonicalizer sorts
+    result rows through pandas, which cannot hash ndarray/dict cells —
+    an array- or map-typed output column is a guaranteed driver err even
+    when the local pyarrow gate passes. Every registry query must emit
+    only atomic columns (serialize vectors with to_json/concat_ws)."""
+    from dataflow_example_spark import queries as _queries
+    from tests.conftest import SF_SMOKE
+
+    offenders = []
+    for name, fn in _queries.QUERIES.items():
+        if name in _EXECUTES_ON_BUILD:
+            continue
+        df = fn(spark, SF_SMOKE)
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if t.startswith(("array", "map", "struct")):
+                offenders.append((name, f.name, t))
+    assert not offenders, f"non-atomic output columns: {offenders}"
 
 
 def test_registry_names_unique_and_stable():
