@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from .config import TrafficConfig
 from .functions import dedup as D
+from .functions import ranking as RK
 from .functions import similarity as S
 from .functions import text as T
 from .operators.traffic import extract_flow_info, traffic_pipeline
@@ -2595,25 +2596,25 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: recency (last order date), frequency
     (order count), monetary (exact-decimal total spend) per customer,
     each quartiled with ntile(4) (ties broken on custkey so the split is
-    total), composed into an 'R#F#M#' segment label. Three windows over
-    ONE customer-level aggregate — the windows run on the reduced frame,
-    never the fact table."""
-    from pyspark.sql.window import Window
-
+    total), composed into an 'R#F#M#' segment label. Three quartile
+    assignments over ONE customer-level aggregate — each computed with
+    ranking.global_ntile's two-pass range-partitioned rank (identical to
+    the ntile(4) window split, but no single-partition sort: at 100 TB
+    the customer aggregate is billions of rows, and an unpartitioned
+    Window.orderBy would plan one sort task over all of them)."""
     o = load(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(dec("o_totalprice")).cast("double").alias("monetary"),
     )
-    r_w = Window.orderBy("last_order", "o_custkey")
-    f_w = Window.orderBy("frequency", "o_custkey")
-    m_w = Window.orderBy("monetary", "o_custkey")
+    g = RK.global_ntile(
+        per_cust, ["last_order", "o_custkey"], 4, "r_quartile"
+    )
+    g = RK.global_ntile(g, ["frequency", "o_custkey"], 4, "f_quartile")
+    g = RK.global_ntile(g, ["monetary", "o_custkey"], 4, "m_quartile")
     return (
-        per_cust.withColumn("r_quartile", F.ntile(4).over(r_w))
-        .withColumn("f_quartile", F.ntile(4).over(f_w))
-        .withColumn("m_quartile", F.ntile(4).over(m_w))
-        .select(
+        g.select(
             F.col("o_custkey").alias("c_custkey"),
             "last_order",
             "frequency",
@@ -2716,14 +2717,16 @@ def part_price_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (quantile-bucketed) price histogram: ntile(10) over
     (price, partkey) — each bucket holds the same row count, bucket
     boundaries adapt to the distribution (the complement of
-    part_price_histogram's fixed-width buckets). One window over the
-    2k-row dimension, then a 10-row aggregate."""
-    from pyspark.sql.window import Window
-
-    p = load(spark, sf_dir, "part")
-    w = Window.orderBy("p_retailprice", "p_partkey")
+    part_price_histogram's fixed-width buckets). Buckets via
+    ranking.global_ntile's range-partitioned rank (same split as an
+    ntile(10) window, no single-partition sort — the part dimension is
+    billions of rows at 100 TB), then a 10-row aggregate."""
+    # project BEFORE the range pass: the persisted range frame caches
+    # its input as-is (cache blocks column pruning below it), so the
+    # cached projection must already be the 2 needed columns
+    p = load(spark, sf_dir, "part").select("p_retailprice", "p_partkey")
     return (
-        p.withColumn("bucket", F.ntile(10).over(w))
+        RK.global_ntile(p, ["p_retailprice", "p_partkey"], 10, "bucket")
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
@@ -2842,27 +2845,28 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("orders_abc_pareto")
 def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC / Pareto classification of customers by revenue: cumulative
-    share of exact-decimal spend (window running sum over the customer
-    aggregate, ordered by spend desc with custkey tie-break); class A =
-    first 80% of revenue, B = next 15%, C = tail. The share division is
-    the single double op, identical in both engines."""
-    from pyspark.sql.window import Window
-
+    share of exact-decimal spend, ordered by spend desc with custkey
+    tie-break; class A = first 80% of revenue, B = next 15%, C = tail.
+    The prefix sum runs through ranking.global_running_sum's two-pass
+    range-partitioned plan (no single-partition sort of the customer
+    aggregate); the share division is the single double op, identical
+    in both engines."""
     o = load(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(dec("o_totalprice")).alias("_rev")
     )
     total = per_cust.agg(F.sum("_rev").alias("_tot"))
-    w = (
-        Window.orderBy(F.desc("_rev"), F.asc("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running = RK.global_running_sum(
+        per_cust,
+        [F.desc("_rev"), F.asc("o_custkey")],
+        "_rev",
+        "_cum",
     )
     return (
-        per_cust.join(F.broadcast(total))
+        running.join(F.broadcast(total))
         .withColumn(
             "cum_share",
-            F.sum("_rev").over(w).cast("double")
-            / F.col("_tot").cast("double"),
+            F.col("_cum").cast("double") / F.col("_tot").cast("double"),
         )
         .select(
             F.col("o_custkey").alias("c_custkey"),
@@ -4094,17 +4098,18 @@ def orders_revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of revenue concentration across customers — the
     inequality gauge for skew dashboards. Per-customer totals first
-    (the only wide aggregate), then the rank window runs over the
-    aggregated series; G = (2*sum(i*x_i))/(n*sum(x)) - (n+1)/n with
-    exact DECIMAL sums, one final double expression."""
-    from pyspark.sql.window import Window
-
+    (the only wide aggregate), then the global rank comes from
+    ranking.global_row_number's two-pass range partitioning (no
+    single-partition sort of the customer series);
+    G = (2*sum(i*x_i))/(n*sum(x)) - (n+1)/n with exact DECIMAL sums,
+    one final double expression."""
     orders = load(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(dec("o_totalprice")).alias("_rev")
     )
-    w = Window.orderBy("_rev", "o_custkey")
-    ranked = per_cust.withColumn("_i", F.row_number().over(w))
+    ranked = RK.global_row_number(
+        per_cust, ["_rev", "o_custkey"], out_col="_i"
+    )
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("_rev").alias("sx"),
@@ -6050,27 +6055,24 @@ def docs_dup_shardability(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_lorenz_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz-curve concentration points: what share of all events the
     top 1 / 5 / 10 / 20 percent of users generate — the curve behind
-    the Gini number, read directly by capacity and abuse teams. The
-    rank window runs over per-user aggregates (bounded by user
-    cardinality, the orders_customer_gini tradeoff); thresholds are a
+    the Gini number, read directly by capacity and abuse teams. Rank
+    and cumulative count both come from ONE two-pass range-partitioned
+    prefix pass (ranking.global_running_sum over [count, 1] — no
+    single-partition sort of the per-user aggregate); thresholds are a
     constant-width explode."""
-    from pyspark.sql.window import Window
-
     ev = load(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("c")
-    )
-    w = Window.orderBy(F.desc("c"), "user_id")
+    ).withColumn("_one", F.lit(1))
     tot = per_user.agg(
         F.sum("c").alias("_t"), F.count(F.lit(1)).alias("_n")
     )
     ranked = (
-        per_user.withColumn("_r", F.row_number().over(w))
-        .withColumn(
-            "_cum",
-            F.sum("c").over(
-                w.rowsBetween(Window.unboundedPreceding, 0)
-            ),
+        RK.global_running_sum(
+            per_user,
+            [F.desc("c"), F.asc("user_id")],
+            ["_one", "c"],
+            ["_r", "_cum"],
         )
         .crossJoin(F.broadcast(tot))
     )
@@ -6086,7 +6088,7 @@ def events_lorenz_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         fan.filter(F.col("_r") == k)
         .select(
             "top_pct",
-            F.col("_r").alias("n_top_users"),
+            F.col("_r").cast("int").alias("n_top_users"),
             (
                 F.col("_cum").cast("double") / F.col("_t").cast("double")
             ).alias("event_share"),
@@ -6524,10 +6526,10 @@ def supplier_quartile_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier revenue-rank mobility: quartile (by shipped revenue) in
     1996 vs quartile in 1999, as a transition matrix — a diagonal-heavy
     matrix means a static supply base, off-diagonal churn means rank
-    volatility. Exact decimal revenue; ntile windows run over per-year
-    per-supplier aggregates (bounded by supplier cardinality)."""
-    from pyspark.sql.window import Window
-
+    volatility. Exact decimal revenue; each year's quartile assignment
+    uses ranking.global_ntile's two-pass range-partitioned rank (same
+    split as the ntile(4) window, no single-partition sort of the
+    per-supplier aggregate)."""
     li = load(spark, sf_dir, "lineitem")
 
     def year_quartile(y):
@@ -6536,10 +6538,9 @@ def supplier_quartile_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("l_suppkey")
             .agg(F.sum(dec("l_extendedprice")).alias("_rev"))
         )
-        w = Window.orderBy("_rev", "l_suppkey")
-        return rev.select(
-            "l_suppkey", F.ntile(4).over(w).alias(f"q{y}")
-        )
+        return RK.global_ntile(
+            rev, ["_rev", "l_suppkey"], 4, f"q{y}"
+        ).select("l_suppkey", f"q{y}")
     a = year_quartile(1996)
     b = year_quartile(1999)
     return (

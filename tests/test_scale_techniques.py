@@ -458,3 +458,62 @@ def test_salted_distinct_property_skewed(spark):
         assert got == {"hot": min(n_hot, 97), "cold": 5}
 
     check()
+
+
+def test_global_ranking_matches_naive_window(spark):
+    """Property: the two-pass range-partitioned rank / running sum /
+    ntile (functions/ranking.py) are bit-identical to the naive
+    unpartitioned-window versions they replace, across random data with
+    duplicates and any tile count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dataflow_example_spark.functions import ranking as RK
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-50, max_value=50),
+            min_size=1,
+            max_size=120,
+        ),
+        k=st.integers(min_value=1, max_value=7),
+    )
+    def check(vals, k):
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "id BIGINT, v BIGINT").repartition(5)
+        order = [F.asc("v"), F.asc("id")]
+        w = Window.orderBy(*order)
+        naive = {
+            r["id"]: (r["rn"], r["rs"], r["nt"])
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .withColumn(
+                "rs",
+                F.sum("v").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            .withColumn("nt", F.ntile(k).over(w))
+            .collect()
+        }
+        got_rn = {
+            r["id"]: r["rn"]
+            for r in RK.global_row_number(df, order, "rn").collect()
+        }
+        got_rs = {
+            r["id"]: r["rs"]
+            for r in RK.global_running_sum(df, order, "v", "rs").collect()
+        }
+        got_nt = {
+            r["id"]: r["nt"]
+            for r in RK.global_ntile(df, order, k, "nt").collect()
+        }
+        for i, (rn, rs, nt) in naive.items():
+            assert got_rn[i] == rn, (i, got_rn[i], rn)
+            assert got_rs[i] == rs, (i, got_rs[i], rs)
+            assert got_nt[i] == nt, (i, got_nt[i], nt)
+        RK.cleanup()
+
+    check()

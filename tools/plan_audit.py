@@ -122,17 +122,17 @@ AUDITS: dict[str, list[str]] = {
     "sim_pq_adc_topk": ["partial", "pruned:2"],
     "events_scd2_intervals": ["partial", "codegen", "no_bnl", "pruned:4"],
     "text_bigram_logprob": ["partial", "no_bnl", "pruned:2"],
-    "orders_rfm_segments": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "orders_rfm_segments": ["partial", "codegen", "no_bnl", "pruned:3", "bounded_single_partition"],
     "events_hourly_seasonality": ["partial", "codegen", "no_bnl", "pruned:2"],
     "docs_dedup_survivorship": ["no_bnl"],
     "events_resample_ffill": ["partial", "codegen", "no_bnl", "pruned:3"],
     "docs_importance_resample": ["partial", "codegen", "pruned:4"],
-    "part_price_equidepth": ["partial", "codegen", "no_bnl", "pruned:2"],
+    "part_price_equidepth": ["partial", "codegen", "no_bnl", "pruned:2", "bounded_single_partition"],
     "events_mad_outliers": ["partial", "no_bnl", "pruned:2"],
     "events_cohort_retention": ["partial", "codegen", "no_bnl", "pruned:2"],
     "events_markov_transitions": ["partial", "codegen", "no_bnl", "pruned:4"],
     # pareto's 1-row total broadcast is the allow-listed scalar shape
-    "orders_abc_pareto": ["partial", "codegen", "pruned:2"],
+    "orders_abc_pareto": ["partial", "codegen", "pruned:2", "bounded_single_partition"],
     "dedup_cluster_stats": ["no_bnl"],
     "events_funnel_step_latency": ["partial", "no_bnl", "pruned:3"],
     # JL projection: the sign matrix must broadcast (never shuffle the
@@ -189,7 +189,7 @@ AUDITS: dict[str, list[str]] = {
     "suppliers_full_nation_parts": ["broadcast", "partial", "codegen", "no_bnl"],
     "events_user_streaks": ["partial", "codegen", "no_bnl", "pruned:2"],
     "orders_revenue_yoy_growth": ["partial", "codegen", "no_bnl", "pruned:3"],
-    "orders_customer_gini": ["partial", "codegen", "no_bnl", "pruned:2"],
+    "orders_customer_gini": ["partial", "codegen", "no_bnl", "pruned:2", "bounded_single_partition"],
     "events_attribution_first_touch": ["partial", "codegen", "no_bnl", "pruned:4"],
     "docs_cross_source_dup_matrix": ["partial", "codegen", "no_bnl", "pruned:3"],
     "events_burst_detection": ["broadcast", "partial", "codegen", "no_bnl", "pruned:2"],
@@ -254,7 +254,7 @@ AUDITS: dict[str, list[str]] = {
     "events_error_pchart": ["partial", "codegen", "pruned:2"],
     "docs_dup_shardability": ["partial", "codegen", "no_bnl", "pruned:3"],
     # lorenz crossJoins the broadcast 1-row totals (allow-listed shape)
-    "events_lorenz_concentration": ["partial", "codegen", "pruned:2"],
+    "events_lorenz_concentration": ["partial", "codegen", "pruned:2", "bounded_single_partition"],
     "docs_fingerprint_collision_rate": ["partial", "codegen", "no_bnl", "pruned:2"],
     "supplier_portfolio_breadth": ["partial", "codegen", "no_bnl", "pruned:2"],
     # lift crossJoins a broadcast 1-row session total (allow-listed)
@@ -270,7 +270,7 @@ AUDITS: dict[str, list[str]] = {
     # 1-NN probe panel is a broadcast crossJoin (cosine_topk shape)
     "emb_1nn_label_consistency": ["partial", "pruned:3"],
     "orders_basket_size_trend": ["partial", "codegen", "no_bnl", "pruned:2"],
-    "supplier_quartile_mobility": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "supplier_quartile_mobility": ["partial", "codegen", "no_bnl", "pruned:3", "bounded_single_partition"],
 }
 
 
@@ -323,6 +323,29 @@ def check(name: str, plan: str, rules: list[str]) -> list[str]:
         elif rule == "range_partition":
             if "rangepartitioning" not in plan.lower():
                 fails.append("no RangePartitioning exchange in plan")
+        elif rule == "bounded_single_partition":
+            # A SinglePartition exchange is a scale-killer UNLESS it
+            # carries constant-bounded data: (a) a scalar aggregate
+            # (keys=[]) over map-side partials, or (b) the per-range-
+            # partition totals relation of the two-pass prefix-sum shape
+            # (keys=[_pid...], one row per shuffle partition). Anything
+            # else — e.g. an unpartitioned Window.orderBy sorting an
+            # entity-level aggregate — fails. This is the rule that
+            # would have flagged the round-5 global-window family.
+            for m in re.finditer(
+                r"Exchange SinglePartition[^\n]*\n([^\n]*)", plan
+            ):
+                child = m.group(1)
+                if not re.search(
+                    r"HashAggregate\(keys=\[(\]|_pid)", child
+                ) and not re.search(
+                    r"(Sort|Window) \[_pid", child
+                ):
+                    fails.append(
+                        "unbounded Exchange SinglePartition (child: "
+                        + child.strip()[:80]
+                        + ")"
+                    )
         elif rule == "codegen":
             # non-AQE plan strings mark codegen stages with "*(n)"
             if not re.search(r"\*\(\d+\)", plan):
