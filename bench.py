@@ -85,12 +85,21 @@ def main() -> None:
         and os.path.isdir(warmup_dir)
         and os.path.realpath(warmup_dir) != os.path.realpath(sf_dir)
     )
+    from dataflow_example_spark.functions.cachereg import cleanup
+
     if do_warmup:
         for name in BENCH_QUERIES:
             if name in qs:
                 qs[name](spark, warmup_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
+        # drop every sf0.001 cache entry before timing: warm-up exists to
+        # populate codegen/JIT caches (plan-dependent), not to leave
+        # tiny-data persists competing for executor memory during the
+        # timed sf0.1 runs (the r5 tumbling cold regression tracked this
+        # kind of session-state accumulation)
+        cleanup()
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     construct: dict[str, float] = {}
@@ -130,6 +139,12 @@ def main() -> None:
                 cold[name] = round(dt, 3)
             best = min(best, dt)
         timings[name] = round(best, 3)
+        # release this query's persisted frames / scratch dirs before the
+        # next query: repeat runs WITHIN a query still share its caches
+        # (the steady-state contract above), but caches never accumulate
+        # ACROSS queries
+        cleanup()
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

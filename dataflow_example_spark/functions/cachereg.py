@@ -1,0 +1,63 @@
+"""Session-lifetime resource registry (persisted frames, scratch dirs).
+
+Operators that must pin a non-deterministic intermediate (the range
+frames in ranking.py / packing.py / diagnostics.py — see
+packing.py:61-80 for why persist is load-bearing there) cannot
+unpersist inside a lazily-composed query: the cache must outlive the
+caller's materialization. Left alone, cached partitions and mkdtemp
+scratch directories accumulate for the lifetime of long sessions
+(strict gate: 238 queries; bench: 24), which is the round-5 ADVICE leak.
+
+This registry makes the cleanup explicit and centralized:
+
+- ``register_persisted(df)`` — called by any operator that persists;
+- ``register_scratch(path)`` — called for any mkdtemp the query's
+  returned DataFrame still depends on (streaming-parity sinks);
+- ``cleanup()`` — unpersists + deletes everything registered; harnesses
+  (bench.py between query groups, tools/check_oracles.py between
+  queries) call it after each result is fully materialized;
+- an ``atexit`` hook runs ``cleanup`` on interpreter exit, so even a
+  harness that never calls it does not leak scratch dirs across runs.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+
+_PERSISTED: list[DataFrame] = []
+_SCRATCH: list[str] = []
+
+
+def register_persisted(df: DataFrame) -> DataFrame:
+    _PERSISTED.append(df)
+    return df
+
+
+def register_scratch(path: str) -> str:
+    _SCRATCH.append(path)
+    return path
+
+
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp that is deleted by the next ``cleanup()`` (or at exit)."""
+    return register_scratch(tempfile.mkdtemp(prefix=prefix))
+
+
+def cleanup() -> None:
+    """Release every registered resource (best effort, idempotent)."""
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    while _SCRATCH:
+        path = _SCRATCH.pop()
+        shutil.rmtree(path, ignore_errors=True)
+
+
+atexit.register(cleanup)

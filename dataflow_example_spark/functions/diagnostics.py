@@ -40,7 +40,11 @@ def running_prefix_max(
     ranged = df.repartitionByRange(*order).withColumn(
         "_pid", F.spark_partition_id()
     )
-    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    # registered so harnesses can release it between queries (the
+    # round-5 ADVICE cache-accumulation leak); see cachereg.cleanup
+    from .cachereg import register_persisted
+
+    ranged = register_persisted(ranged.persist(StorageLevel.MEMORY_AND_DISK))
     local_w = (
         Window.partitionBy("_pid")
         .orderBy(*order)

@@ -77,7 +77,9 @@ def pack_documents(
     # any scale: one 3-column row per document, not the corpus text.
     from pyspark import StorageLevel
 
-    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+    from .cachereg import register_persisted
+
+    ranged = register_persisted(ranged.persist(StorageLevel.MEMORY_AND_DISK))
     # Local running sums: one window task per (range partition, group)
     # slice — bounded by the range partition size, never by group size.
     local_w = (

@@ -41,19 +41,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-# persisted range frames, so long-lived sessions (bench, strict gate)
-# can release them; see cleanup()
-_PERSISTED: list[DataFrame] = []
-
-
-def cleanup() -> None:
-    """Unpersist every range frame this module has cached (best effort)."""
-    while _PERSISTED:
-        df = _PERSISTED.pop()
-        try:
-            df.unpersist()
-        except Exception:
-            pass
+from .cachereg import cleanup, register_persisted  # noqa: F401 (cleanup re-exported)
 
 
 def _ranged(df: DataFrame, order_exprs: list[Column | str]) -> DataFrame:
@@ -61,9 +49,7 @@ def _ranged(df: DataFrame, order_exprs: list[Column | str]) -> DataFrame:
     ranged = df.repartitionByRange(*order_exprs).withColumn(
         "_pid", F.spark_partition_id()
     )
-    ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(ranged)
-    return ranged
+    return register_persisted(ranged.persist(StorageLevel.MEMORY_AND_DISK))
 
 
 def global_row_number(

@@ -339,5 +339,7 @@ def traffic_pipeline(
     if config.streaming and config.watermark_delay:
         lane_info = lane_info.withWatermark("event_ts", config.watermark_delay)
     elif config.cache_lane_info:
-        lane_info = lane_info.persist()
+        from ..functions.cachereg import register_persisted
+
+        lane_info = register_persisted(lane_info.persist())
     return format_maxes(max_lane_flow(lane_info, config))

@@ -25,6 +25,8 @@ from .functions import text as T
 from .operators.traffic import extract_flow_info, traffic_pipeline
 from .operators.windows import sessionize, sliding_agg, tumbling_agg
 from .sources.memory import create_strings
+from .functions.cachereg import scratch_dir
+from .streaming import drain
 from .synth import synth_traffic_lines
 from .tables import load
 
@@ -1818,12 +1820,11 @@ def streaming_traffic_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch/streaming contract, checked end-to-end by the correctness
     gate rather than only by pytest."""
     import os
-    import tempfile
 
     from .sources.injector import inject_file
     from .streaming.traffic import run_traffic_stream
 
-    base = tempfile.mkdtemp(prefix="dfx_stream_parity_")
+    base = scratch_dir("dfx_stream_parity_")
     src = os.path.join(base, "src")
     topic = os.path.join(base, "topic")
     out = os.path.join(base, "out")
@@ -1849,7 +1850,7 @@ def streaming_traffic_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         config=cfg,
         available_now=True,
     )
-    q.awaitTermination(600)
+    drain(q, 600)
     return spark.read.parquet(out)
 
 
@@ -2216,11 +2217,10 @@ def streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming dedup cannot leak nondeterminism; the oracle is the batch
     DISTINCT over the same fingerprint."""
     import os
-    import tempfile
 
     from .streaming.dedup import run_dedup_stream
 
-    base = tempfile.mkdtemp(prefix="dfx_dedup_parity_")
+    base = scratch_dir("dfx_dedup_parity_")
     topic = os.path.join(base, "topic")
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
@@ -2246,7 +2246,7 @@ def streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="1 day",
         select_cols=["content_md5", "n_chars"],
     )
-    q.awaitTermination(600)
+    drain(q, 600)
     return spark.read.parquet(out)
 
 
@@ -3035,11 +3035,10 @@ def streaming_sliding_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     event time => append mode emits exactly the windows whose end <= max
     event time, which is what the batch oracle computes."""
     import os
-    import tempfile
 
     from .streaming.events import run_sliding_stream
 
-    base = tempfile.mkdtemp(prefix="dfx_slide_parity_")
+    base = scratch_dir("dfx_slide_parity_")
     topic = os.path.join(base, "topic")
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
@@ -3050,7 +3049,7 @@ def streaming_sliding_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = run_sliding_stream(
         spark, topic, output_dir=out, checkpoint_dir=ckpt, schema=ev.schema
     )
-    q.awaitTermination(600)
+    drain(q, 600)
     return spark.read.parquet(out)
 
 
@@ -3064,11 +3063,10 @@ def streaming_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the watermark, so the sink equals the batch inequality join the
     oracle runs."""
     import os
-    import tempfile
 
     from .streaming.events import run_click_purchase_join_stream
 
-    base = tempfile.mkdtemp(prefix="dfx_join_parity_")
+    base = scratch_dir("dfx_join_parity_")
     topic = os.path.join(base, "topic")
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
@@ -3079,7 +3077,7 @@ def streaming_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = run_click_purchase_join_stream(
         spark, topic, output_dir=out, checkpoint_dir=ckpt, schema=ev.schema
     )
-    q.awaitTermination(600)
+    drain(q, 600)
     return spark.read.parquet(out)
 
 
@@ -3515,11 +3513,10 @@ def streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     islands rule, proving session_window's merge semantics equal the
     batch sessionize."""
     import os
-    import tempfile
 
     from .streaming.events import run_session_stream
 
-    base = tempfile.mkdtemp(prefix="dfx_sess_parity_")
+    base = scratch_dir("dfx_sess_parity_")
     topic = os.path.join(base, "topic")
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
@@ -3530,7 +3527,7 @@ def streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = run_session_stream(
         spark, topic, output_dir=out, checkpoint_dir=ckpt, schema=ev.schema
     )
-    q.awaitTermination(600)
+    drain(q, 600)
     return spark.read.parquet(out)
 
 
@@ -4138,11 +4135,10 @@ def streaming_enrich_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is the per-(type, tier) count/sum rollup of the enriched
     stream (compact and order-insensitive)."""
     import os
-    import tempfile
 
     from .streaming.events import run_enrich_stream
 
-    base = tempfile.mkdtemp(prefix="dfx_enrich_parity_")
+    base = scratch_dir("dfx_enrich_parity_")
     topic = os.path.join(base, "topic")
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
@@ -4164,7 +4160,7 @@ def streaming_enrich_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, topic, dim, output_dir=out, checkpoint_dir=ckpt,
         schema=ev.schema,
     )
-    q.awaitTermination(600)
+    drain(q, 600)
     enriched = spark.read.parquet(out)
     return enriched.groupBy("event_type", "tier").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -4740,7 +4736,6 @@ def docs_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes both from the clean table, proving the parse path
     loses nothing and quarantines exactly the corrupted subset."""
     import os
-    import tempfile
 
     from .sources.jsonl import read_jsonl, split_quarantine
 
@@ -4750,7 +4745,7 @@ def docs_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 97 == 0,
         F.substring(line, 1, 20),
     ).otherwise(line)
-    base = tempfile.mkdtemp(prefix="dfx_jsonl_")
+    base = scratch_dir("dfx_jsonl_")
     path = os.path.join(base, "docs.jsonl")
     docs.select(corrupted.alias("value")).write.mode("overwrite").text(path)
 

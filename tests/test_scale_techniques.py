@@ -24,6 +24,7 @@ from dataflow_example_spark.functions.layout import (
 from dataflow_example_spark.tables import load
 
 from tests.conftest import SF_SMOKE
+from dataflow_example_spark.streaming import drain
 
 
 def test_bloom_no_false_negatives(spark):
@@ -175,7 +176,7 @@ def test_streaming_session_window_matches_batch_islands(spark):
         checkpoint_dir=f"{base}/ckpt",
         schema=ev.schema,
     )
-    q.awaitTermination(300)
+    drain(q, 300)
     got = {
         (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
         for r in spark.read.parquet(f"{base}/out").collect()

@@ -23,6 +23,7 @@ SCHEMA = StructType(
     ]
 )
 OTHER = StructType([StructField("station_id", StringType())])
+from dataflow_example_spark.streaming import drain
 
 
 def test_setup_creates_then_noops(spark, tmp_path):
@@ -138,19 +139,19 @@ def test_foreach_batch_idempotent_writes(spark, tmp_path):
         for i in range(10):
             f.write(json.dumps({"k": i, "v": float(i)}) + "\n")
 
-    def drain():
+    def drain_once():
         stream = spark.readStream.schema("k LONG, v DOUBLE").json(str(src))
         q = write_batches(
             stream,
             str(tmp_path / "fb_out"),
             str(tmp_path / "fb_ck"),
         )
-        q.awaitTermination(120)
+        drain(q, 120)
 
-    drain()
+    drain_once()
     first = spark.read.parquet(str(tmp_path / "fb_out"))
     assert first.count() == 10
-    drain()  # checkpoint says: nothing new -> no rewrites, no dups
+    drain_once()  # checkpoint says: nothing new -> no rewrites, no dups
     again = spark.read.parquet(str(tmp_path / "fb_out"))
     assert again.count() == 10
     assert {r.k for r in again.collect()} == set(range(10))
@@ -205,17 +206,17 @@ def test_incremental_running_totals_view(spark, tmp_path):
             for et, v in rows:
                 f.write(_json.dumps({"event_type": et, "value": v}) + "\n")
 
-    def drain():
+    def drain_once():
         stream = spark.readStream.schema(
             "event_type STRING, value DOUBLE"
         ).json(str(src))
         q = running_totals_view(
             stream, str(tmp_path / "store"), str(tmp_path / "inc_ck")
         )
-        q.awaitTermination(120)
+        drain(q, 120)
 
     write_file("a.json", [("click", 1.0), ("click", 2.0), ("view", 5.0)])
-    drain()
+    drain_once()
     got1 = {
         r.event_type: (r.n_events, r.sum_value)
         for r in spark.read.parquet(str(tmp_path / "store/data")).collect()
@@ -223,7 +224,7 @@ def test_incremental_running_totals_view(spark, tmp_path):
     assert got1 == {"click": (2, 3.0), "view": (1, 5.0)}
 
     write_file("b.json", [("click", 10.0), ("error", 7.0)])
-    drain()  # second run picks up only the new file via the checkpoint
+    drain_once()  # second run picks up only the new file via the checkpoint
     got2 = {
         r.event_type: (r.n_events, r.sum_value)
         for r in spark.read.parquet(str(tmp_path / "store/data")).collect()

@@ -14,6 +14,7 @@ from dataflow_example_spark.streaming.stateful import (
 )
 
 SCHEMA = "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP, value DOUBLE"
+from dataflow_example_spark.streaming import drain
 
 
 def _write_jsonl(path, rows):
@@ -44,7 +45,7 @@ def _run_stream(spark, src_dir, ckpt, gap_seconds=1800, files_per_trigger=1):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q, 120)
     return spark.sql("SELECT * FROM throttled")
 
 
@@ -193,7 +194,7 @@ def test_transform_with_state_running_agg_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q, 120)
     got = {
         (r.user_id, r.event_id): (r.running_n, r.running_sum)
         for r in spark.sql("SELECT * FROM running").collect()

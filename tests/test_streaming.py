@@ -12,6 +12,7 @@ from dataflow_example_spark.operators.traffic import traffic_pipeline
 from dataflow_example_spark.sources.injector import inject_file
 from dataflow_example_spark.sources.text import read_text
 from dataflow_example_spark.streaming import run_traffic_stream
+from dataflow_example_spark.streaming import drain
 
 
 def _lane(flow, occ, speed):
@@ -73,7 +74,7 @@ def test_streaming_matches_batch_on_payload_timestamps(
         config=cfg,
         available_now=True,
     )
-    q.awaitTermination(120)
+    drain(q, 120)
 
     stream_rows = {
         tuple(r)
@@ -113,7 +114,7 @@ def test_streaming_ingest_time_mode_runs(spark, tmp_path, fixture_csv):
         config=cfg,
         available_now=True,
     )
-    q.awaitTermination(120)
+    drain(q, 120)
     out = spark.read.parquet(str(tmp_path / "out2"))
     batch = traffic_pipeline(read_text(spark, fixture_csv))
     assert [f.name for f in out.schema.fields] == [
@@ -168,7 +169,7 @@ def test_streaming_tumbling_agg_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q, 120)
     streamed = spark.sql("SELECT * FROM tumbled")
 
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
@@ -230,7 +231,7 @@ def _drain(out, tmp_path, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q, 120)
 
 
 def test_streaming_sliding_agg_matches_batch(spark, tmp_path):
@@ -354,7 +355,7 @@ def test_streaming_late_data_dropped_at_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q, 120)
     got = {
         r.window_start.strftime("%H:%M"): r.n_events
         for r in spark.sql("SELECT * FROM late").collect()
@@ -489,7 +490,7 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q, 120)
     got = {
         (r.click_id, r.burst_id)
         for r in spark.sql("SELECT click_id, burst_id FROM ssjoin").collect()
@@ -527,7 +528,7 @@ def test_streaming_dedup_first_occurrence(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q, 120)
     got = {
         r.content_md5: r.doc_id
         for r in spark.sql("SELECT * FROM dd").collect()
@@ -604,7 +605,7 @@ def test_streaming_observe_metrics_surface(spark, tmp_path, fixture_csv):
         config=TrafficConfig(streaming=True, watermark_delay="0 seconds"),
         available_now=True,
     )
-    q.awaitTermination(120)
+    drain(q, 120)
     observed = [
         p["observedMetrics"]["traffic_input"]
         for p in q.recentProgress
@@ -638,7 +639,7 @@ def test_streaming_quarantine_fork(spark, tmp_path, fixture_csv):
         quarantine_dir=str(tmp_path / "qf_quar"),
         checkpoint_dir=str(tmp_path / "qf_ck"),
     )
-    q.awaitTermination(120)
+    drain(q, 120)
 
     out = spark.read.parquet(str(tmp_path / "qf_out"))
     assert out.count() > 0  # good lines flowed through the full pipeline
@@ -693,7 +694,7 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path, fixture_csv):
     )
     # assert the drain actually finished: under heavy machine load a
     # silent timeout would read a partial sink and fail confusingly
-    assert q2.awaitTermination(300), "recovery drain timed out"
+    drain(q2, 300)
     recovered = {
         tuple(r) for r in spark.read.parquet(str(tmp_path / "rec_out")).collect()
     }
@@ -706,7 +707,7 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path, fixture_csv):
         config=cfg,
         available_now=True,
     )
-    assert q3.awaitTermination(300), "clean drain timed out"
+    drain(q3, 300)
     clean = {
         tuple(r)
         for r in spark.read.parquet(str(tmp_path / "clean_out")).collect()
@@ -732,7 +733,7 @@ def test_streaming_update_mode_tumbling(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q, 120)
     # update mode may emit several versions; keep the last per window
     final = {}
     for r in spark.sql("SELECT * FROM tumb_upd").collect():
@@ -789,7 +790,7 @@ def test_chained_stateful_aggregations_stream(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q, 120)
     got = {
         (r["w1h"]["start"], r.total, r.n_events)
         for r in spark.sql("SELECT * FROM chained2").collect()
@@ -861,7 +862,7 @@ def test_stream_join_boundaries_and_user_isolation(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
         schema=ev.schema,
     )
-    q.awaitTermination(300)
+    drain(q, 300)
     got = {
         (r.purchase_id, r.click_id)
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
@@ -890,7 +891,7 @@ def test_streaming_checkpoint_restart_no_duplicates(spark, tmp_path):
     q1 = run_sliding_stream(
         spark, topic, output_dir=out, checkpoint_dir=ckpt, schema=ev.schema
     )
-    q1.awaitTermination(300)
+    drain(q1, 300)
     n_first = spark.read.parquet(out).count()
     assert n_first > 0
 
@@ -898,7 +899,7 @@ def test_streaming_checkpoint_restart_no_duplicates(spark, tmp_path):
     q2 = run_sliding_stream(
         spark, topic, output_dir=out, checkpoint_dir=ckpt, schema=ev.schema
     )
-    q2.awaitTermination(300)
+    drain(q2, 300)
 
     got = {
         (r["window_start"], r["window_end"], r["event_type"]): (
@@ -917,7 +918,7 @@ def test_streaming_checkpoint_restart_no_duplicates(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt_ref"),
         schema=ev.schema,
     )
-    q3.awaitTermination(300)
+    drain(q3, 300)
     want = {
         (r["window_start"], r["window_end"], r["event_type"]): (
             r["n_events"],

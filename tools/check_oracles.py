@@ -155,6 +155,13 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {ex}")
             failed.append(name)
             continue
+        finally:
+            # release per-query persisted range frames / scratch dirs
+            # (238-query sessions otherwise accumulate them — the
+            # round-5 ADVICE leak)
+            from dataflow_example_spark.functions.cachereg import cleanup
+
+            cleanup()
         if name not in osql:
             print(
                 f"warn  {name}: no oracle (rows-only check) "

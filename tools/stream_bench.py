@@ -43,7 +43,7 @@ def main() -> None:
         checkpoint_dir=os.path.join(base, "ckpt"),
         schema=ev.schema,
     )
-    q.awaitTermination(600)
+    from dataflow_example_spark.streaming import drain; drain(q, 600)
     wall = time.time() - t0
     out_rows = spark.read.parquet(os.path.join(base, "out")).count()
     print(
