@@ -78,6 +78,30 @@ def test_no_query_returns_non_atomic_columns(spark):
     assert not offenders, f"non-atomic output columns: {offenders}"
 
 
+def test_plan_audit_covers_whole_registry():
+    """Every registry query carries plan-audit rules (at least codegen,
+    plus no_bnl unless its plan's BNL is a documented constant-width
+    broadcast) — except the streaming-parity/E2E queries whose physical
+    plan is just a sink read (PLAN_AUDIT_EXEMPT). This is the rule set
+    that would have flagged the round-5 unpartitioned-window family."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from tools.plan_audit import AUDITS, PLAN_AUDIT_EXEMPT
+
+    from dataflow_example_spark import queries as _queries
+
+    uncovered = [
+        n
+        for n in _queries.QUERIES
+        if n not in AUDITS and n not in PLAN_AUDIT_EXEMPT
+    ]
+    assert not uncovered, f"queries without plan-audit rules: {uncovered}"
+    for name, rules in AUDITS.items():
+        assert "codegen" in rules or "no_bnl" in rules or "partial" in rules, name
+
+
 def test_registry_names_unique_and_stable():
     qs = entry.queries()
     assert len(qs) == len(set(qs))

@@ -271,6 +271,79 @@ AUDITS: dict[str, list[str]] = {
     "emb_1nn_label_consistency": ["partial", "pruned:3"],
     "orders_basket_size_trend": ["partial", "codegen", "no_bnl", "pruned:2"],
     "supplier_quartile_mobility": ["partial", "codegen", "no_bnl", "pruned:3", "bounded_single_partition"],
+    # --- round-6 completion: every registry query (minus the 7
+    # streaming-parity/E2E queries that execute on construction, listed
+    # in PLAN_AUDIT_EXEMPT) carries at least codegen [+ no_bnl where the
+    # plan has no allow-listed constant-width broadcast crossJoin]. The 4
+    # entries without no_bnl plan a deliberate BNL: sim_cosine_topk's
+    # brute-force broadcast crossJoin baseline, sim_kmeans_assign /
+    # docs_cluster_balanced_sample's broadcast centroid fan-out, and
+    # text_salient_terms' 1-row corpus-total broadcast.
+    "starter_pipeline": ["no_bnl", "codegen"],
+    "traffic_lane_info": ["no_bnl", "codegen", "partial"],
+    "traffic_max_lane_flow_tumbling": ["no_bnl", "codegen", "partial"],
+    "events_sliding_agg": ["no_bnl", "codegen", "partial"],
+    "events_sessionize": ["no_bnl", "codegen", "partial"],
+    "events_salted_agg": ["no_bnl", "codegen", "partial"],
+    "cube_order_stats": ["no_bnl", "codegen", "partial"],
+    "events_running_sum": ["no_bnl", "codegen"],
+    "events_value_percentiles": ["no_bnl", "codegen", "partial"],
+    "events_json_props": ["no_bnl", "codegen", "partial"],
+    "q14_promo_effect": ["no_bnl", "codegen", "partial"],
+    "text_token_stats": ["no_bnl", "codegen"],
+    "text_language_id": ["no_bnl", "codegen"],
+    "text_quality_score": ["no_bnl", "codegen"],
+    "text_fingerprint": ["no_bnl", "codegen"],
+    "text_salient_terms": ["codegen", "partial"],
+    "docs_train_test_split": ["no_bnl", "codegen"],
+    "docs_stratified_sample": ["no_bnl", "codegen", "partial"],
+    "lineitem_unpivot_measures": ["no_bnl", "codegen"],
+    "part_price_histogram": ["no_bnl", "codegen", "partial"],
+    "docs_source_domains": ["no_bnl", "codegen", "partial"],
+    "nation_segments_agg": ["no_bnl", "codegen", "partial"],
+    "emb_label_centroids": ["no_bnl", "codegen", "partial"],
+    "dedup_exact": ["no_bnl", "codegen", "partial"],
+    "dedup_exact_normalized": ["no_bnl", "codegen", "partial"],
+    "dedup_clusters": ["no_bnl", "codegen"],
+    "mm_media_metadata": ["no_bnl", "codegen"],
+    "mm_frame_sample": ["no_bnl", "codegen"],
+    "mm_decode_fake": ["no_bnl", "codegen"],
+    "mm_extract_features": ["no_bnl", "codegen"],
+    "events_user_stats": ["no_bnl", "codegen", "partial"],
+    "events_approx_distinct": ["no_bnl", "codegen", "partial"],
+    "events_approx_percentiles": ["no_bnl", "codegen", "partial"],
+    "text_bpe_tokens": ["no_bnl", "codegen"],
+    "sim_cosine_topk": ["codegen"],
+    "sim_lsh_topk": ["no_bnl", "codegen"],
+    "sim_semantic_dedup_clusters": ["no_bnl", "codegen"],
+    "sim_kmeans_assign": ["codegen", "partial"],
+    "sql_interface": ["no_bnl", "codegen", "partial"],
+    "events_throttle": ["no_bnl", "codegen"],
+    "q7_volume_shipping": ["no_bnl", "codegen", "partial"],
+    "q13_customer_order_distribution": ["no_bnl", "codegen", "partial"],
+    "q18_large_volume_customers": ["no_bnl", "codegen", "partial"],
+    "distinct_order_priorities": ["no_bnl", "codegen"],
+    "set_ops_customer_cohorts": ["no_bnl", "codegen", "partial"],
+    "events_lead_lag_ntile": ["no_bnl", "codegen"],
+    "rollup_revenue": ["no_bnl", "codegen", "partial"],
+    "docs_cap_per_source": ["no_bnl", "codegen"],
+    "docs_cluster_balanced_sample": ["codegen", "partial"],
+    "tables_row_counts": ["no_bnl", "codegen", "partial"],
+}
+
+
+# streaming-parity / ingest queries execute on construction (drain a
+# stream, read the sink back) — their physical plan is a parquet scan of
+# the sink, so a static plan audit is meaningless; their scale behavior
+# is covered by the streaming tests and the correctness gate.
+PLAN_AUDIT_EXEMPT = {
+    "streaming_traffic_parity",
+    "streaming_dedup_parity",
+    "streaming_sliding_parity",
+    "streaming_join_parity",
+    "streaming_session_parity",
+    "streaming_enrich_parity",
+    "docs_jsonl_ingest",
 }
 
 
