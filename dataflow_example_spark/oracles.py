@@ -3289,14 +3289,14 @@ stats AS (
 SELECT p.event_type, p.minute, p.c,
        CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_per_min,
        (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-       / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+       / NULLIF(sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
               - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS z
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))), 0.0) AS z
 FROM per_min p JOIN stats USING (event_type)
 WHERE (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-      / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      / NULLIF(sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
              - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-               * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) > 3.0
+               * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))), 0.0) > 3.0
 """
 
 

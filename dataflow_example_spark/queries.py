@@ -4269,7 +4269,12 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean by 3 sigma (moment-based, exact integer sums until the final
     compare) — the ops alarm for traffic spikes / runaway producers.
     Two grouped aggregates; the minute series per type is bounded by
-    the time range, not event volume."""
+    the time range, not event volume. Zero-variance types (every minute
+    identical — a real outcome at small inputs) have no defined z-score
+    and by definition no burst: the z expression is NULL-guarded so
+    ANSI mode cannot raise DIVIDE_BY_ZERO (driver_probe caught this at
+    sf0.001), and the NULL z falls out of the > 3.0 filter, matching
+    the oracle's NULLIF guard."""
     ev = load(spark, sf_dir, "events")
     per_min = (
         ev.groupBy(
@@ -4288,6 +4293,7 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s2").cast("double") / F.col("n").cast("double")
         - mean * mean
     )
+    z = F.try_divide(F.col("c").cast("double") - mean, F.sqrt(var))
     return (
         per_min.join(F.broadcast(stats), "event_type")
         .select(
@@ -4295,9 +4301,7 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "minute",
             "c",
             mean.alias("mean_per_min"),
-            (
-                (F.col("c").cast("double") - mean) / F.sqrt(var)
-            ).alias("z"),
+            z.alias("z"),
         )
         .filter(F.col("z") > 3.0)
     )

@@ -1,0 +1,108 @@
+"""Scale smoke for functions/ranking.py: amplified-input exactness +
+linear-scaling check for the two-pass range-partitioned global order.
+
+Builds a per-entity aggregate ~`factor` times larger than sf0.1's
+customer series (default 10x => ~1.5M entities), then:
+
+1. runs global_row_number / global_running_sum / global_ntile on it;
+2. compares EVERY row against the naive unpartitioned-window versions
+   (still feasible at this size on one box — the point of the smoke is
+   that the scale-safe plan is bit-identical while never planning a
+   data-sized single partition);
+3. prints wall times so successive factors can be eyeballed for linear
+   growth.
+
+    python tools/scale_smoke_ranking.py [factor]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dataflow_example_spark.functions import ranking as RK
+from dataflow_example_spark.session import get_spark
+from dataflow_example_spark.tables import load
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def main() -> int:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="scale-smoke-ranking")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    o = load(spark, SF_DIR, "orders")
+    copies = [
+        o.select(
+            (F.col("o_custkey") + F.lit(i * 10_000_000)).alias("k"),
+            F.col("o_totalprice").cast("double").alias("v"),
+        )
+        for i in range(factor)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    per_entity = big.groupBy("k").agg(F.sum("v").alias("v"))
+    n = per_entity.count()
+    print(f"entities: {n} (factor {factor})")
+
+    order = [F.asc("v"), F.asc("k")]
+
+    t0 = time.time()
+    safe = (
+        RK.global_ntile(
+            RK.global_running_sum(
+                RK.global_row_number(per_entity, order, "rn"),
+                order,
+                "v",
+                "rs",
+            ),
+            order,
+            7,
+            "nt",
+        )
+    )
+    safe_rows = safe.select("k", "rn", "rs", "nt").cache()
+    n_safe = safe_rows.count()
+    t_safe = time.time() - t0
+    print(f"scale-safe pass: {n_safe} rows in {t_safe:.1f}s")
+
+    t0 = time.time()
+    w = Window.orderBy(*order)
+    naive = (
+        per_entity.withColumn("rn2", F.row_number().over(w))
+        .withColumn(
+            "rs2",
+            F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("nt2", F.ntile(7).over(w))
+    )
+    diff = (
+        safe_rows.join(naive.select("k", "rn2", "rs2", "nt2"), "k")
+        .filter(
+            (F.col("rn") != F.col("rn2"))
+            | (F.abs(F.col("rs") - F.col("rs2")) > 1e-6)
+            | (F.col("nt") != F.col("nt2"))
+        )
+        .count()
+    )
+    t_naive = time.time() - t0
+    print(f"naive single-partition pass: {t_naive:.1f}s; mismatches: {diff}")
+    RK.cleanup()
+    safe_rows.unpersist()
+    if diff:
+        print("FAIL: scale-safe != naive")
+        return 1
+    print("ok: bit-identical at amplified scale")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
