@@ -84,11 +84,19 @@ def main() -> int:
         )
         .withColumn("nt2", F.ntile(7).over(w))
     )
+    # rank and ntile must be EXACT; the double running sum is compared
+    # at 1e-9 relative — the two plans add the same values in different
+    # orders, so doubles differ in the last ulp (measured rel < 1e-12 at
+    # 150k entities). The registry queries built on global_running_sum
+    # accumulate DECIMAL, which is order-independent and hash-exact.
     diff = (
         safe_rows.join(naive.select("k", "rn2", "rs2", "nt2"), "k")
         .filter(
             (F.col("rn") != F.col("rn2"))
-            | (F.abs(F.col("rs") - F.col("rs2")) > 1e-6)
+            | (
+                F.abs(F.col("rs") - F.col("rs2"))
+                > F.lit(1e-9) * F.abs(F.col("rs2"))
+            )
             | (F.col("nt") != F.col("nt2"))
         )
         .count()
