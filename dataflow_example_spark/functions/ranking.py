@@ -154,6 +154,7 @@ def global_ntile(
     order_exprs: list[Column | str],
     n_tiles: int,
     out_col: str = "tile",
+    rank_col: str | None = None,
 ) -> DataFrame:
     """ntile(n) over a global total order — bit-identical to
     ``F.ntile(n).over(Window.orderBy(...))`` (both implement the
@@ -182,8 +183,93 @@ def global_ntile(
         )
     )
     rank = F.col("_off") + F.col("_lrn")
+    out = local.join(F.broadcast(offsets), "_pid").withColumn(
+        out_col, ntile_from_rank(rank, F.col("_n"), n_tiles)
+    )
+    if rank_col is not None:
+        out = out.withColumn(rank_col, rank.cast("bigint"))
+    return out.drop("_pid", "_lrn", "_off", "_n")
+
+
+def grouped_top_k(
+    df: DataFrame,
+    group_cols: list[str],
+    order_exprs: list[Column | str],
+    k: int,
+    salt_expr: Column,
+    rank_col: str = "rank",
+    n_salts: int = 64,
+) -> DataFrame:
+    """Exact top-k per group when groups are HOT (few groups, each a
+    large fraction of the data — nations, event types, clusters).
+
+    ``Window.partitionBy(hot_key)`` plans one sort task per group over
+    that group's entire data — a 1/|groups| scale-killer. Two-level
+    instead: (1) rank within (group, salt) — ~|group|/n_salts rows per
+    sort task — and keep local rank <= k (any row in the group's true
+    top-k has local rank <= its global rank <= k, because the local
+    order is a suborder of the same total order); (2) exact rank over
+    the <= n_salts*k survivors per group, a constant-bounded sort.
+
+    ``order_exprs`` must be a TOTAL order (unique tie-break) so that
+    row_number is deterministic. ``salt_expr`` must be a deterministic
+    expression over the row's UNIQUE key (e.g. ``F.xxhash64("custkey")``)
+    — it only spreads rows across sort tasks, so it cannot change the
+    result, but a low-cardinality salt would defeat the splitting.
+    """
+    salted = df.withColumn("_salt", F.pmod(salt_expr, F.lit(n_salts)))
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(*order_exprs)
+    survivors = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_salt", "_r1")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_exprs)
+    return survivors.withColumn(rank_col, F.row_number().over(w2)).filter(
+        F.col(rank_col) <= k
+    )
+
+
+def grouped_running_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_exprs: list[Column | str],
+    value_col: str,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """Inclusive per-group prefix sum where groups may be HOT (the
+    packing.pack_documents recipe, generalized): range-partition on
+    (group, order) so each task holds a contiguous slice of some
+    group's stream, local running sum per (partition, group) slice,
+    then per-slice totals (n_partitions x n_groups rows) prefix-scanned
+    and broadcast back. No task ever sorts more than one range
+    partition, regardless of group skew."""
+    ranged = _ranged(df, [*[F.col(g) for g in group_cols], *order_exprs])
+    local_w = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("_lsum", F.sum(value_col).over(local_w))
+    slice_w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("_pid", *group_cols)
+        .agg(F.sum(value_col).alias("_tot"))
+        .select(
+            "_pid",
+            *group_cols,
+            F.sum("_tot").over(slice_w).alias("_off"),
+        )
+    )
+    zero = F.lit(0).cast(df.schema[value_col].dataType)
     return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, ntile_from_rank(rank, F.col("_n"), n_tiles))
-        .drop("_pid", "_lrn", "_off", "_n")
+        local.join(F.broadcast(offsets), ["_pid", *group_cols])
+        .withColumn(
+            out_col, F.coalesce(F.col("_off"), zero) + F.col("_lsum")
+        )
+        .drop("_pid", "_lsum", "_off")
     )

@@ -138,23 +138,25 @@ def cap_per_group(
     contribution cap of crawl pipelines (no domain may dominate the
     corpus), engine-portable and stable across runs/cluster sizes.
 
-    One window sort per group; groups above executor-task size should
-    pre-filter with [[hash_sample]] first (cap/|group| rate) so the sort
-    input is near the cap, not the raw group.
+    A hot group (one domain dominating the crawl) would make a plain
+    per-group window one sort task over that whole group, so the cap
+    runs through ranking.grouped_top_k's salted two-level row_number:
+    local cap per (group, salt) slice, exact cap over the bounded
+    survivors — identical output at any skew.
     """
-    from pyspark.sql.window import Window
+    from .ranking import grouped_top_k
 
     order_key = F.md5(
         F.concat(F.lit(salt), F.col(key_col).cast("string"))
     )
-    w = Window.partitionBy(group_col).orderBy(
-        order_key.asc(), F.col(key_col).asc()
-    )
-    return (
-        docs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= cap)
-        .drop("_rn")
-    )
+    return grouped_top_k(
+        docs,
+        [group_col],
+        [order_key.asc(), F.col(key_col).asc()],
+        cap,
+        salt_expr=F.xxhash64(F.col(key_col)),
+        rank_col="_rn",
+    ).drop("_rn")
 
 
 def importance_resample(

@@ -1547,20 +1547,43 @@ def events_lead_lag_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lead/lag navigation plus ntile quartiles per event_type — the
     remaining analytic-window primitives (ordered by (value, event_id)
     for a total deterministic order). Restricted to signups for a
-    compact result."""
-    from pyspark.sql.window import Window
+    compact result.
 
-    ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type") == "signup"
+    After the filter, event_type is a single value, so the original
+    per-type window was ONE sort task over every signup — the global-
+    window scale-killer in disguise. Rewritten on ranking.global_ntile
+    (two-pass range-partitioned rank + tile); lead/lag become self-
+    equi-joins on rank±1 — two hash joins on a unique key instead of a
+    data-sized sort, bit-identical output."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select("event_type", "event_id", "value")
     )
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    return ev.select(
-        "event_type",
-        "event_id",
-        F.col("value").alias("v"),
-        F.lag("value").over(w).alias("prev_v"),
-        F.lead("value").over(w).alias("next_v"),
-        F.ntile(4).over(w).alias("quartile"),
+    ranked = RK.global_ntile(
+        ev,
+        [F.asc("value"), F.asc("event_id")],
+        4,
+        out_col="quartile",
+        rank_col="_rn",
+    )
+    prev = ranked.select(
+        (F.col("_rn") + 1).alias("_rn"), F.col("value").alias("prev_v")
+    )
+    nxt = ranked.select(
+        (F.col("_rn") - 1).alias("_rn"), F.col("value").alias("next_v")
+    )
+    return (
+        ranked.join(prev, "_rn", "left")
+        .join(nxt, "_rn", "left")
+        .select(
+            "event_type",
+            "event_id",
+            F.col("value").alias("v"),
+            "prev_v",
+            "next_v",
+            "quartile",
+        )
     )
 
 
@@ -1591,17 +1614,23 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("top_customers_per_nation")
 def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window function (rank within partition) — beyond-reference
-    capability (SURVEY.md §2.1: the reference has no analytic windows)."""
-    from pyspark.sql.window import Window
+    capability (SURVEY.md §2.1: the reference has no analytic windows).
 
+    25 nations over billions of customers makes c_nationkey a HOT
+    partition key — a plain per-nation window is one sort task per
+    nation over 1/25 of the table. ranking.grouped_top_k runs the same
+    deterministic row_number in two levels (local top-3 per (nation,
+    salt), exact top-3 over the <=64*3 survivors), identical output."""
     c = load(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy(
-        F.desc("c_acctbal"), F.asc("c_custkey")
-    )
-    return (
-        c.withColumn("rank_in_nation", F.row_number().over(w))
-        .filter(F.col("rank_in_nation") <= 3)
-        .select("c_nationkey", "c_custkey", "c_name", "c_acctbal", "rank_in_nation")
+    return RK.grouped_top_k(
+        c.select("c_nationkey", "c_custkey", "c_name", "c_acctbal"),
+        ["c_nationkey"],
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+        3,
+        salt_expr=F.xxhash64("c_custkey"),
+        rank_col="rank_in_nation",
+    ).select(
+        "c_nationkey", "c_custkey", "c_name", "c_acctbal", "rank_in_nation"
     )
 
 
@@ -3125,19 +3154,22 @@ def docs_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/similarity.kmeans_assign, the sim_kmeans_assign contract)
     followed by a deterministic md5-ranked quota of 5 vectors per
     cluster — semantic-diversity sampling, the embedding-space
-    complement of docs_cap_per_source's per-domain quota."""
-    from pyspark.sql.window import Window
-
+    complement of docs_cap_per_source's per-domain quota. Clusters are
+    a HOT partition key (16 clusters over the whole corpus), so the
+    quota runs through ranking.grouped_top_k's salted two-level
+    row_number instead of one sort task per cluster."""
     assign = S.kmeans_assign(load(spark, sf_dir, "embeddings"))
-    w = Window.partitionBy("cluster").orderBy(
-        F.md5(F.concat_ws(":", F.lit("cbs"), F.col("vec_id"))),
-        F.col("vec_id"),
-    )
-    return (
-        assign.withColumn("samp_rank", F.row_number().over(w))
-        .filter(F.col("samp_rank") <= 5)
-        .select("cluster", "vec_id", "samp_rank")
-    )
+    return RK.grouped_top_k(
+        assign.select("cluster", "vec_id"),
+        ["cluster"],
+        [
+            F.md5(F.concat_ws(":", F.lit("cbs"), F.col("vec_id"))),
+            F.col("vec_id"),
+        ],
+        5,
+        salt_expr=F.xxhash64("vec_id"),
+        rank_col="samp_rank",
+    ).select("cluster", "vec_id", "samp_rank")
 
 
 @query("events_point_in_time_join")
@@ -3590,21 +3622,47 @@ def orders_top_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders in the top 1% by price within their priority class:
     percent_rank + cume_dist analytics (exact rationals — (rank-1)/
     (n-1) and peers/n of integer counts, so doubles are bit-identical
-    across engines). One window per priority partition; at scale each
-    partition sorts independently."""
-    from pyspark.sql.window import Window
+    across engines).
 
+    The 5 priority classes are HOT partition keys — a per-priority
+    window is one sort task over 1/5 of all orders. Both analytics are
+    pure functions of tie-group counts, so they come from a per-
+    (priority, price) aggregate instead: cnt_le = grouped prefix sum of
+    tie-group sizes (ranking.grouped_running_sum, packing-style range
+    partitioning), rank = cnt_le - tie_size + 1, percent_rank =
+    (rank-1)/(n-1), cume_dist = cnt_le/n — the same integer rationals
+    the window functions produce, joined back to orders on the
+    (priority, price) key with a plain hash join."""
     orders = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
-    return (
-        orders.select(
+    g = orders.groupBy("o_orderpriority", "o_totalprice").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    g2 = RK.grouped_running_sum(
+        g, ["o_orderpriority"], [F.asc("o_totalprice")], "_c", "_cnt_le"
+    )
+    n_per = g.groupBy("o_orderpriority").agg(F.sum("_c").alias("_n"))
+    stats = (
+        g2.join(F.broadcast(n_per), "o_orderpriority")
+        .select(
             "o_orderpriority",
-            "o_orderkey",
             "o_totalprice",
-            F.percent_rank().over(w).alias("pct_rank"),
-            F.cume_dist().over(w).alias("cume"),
+            F.when(
+                F.col("_n") > 1,
+                (F.col("_cnt_le") - F.col("_c")).cast("double")
+                / (F.col("_n") - 1).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pct_rank"),
+            (
+                F.col("_cnt_le").cast("double") / F.col("_n").cast("double")
+            ).alias("cume"),
         )
         .filter(F.col("pct_rank") >= 0.99)
+    )
+    return orders.join(
+        stats, ["o_orderpriority", "o_totalprice"]
+    ).select(
+        "o_orderpriority", "o_orderkey", "o_totalprice", "pct_rank", "cume"
     )
 
 
@@ -4982,9 +5040,13 @@ def events_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFra
     intervals from the 30-min islands rule (attributed to their start
     day), exploded to +1/-1 boundary events, running-summed in time
     order with ends sorting BEFORE starts at ties (touching sessions
-    are not concurrent), max per day. The sweep window partitions by
-    day, so no task ever sorts more than one day's boundaries — the
-    capacity-planning number for connection-pool sizing."""
+    are not concurrent), max per day — the capacity-planning number for
+    connection-pool sizing. A single day's boundaries scale with the
+    user base (days are HOT keys), so the sweep runs through
+    ranking.grouped_running_sum's range-partitioned prefix sum instead
+    of one sort task per day; tie order within an equal (t, d) group
+    cannot change the prefix-value multiset (equal increments commute),
+    so the per-day max is identical."""
     from pyspark.sql.window import Window
 
     ev = load(spark, sf_dir, "events")
@@ -5014,10 +5076,9 @@ def events_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFra
             )
         ).alias("b"),
     ).select("day", "b.t", "b.d")
-    sweep = Window.partitionBy("day").orderBy("t", "d").rowsBetween(
-        Window.unboundedPreceding, 0
+    running = RK.grouped_running_sum(
+        bounds, ["day"], [F.asc("t"), F.asc("d")], "d", "_open"
     )
-    running = bounds.withColumn("_open", F.sum("d").over(sweep))
     return running.groupBy("day").agg(
         F.max("_open").alias("peak_concurrent")
     )

@@ -518,3 +518,101 @@ def test_global_ranking_matches_naive_window(spark):
         RK.cleanup()
 
     check()
+
+
+def test_grouped_top_k_matches_naive_window(spark):
+    """Property: salted two-level top-k equals the per-group window
+    row_number filter, across random group skew and any k."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dataflow_example_spark.functions import ranking as RK
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        groups=st.lists(
+            st.integers(min_value=0, max_value=3),
+            min_size=1,
+            max_size=100,
+        ),
+        k=st.integers(min_value=1, max_value=5),
+        n_salts=st.integers(min_value=1, max_value=8),
+    )
+    def check(groups, k, n_salts):
+        rows = [(g, i, (i * 37) % 19) for i, g in enumerate(groups)]
+        df = spark.createDataFrame(
+            rows, "g INT, id BIGINT, v BIGINT"
+        ).repartition(5)
+        order = [F.desc("v"), F.asc("id")]
+        w = Window.partitionBy("g").orderBy(*order)
+        naive = {
+            (r["g"], r["id"]): r["rk"]
+            for r in df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .collect()
+        }
+        got = {
+            (r["g"], r["id"]): r["rk"]
+            for r in RK.grouped_top_k(
+                df,
+                ["g"],
+                order,
+                k,
+                salt_expr=F.xxhash64("id"),
+                rank_col="rk",
+                n_salts=n_salts,
+            ).collect()
+        }
+        assert got == naive
+
+    check()
+
+
+def test_grouped_running_sum_matches_naive_window(spark):
+    """Property: the range-partitioned grouped prefix sum equals the
+    per-group window running sum (negatives included)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dataflow_example_spark.functions import ranking as RK
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        vals=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),
+                st.integers(min_value=-20, max_value=20),
+            ),
+            min_size=1,
+            max_size=100,
+        )
+    )
+    def check(vals):
+        rows = [(g, i, v) for i, (g, v) in enumerate(vals)]
+        df = spark.createDataFrame(
+            rows, "g INT, id BIGINT, v BIGINT"
+        ).repartition(5)
+        order = [F.asc("id")]
+        w = (
+            Window.partitionBy("g")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        naive = {
+            (r["g"], r["id"]): r["rs"]
+            for r in df.withColumn("rs", F.sum("v").over(w)).collect()
+        }
+        got = {
+            (r["g"], r["id"]): r["rs"]
+            for r in RK.grouped_running_sum(
+                df, ["g"], order, "v", "rs"
+            ).collect()
+        }
+        assert got == naive
+        RK.cleanup()
+
+    check()

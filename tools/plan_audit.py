@@ -48,7 +48,7 @@ AUDITS: dict[str, list[str]] = {
     "sim_embedding_near_dup": ["no_bnl"],
     "sim_lsh_near_dup": ["no_bnl"],
     "sim_ivf_topk": ["partial"],
-    "top_customers_per_nation": ["pruned:5", "codegen", "no_bnl"],
+    "top_customers_per_nation": ["pruned:5", "codegen", "no_bnl", "bounded_single_partition"],
     "q10_returned_items": ["broadcast", "partial", "no_bnl", "codegen"],
     "q19_disjunctive_predicates": ["broadcast", "partial", "no_bnl", "codegen"],
     "q8_market_share": ["broadcast", "partial", "no_bnl", "codegen"],
@@ -172,7 +172,7 @@ AUDITS: dict[str, list[str]] = {
     # tfidf crossJoins a broadcast 1-row corpus-size aggregate (q22
     # exception applies to the BNL it plans)
     "docs_tfidf_top_terms": ["broadcast", "partial", "codegen"],
-    "orders_top_percentile": ["codegen", "no_bnl", "pruned:3"],
+    "orders_top_percentile": ["codegen", "no_bnl", "pruned:3", "bounded_single_partition"],
     "events_dq_checks": ["partial", "codegen", "no_bnl", "pruned:5"],
     "events_snapshot_diff": ["partial", "codegen", "no_bnl", "pruned:3"],
     "events_feature_hash": ["partial", "codegen", "no_bnl", "pruned:3"],
@@ -217,7 +217,7 @@ AUDITS: dict[str, list[str]] = {
     # (constant-width fan-out, allow-listed BNL shape)
     "emb_label_separability": ["partial", "pruned:2"],
     "orders_size_distribution": ["partial", "codegen", "no_bnl", "pruned:1"],
-    "events_peak_concurrent_sessions": ["partial", "codegen", "no_bnl", "pruned:3"],
+    "events_peak_concurrent_sessions": ["partial", "codegen", "no_bnl", "pruned:3", "bounded_single_partition"],
     "docs_dq_by_source": ["partial", "codegen", "no_bnl", "pruned:4"],
     "events_dow_anova": ["partial", "codegen", "no_bnl", "pruned:3"],
     "emb_quantization_report": ["partial", "no_bnl", "pruned:3"],
@@ -324,10 +324,10 @@ AUDITS: dict[str, list[str]] = {
     "q18_large_volume_customers": ["no_bnl", "codegen", "partial"],
     "distinct_order_priorities": ["no_bnl", "codegen"],
     "set_ops_customer_cohorts": ["no_bnl", "codegen", "partial"],
-    "events_lead_lag_ntile": ["no_bnl", "codegen"],
+    "events_lead_lag_ntile": ["no_bnl", "codegen", "bounded_single_partition"],
     "rollup_revenue": ["no_bnl", "codegen", "partial"],
-    "docs_cap_per_source": ["no_bnl", "codegen"],
-    "docs_cluster_balanced_sample": ["codegen", "partial"],
+    "docs_cap_per_source": ["no_bnl", "codegen", "bounded_single_partition"],
+    "docs_cluster_balanced_sample": ["codegen", "partial", "bounded_single_partition"],
     "tables_row_counts": ["no_bnl", "codegen", "partial"],
 }
 
@@ -405,18 +405,29 @@ def check(name: str, plan: str, rules: list[str]) -> list[str]:
             # else — e.g. an unpartitioned Window.orderBy sorting an
             # entity-level aggregate — fails. This is the rule that
             # would have flagged the round-5 global-window family.
+            # The same exchange can print more than once (tree reuse /
+            # subquery references show the node again with its subtree
+            # elided), so group occurrences by plan_id and accept the
+            # exchange if ANY occurrence shows the compliant child.
+            seen: dict[str, bool] = {}
+            child_of: dict[str, str] = {}
             for m in re.finditer(
-                r"Exchange SinglePartition[^\n]*\n([^\n]*)", plan
+                r"Exchange SinglePartition[^\n]*?(\[plan_id=\d+\])?\n([^\n]*)",
+                plan,
             ):
-                child = m.group(1)
-                if not re.search(
-                    r"HashAggregate\(keys=\[(\]|_pid)", child
-                ) and not re.search(
-                    r"(Sort|Window) \[_pid", child
-                ):
+                pid = m.group(1) or f"@{m.start()}"
+                child = m.group(2)
+                ok_child = bool(
+                    re.search(r"HashAggregate\(keys=\[(\]|_pid)", child)
+                    or re.search(r"(Sort|Window) \[_pid", child)
+                )
+                seen[pid] = seen.get(pid, False) or ok_child
+                child_of.setdefault(pid, child)
+            for pid, ok_any in seen.items():
+                if not ok_any:
                     fails.append(
                         "unbounded Exchange SinglePartition (child: "
-                        + child.strip()[:80]
+                        + child_of[pid].strip()[:80]
                         + ")"
                     )
         elif rule == "codegen":
