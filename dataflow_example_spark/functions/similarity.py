@@ -532,24 +532,26 @@ def kmeans_assign(
     )
 
     def update(assigned: DataFrame) -> DataFrame:
+        # component means via numerics.fixed_point_sum: each (cluster,
+        # pos) cell holds the cluster's whole membership — the former
+        # sorted collect-fold materialized it in one buffer (OOM at
+        # 100 TB); the fixed-point sum keeps O(1) aggregation state and
+        # both engines produce the identical quantized mean
+        from .numerics import fixed_point_sum
+
         comp = assigned.select(
             "cluster", F.posexplode(F.col(vec_col)).alias("pos", "_v")
         )
         means = (
             comp.groupBy("cluster", "pos")
             .agg(
-                F.sort_array(
-                    F.collect_list(F.col("_v").cast("double"))
-                ).alias("_vs"),
+                fixed_point_sum(F.col("_v").cast("double")).alias("_s"),
                 F.count(F.lit(1)).alias("_n"),
             )
             .select(
                 "cluster",
                 "pos",
-                (
-                    F.aggregate("_vs", F.lit(0.0), lambda a, x: a + x)
-                    / F.col("_n")
-                ).alias("_m"),
+                (F.col("_s") / F.col("_n")).alias("_m"),
             )
         )
         return (
@@ -588,29 +590,29 @@ def label_centroids(
     Plan: posexplode to (label, pos, value) -> hash aggregate per
     (label, pos). Long form deliberately: downstream consumers
     (nearest-centroid assignment, drift monitoring) join on (label, pos)
-    anyway. The mean uses the pinned-fold trick (sorted components,
-    sequential double fold) so both engines produce bit-identical values —
-    float->decimal casts tie-break differently across engines on exact
-    half-digit values. Tradeoff: the fold collects each cell's components
-    into one array (cell size = N / n_labels); at extreme cardinality swap
-    to a plain double sum — same answer up to float associativity, no
-    collect — and drop the oracle to a tolerance compare.
+    anyway. The mean uses numerics.fixed_point_sum: each (label, pos)
+    cell holds that label's entire corpus slice, so the former sorted
+    collect-fold (kept through round 5 for cross-engine bit-equality)
+    was an OOM at 100 TB — the fixed-point sum is a true streaming
+    aggregate with map-side combine and is engine-exact by construction
+    (floor-quantized integer addition; see numerics.py).
     """
+    from .numerics import fixed_point_sum
+
     comp = embeddings.select(
         F.col(label_col).alias("label"),
         F.posexplode(F.col(vec_col)).alias("pos", "_v"),
     )
-    vs = F.sort_array(F.collect_list(F.col("_v").cast("double")))
     return (
         comp.groupBy("label", "pos")
-        .agg(vs.alias("_vs"), F.count(F.lit(1)).alias("n_vectors"))
+        .agg(
+            fixed_point_sum(F.col("_v").cast("double")).alias("_s"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
         .select(
             "label",
             "pos",
-            (
-                F.aggregate("_vs", F.lit(0.0), lambda a, x: a + x)
-                / F.col("n_vectors")
-            ).alias("centroid"),
+            (F.col("_s") / F.col("n_vectors")).alias("centroid"),
             "n_vectors",
         )
     )

@@ -218,6 +218,18 @@ _TOKS = (
 _TOKS_CTE = f"toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)"
 
 
+def fpsum(expr: str) -> str:
+    """Fixed-point deterministic sum (mirror of numerics.fixed_point_sum):
+    floor-quantize each double term to the 1e-12 grid, sum exactly as
+    HUGEINT, divide back — order-independent and bit-identical to the
+    Spark side, with O(1) aggregation state instead of a sorted
+    collect-fold of the whole group."""
+    return (
+        "(CAST(sum(CAST(floor((" + expr + ") * 1e12) AS HUGEINT)) "
+        "AS DOUBLE) / 1e12)"
+    )
+
+
 def _hash32_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
 
@@ -525,9 +537,10 @@ SELECT "group", doc_id, n_tokens, start_offset,
 FROM offs
 """
 
-# long-form label centroids: pinned fold (sorted components, sequential
-# double sum) mirrors functions/similarity.label_centroids bit-exactly
-ORACLES["emb_label_centroids"] = """
+# long-form label centroids: fixed-point sum (floor-quantized integer
+# addition) mirrors functions/similarity.label_centroids bit-exactly
+# with O(1) aggregation state on both sides
+ORACLES["emb_label_centroids"] = f"""
 WITH comp AS (
     SELECT label,
            CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
@@ -535,8 +548,7 @@ WITH comp AS (
     FROM embeddings
 )
 SELECT label, pos,
-       list_reduce(list_prepend(0.0, list_sort(list(v))),
-                   (acc, x) -> acc + x) / count(*) AS centroid,
+       {fpsum('v')} / count(*) AS centroid,
        count(*) AS n_vectors
 FROM comp
 GROUP BY label, pos
@@ -1264,7 +1276,7 @@ FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
 WHERE {_cosine("a.v", "bb.v")} >= 0.4
 """
 
-ORACLES["emb_center_by_label"] = """
+ORACLES["emb_center_by_label"] = f"""
 WITH comp AS (
     SELECT vec_id, label,
            CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
@@ -1273,8 +1285,7 @@ WITH comp AS (
 ),
 cent AS (
     SELECT label, pos,
-           list_reduce(list_prepend(0.0, list_sort(list(v))),
-                       (acc, x) -> acc + x) / count(*) AS centroid
+           {fpsum('v')} / count(*) AS centroid
     FROM comp GROUP BY label, pos
 )
 SELECT c.vec_id, c.label, c.pos, c.v - cent.centroid AS centered
@@ -1317,7 +1328,7 @@ SELECT id AS vec_id, min(label) AS cluster_id FROM walk GROUP BY id
 """
 
 # spherical k-means, 2 unrolled iterations mirroring similarity.kmeans_assign:
-# assign (cosine argmax, lowest cid ties) -> centroid update (pinned-fold
+# assign (cosine argmax, lowest cid ties) -> centroid update (fixed-point
 # component means, ordered assembly) -> reassign
 ORACLES["sim_kmeans_assign"] = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1338,8 +1349,7 @@ comp AS (
 ),
 m AS (
     SELECT cluster, pos,
-           list_reduce(list_prepend(0.0, list_sort(list(val))),
-                       (acc, x) -> acc + x) / count(*) AS mval
+           {fpsum('val')} / count(*) AS mval
     FROM comp GROUP BY cluster, pos
 ),
 c1n AS (SELECT cluster AS cid, list(mval ORDER BY pos) AS cv FROM m
@@ -2725,7 +2735,7 @@ SELECT event_type,
 FROM terms GROUP BY event_type
 """
 
-ORACLES["emb_norm_outliers"] = """
+ORACLES["emb_norm_outliers"] = f"""
 WITH norms AS (
     SELECT vec_id, label,
            sqrt(list_reduce(
@@ -2737,10 +2747,8 @@ WITH norms AS (
 ),
 stats AS (
     SELECT label,
-           list_reduce(list_prepend(0.0, list_sort(list(norm))),
-                       (acc, x) -> acc + x) / count(*) AS mean_norm,
-           list_reduce(list_prepend(0.0, list_sort(list(norm * norm))),
-                       (acc, x) -> acc + x) / count(*) AS m2
+           {fpsum('norm')} / count(*) AS mean_norm,
+           {fpsum('norm * norm')} / count(*) AS m2
     FROM norms GROUP BY label
 )
 SELECT vec_id, n.label, norm,
@@ -3422,7 +3430,7 @@ FROM agg
 # fixed 64-dim embeddings (TESTDATA.md); range(0, 64) instead of a
 # lateral len() because DuckDB's table-function ranges cannot see
 # lateral columns (same note as the shingles CTE)
-ORACLES["emb_dim_variance"] = """
+ORACLES["emb_dim_variance"] = f"""
 WITH exploded AS (
     SELECT CAST(i AS INTEGER) AS dim,
            CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) AS v
@@ -3430,10 +3438,8 @@ WITH exploded AS (
 ),
 stats AS (
     SELECT dim, count(*) AS n,
-           list_reduce(list_prepend(0.0, list_sort(list(v))),
-                       (acc, x) -> acc + x) / count(*) AS mean_v,
-           list_reduce(list_prepend(0.0, list_sort(list(v * v))),
-                       (acc, x) -> acc + x) / count(*) AS m2
+           {fpsum('v')} / count(*) AS mean_v,
+           {fpsum('v * v')} / count(*) AS m2
     FROM exploded GROUP BY dim
 )
 SELECT dim, n, mean_v, (m2 - mean_v * mean_v) AS var_v FROM stats
@@ -3723,8 +3729,7 @@ WITH comp AS (
 ),
 cent_long AS (
     SELECT label, pos,
-           list_reduce(list_prepend(0.0, list_sort(list(v))),
-                       (acc, x) -> acc + x) / count(*) AS centroid
+           {fpsum('v')} / count(*) AS centroid
     FROM comp GROUP BY label, pos
 ),
 cents AS (
@@ -3747,10 +3752,8 @@ per_vec AS (
 )
 SELECT label,
        count(*) AS n_vectors,
-       list_reduce(list_prepend(0.0, list_sort(list(own_cos))),
-                   (acc, x) -> acc + x) / count(*) AS mean_own_cos,
-       list_reduce(list_prepend(0.0, list_sort(list(best_other_cos))),
-                   (acc, x) -> acc + x) / count(*) AS mean_best_other_cos
+       {fpsum('own_cos')} / count(*) AS mean_own_cos,
+       {fpsum('best_other_cos')} / count(*) AS mean_best_other_cos
 FROM per_vec GROUP BY label
 """
 
@@ -3989,17 +3992,14 @@ UNION ALL SELECT 'embeddings', count(*) FROM embeddings
 """
 
 
-ORACLES["events_user_powerlaw_alpha"] = """
+ORACLES["events_user_powerlaw_alpha"] = f"""
 WITH per_user AS (
     SELECT user_id, count(*) AS x FROM events GROUP BY 1
 )
 SELECT count(*) AS n_users,
        max(x) AS max_events,
        1.0 + CAST(count(*) AS DOUBLE)
-           / list_reduce(
-                 list_prepend(0.0,
-                     list_sort(list(ln(CAST(x AS DOUBLE))))),
-                 (acc, v) -> acc + v) AS alpha
+           / {fpsum('ln(CAST(x AS DOUBLE))')} AS alpha
 FROM per_user
 """
 
@@ -4364,7 +4364,7 @@ FROM prof a JOIN prof b ON a.event_type < b.event_type
 """
 
 
-ORACLES["emb_centroid_drift"] = """
+ORACLES["emb_centroid_drift"] = f"""
 WITH comp AS (
     SELECT label,
            CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS half,
@@ -4374,8 +4374,7 @@ WITH comp AS (
 ),
 cents AS (
     SELECT label, half, pos,
-           list_reduce(list_prepend(0.0, list_sort(list(v))),
-                       (acc, x) -> acc + x) / count(*) AS m
+           {fpsum('v')} / count(*) AS m
     FROM comp GROUP BY 1, 2, 3
 ),
 j AS (

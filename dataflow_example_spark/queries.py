@@ -3309,11 +3309,14 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-hygiene gate: vectors whose L2 norm sits more than 2
     standard deviations from their label's mean norm (broken encoders
-    and zero-pads show up here first). Norms and per-label moments use
-    the pinned-fold trick (sorted sequential double folds) so both
-    engines agree bit-exactly; the per-label collect is the
-    label_centroids tradeoff — swap to plain double sums + tolerance
-    oracle at extreme label cardinality."""
+    and zero-pads show up here first). The per-VECTOR squared-norm fold
+    stays a sorted fold (64 components — constant-bounded); the
+    per-LABEL moments use numerics.fixed_point_sum, because a label's
+    group holds its whole slice of the corpus and the former sorted
+    collect-fold was an OOM at 100 TB — the fixed-point sum keeps O(1)
+    aggregation state and is engine-exact."""
+    from .functions.numerics import fixed_point_sum
+
     emb = load(spark, sf_dir, "embeddings")
     sq_fold = F.aggregate(
         F.sort_array(
@@ -3328,14 +3331,14 @@ def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = emb.select(
         "vec_id", "label", F.sqrt(sq_fold).alias("norm")
     )
-    fold = lambda c: F.aggregate(  # noqa: E731
-        F.sort_array(F.collect_list(c)), F.lit(0.0), lambda a, x: a + x
-    )
     stats = norms.groupBy("label").agg(
-        (fold(F.col("norm")) / F.count(F.lit(1))).alias("mean_norm"),
-        (fold(F.col("norm") * F.col("norm")) / F.count(F.lit(1))).alias(
-            "_m2"
+        (fixed_point_sum(F.col("norm")) / F.count(F.lit(1))).alias(
+            "mean_norm"
         ),
+        (
+            fixed_point_sum(F.col("norm") * F.col("norm"))
+            / F.count(F.lit(1))
+        ).alias("_m2"),
     )
     z = (F.col("norm") - F.col("mean_norm")) / F.sqrt(
         F.col("_m2") - F.col("mean_norm") * F.col("mean_norm")
@@ -4541,21 +4544,23 @@ def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension variance profile of the embedding space — dead or
     near-constant dimensions (broken encoder heads, zero-padding) show
     up as variance ~0 and waste index space. posexplode pivots vectors
-    to (dim, value); per-dim moments use the pinned sorted-fold so the
-    double sums are order-independent and engine-identical (the
-    label_centroids tradeoff: per-dim collect is bounded by corpus
-    rows, swap to tolerance oracles at extreme scale)."""
+    to (dim, value); per-dim moments use numerics.fixed_point_sum —
+    order-independent AND O(1) aggregation state (each dim group holds
+    the whole corpus, so the former sorted collect-fold was an OOM at
+    100 TB; the fixed-point sum is a true streaming aggregate with
+    map-side combine, engine-exact by construction)."""
+    from .functions.numerics import fixed_point_sum
+
     emb = load(spark, sf_dir, "embeddings")
     exploded = emb.select(
         F.posexplode("embedding").alias("dim", "v")
     ).select("dim", F.col("v").cast("double").alias("v"))
-    fold = lambda c: F.aggregate(  # noqa: E731
-        F.sort_array(F.collect_list(c)), F.lit(0.0), lambda a, x: a + x
-    )
     stats = exploded.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
-        (fold(F.col("v")) / F.count(F.lit(1))).alias("mean_v"),
-        (fold(F.col("v") * F.col("v")) / F.count(F.lit(1))).alias("_m2"),
+        (fixed_point_sum(F.col("v")) / F.count(F.lit(1))).alias("mean_v"),
+        (
+            fixed_point_sum(F.col("v") * F.col("v")) / F.count(F.lit(1))
+        ).alias("_m2"),
     )
     return stats.select(
         "dim",
@@ -4971,10 +4976,12 @@ def emb_label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     label, the mean cosine of members to their OWN label centroid vs
     the mean cosine to the BEST OTHER centroid — the margin says
     whether labels are actually separable before anyone trains on
-    them. Centroids come from label_centroids (pinned folds);
+    them. Centroids come from label_centroids (fixed-point sums);
     per-vector cosines fan out over the broadcast 8-row centroid
-    table; per-label means use the pinned sorted fold so both engines
-    agree bit-exactly."""
+    table; per-label means use numerics.fixed_point_sum — each label
+    group holds its whole corpus slice, so the former sorted
+    collect-fold was an OOM at 100 TB."""
+    from .functions.numerics import fixed_point_sum
     from .functions.similarity import cosine, label_centroids
 
     emb = load(spark, sf_dir, "embeddings")
@@ -5008,15 +5015,14 @@ def emb_label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "best_other_cos"
         ),
     )
-    fold = lambda c: F.aggregate(  # noqa: E731
-        F.sort_array(F.collect_list(c)), F.lit(0.0), lambda a, x: a + x
-    )
     return per_vec.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
-        (fold(F.col("own_cos")) / F.count(F.lit(1))).alias("mean_own_cos"),
-        (fold(F.col("best_other_cos")) / F.count(F.lit(1))).alias(
-            "mean_best_other_cos"
+        (fixed_point_sum(F.col("own_cos")) / F.count(F.lit(1))).alias(
+            "mean_own_cos"
         ),
+        (
+            fixed_point_sum(F.col("best_other_cos")) / F.count(F.lit(1))
+        ).alias("mean_best_other_cos"),
     )
 
 
@@ -5359,25 +5365,23 @@ def events_user_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-tail screen: the MLE power-law exponent of the events-per-
     user distribution (alpha = 1 + n / sum ln(x/xmin), xmin = 1) — says
     whether user activity is Zipf-like (a few users dominate; plan for
-    skew) or flat. The ln sum uses the pinned sorted fold over per-user
-    counts, bounded by user cardinality, not event volume."""
+    skew) or flat. The ln sum is a numerics.fixed_point_sum — the
+    former global sorted collect-fold held one ln term PER USER in a
+    single buffer (billions at 100 TB); the fixed-point sum is a
+    streaming aggregate with O(1) state, engine-exact."""
+    from .functions.numerics import fixed_point_sum
+
     ev = load(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("x")
-    )
-    fold = F.aggregate(
-        F.sort_array(
-            F.collect_list(F.log(F.col("x").cast("double")))
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
     )
     return per_user.agg(
         F.count(F.lit(1)).alias("n_users"),
         F.max("x").alias("max_events"),
         (
             F.lit(1.0)
-            + F.count(F.lit(1)).cast("double") / fold
+            + F.count(F.lit(1)).cast("double")
+            / fixed_point_sum(F.log(F.col("x").cast("double")))
         ).alias("alpha"),
     )
 
@@ -5928,8 +5932,12 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the centroid of the first half of vectors (by vec_id) and the
     second half — the validation run after an encoder swap, where
     large drift on a stable label means the new embedding space moved.
-    Pinned-fold component means and distance sum, bit-identical across
-    engines."""
+    Component means via numerics.fixed_point_sum (each (label, half,
+    pos) cell holds that label's whole corpus slice — the former sorted
+    collect-fold was an OOM at 100 TB); the final 64-term distance fold
+    stays a sorted fold (constant-bounded). Engine-exact either way."""
+    from .functions.numerics import fixed_point_sum
+
     emb = load(spark, sf_dir, "embeddings")
     half = F.when(F.col("vec_id") % 2 == 0, F.lit("a")).otherwise(
         F.lit("b")
@@ -5939,13 +5947,11 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         half.alias("half"),
         F.posexplode("embedding").alias("pos", "_v"),
     )
-    fold = F.aggregate(
-        F.sort_array(F.collect_list(F.col("_v").cast("double"))),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
     cents = comp.groupBy("label", "half", "pos").agg(
-        (fold / F.count(F.lit(1))).alias("m")
+        (
+            fixed_point_sum(F.col("_v").cast("double"))
+            / F.count(F.lit(1))
+        ).alias("m")
     )
     a = cents.filter(F.col("half") == "a").select(
         "label", "pos", F.col("m").alias("ma")
