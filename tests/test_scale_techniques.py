@@ -616,3 +616,53 @@ def test_grouped_running_sum_matches_naive_window(spark):
         RK.cleanup()
 
     check()
+
+
+def test_fixed_point_sum_deterministic_and_close(spark):
+    """Property: fixed_point_sum is partition-order independent (exact
+    integer addition), within n*1e-12 of the true sum, and matches the
+    DuckDB fpsum mirror on the same values."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from dataflow_example_spark.functions.numerics import fixed_point_sum
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        vals=st.lists(
+            st.floats(
+                min_value=-1e4,
+                max_value=1e4,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=1,
+            max_size=300,
+        )
+    )
+    def check(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "v DOUBLE")
+        s1 = (
+            df.repartition(7)
+            .agg(fixed_point_sum(F.col("v")).alias("s"))
+            .collect()[0]["s"]
+        )
+        s2 = (
+            df.repartition(2)
+            .agg(fixed_point_sum(F.col("v")).alias("s"))
+            .collect()[0]["s"]
+        )
+        assert s1 == s2  # bit-identical across partitionings
+        assert abs(s1 - sum(vals)) <= len(vals) * 1e-12 + 1e-9
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(v DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+        d = con.execute(
+            "SELECT CAST(sum(CAST(floor(v * 1e12) AS HUGEINT)) AS DOUBLE)"
+            " / 1e12 FROM t"
+        ).fetchone()[0]
+        assert s1 == d  # engine-exact
+
+    check()
