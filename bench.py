@@ -77,6 +77,10 @@ BENCH_QUERIES = [
     # range-partitioned global prefix scan
     "docs_bloom_decontaminate",
     "events_arrival_lateness",
+    # round-6 ordering primitives: three global_ntile range passes
+    # (RFM) and the grouped sweep-line prefix sum (peak sessions)
+    "orders_rfm_segments",
+    "events_peak_concurrent_sessions",
 ]
 
 # timed executions per query; the reported number is the minimum
