@@ -109,7 +109,74 @@ def main() -> int:
         print("FAIL: scale-safe != naive")
         return 1
     print("ok: bit-identical at amplified scale")
-    return 0
+    return skew_stress(spark, factor)
+
+
+def skew_stress(spark, factor: int) -> int:
+    """Pathological-skew check for the grouped primitives: ONE group
+    holds ~99% of rows (the hot-domain / hot-day shape). The naive
+    per-group window sorts the whole hot group in one task; the salted
+    top-k and range-partitioned prefix sum split it. Verified exact
+    against the naive plans at this size."""
+    from pyspark.sql.window import Window
+
+    from dataflow_example_spark.functions import ranking as RK
+
+    o = load(spark, SF_DIR, "orders")
+    copies = [
+        o.select(
+            (F.col("o_orderkey") + F.lit(i * 100_000_000)).alias("id"),
+            F.when(F.col("o_orderkey") % 100 == 0, F.col("o_custkey") % 3)
+            .otherwise(F.lit(99))
+            .alias("g"),
+            F.col("o_totalprice").cast("double").alias("v"),
+        )
+        for i in range(factor)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big = big.cache()
+    n = big.count()
+    hot = big.filter(F.col("g") == 99).count()
+    print(f"skew stress: {n} rows, hot group holds {hot} ({100*hot/n:.0f}%)")
+
+    order = [F.desc("v"), F.asc("id")]
+    t0 = time.time()
+    topk = RK.grouped_top_k(
+        big, ["g"], order, 10, salt_expr=F.xxhash64("id"), rank_col="rk"
+    )
+    got_top = {(r["g"], r["id"]): r["rk"] for r in topk.collect()}
+    t_top = time.time() - t0
+    w = Window.partitionBy("g").orderBy(*order)
+    want_top = {
+        (r["g"], r["id"]): r["rk"]
+        for r in big.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .collect()
+    }
+    ok_top = got_top == want_top
+    print(f"grouped_top_k under skew: {t_top:.1f}s, exact: {ok_top}")
+
+    t0 = time.time()
+    rs = RK.grouped_running_sum(
+        big.withColumn("one", F.lit(1)), ["g"], [F.asc("id")], "one", "rn"
+    )
+    # spot-verify: per-group max running count == group size
+    sizes_safe = {
+        r["g"]: r["m"]
+        for r in rs.groupBy("g").agg(F.max("rn").alias("m")).collect()
+    }
+    sizes_true = {
+        r["g"]: r["c"]
+        for r in big.groupBy("g").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    t_rs = time.time() - t0
+    ok_rs = sizes_safe == sizes_true
+    print(f"grouped_running_sum under skew: {t_rs:.1f}s, exact: {ok_rs}")
+    RK.cleanup()
+    big.unpersist()
+    return 0 if (ok_top and ok_rs) else 1
 
 
 if __name__ == "__main__":
