@@ -113,3 +113,28 @@ def test_registry_names_unique_and_stable():
         "traffic_max_lane_flow_tumbling",
     }
     assert core <= set(list(qs)[:50])
+
+
+def test_sample_first_names_all_exist():
+    """A typo in the rotation list would KeyError inside the driver's
+    queries() call — the worst possible failure mode (zero rows for the
+    whole round). Pin every pinned name to a real registry entry."""
+    from dataflow_example_spark import queries as _queries
+
+    missing = [n for n in entry._SAMPLE_FIRST if n not in _queries.QUERIES]
+    assert not missing, f"_SAMPLE_FIRST names not in registry: {missing}"
+    assert len(entry._SAMPLE_FIRST) == len(set(entry._SAMPLE_FIRST))
+    assert len(entry._SAMPLE_FIRST) == 50
+
+
+def test_cachereg_cleanup_releases_scratch(tmp_path):
+    """cleanup() deletes registered scratch dirs and tolerates repeats."""
+    import os
+
+    from dataflow_example_spark.functions import cachereg
+
+    d = cachereg.scratch_dir("dfx_test_")
+    assert os.path.isdir(d)
+    cachereg.cleanup()
+    assert not os.path.exists(d)
+    cachereg.cleanup()  # idempotent
