@@ -47,6 +47,42 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracles; emb_quantize_int8 serializes its code vector), then the first
 # 39 never-driver-sampled queries in registry order. Remaining tail after
 # this window: 69 queries (drained over rounds 7-8 at ~39 slots/round).
+#
+# ROUND-7 ROTATION PLAN (precomputed; assumes every round-6 window row
+# lands green — reconcile against CORRECTNESS_r06 before applying): keep
+# the 8-query core, then fill the 42 remaining slots with the first 42
+# of this registry-ordered never-sampled tail; the final 27 drain in
+# round 8: events_burst_detection, events_user_lifecycle,
+# events_trailing_hour_sum, events_multi_distinct_profile,
+# events_model_score, events_k_anonymity, events_weekend_ttest,
+# emb_dim_variance, docs_dedup_threshold_sweep,
+# events_sequence_violations, lineitem_supplier_hhi,
+# events_value_benford, events_bounce_rate, events_top_minutes_with_ties,
+# docs_vocab_growth, docs_jsonl_ingest, docs_langid_confusion,
+# sim_lsh_recall_eval, dedup_minhash_error_eval,
+# events_session_duration_histogram, emb_label_separability,
+# orders_size_distribution, events_peak_concurrent_sessions,
+# docs_dq_by_source, events_dow_anova, emb_quantization_report,
+# events_type_entropy, docs_lang_diversity, docs_char_trigram_profile,
+# events_hourly_variance_explained, tables_row_counts,
+# events_user_powerlaw_alpha, events_bot_users,
+# events_attribution_latency, docs_hash_partition_balance,
+# events_kpi_summary, lineitem_brand_price_qty_corr,
+# orders_customer_lifetime, events_transition_entropy,
+# supplier_acctbal_boxstats, orders_reorder_consistency,
+# docs_dedup_savings; then (round 8) part_type_hierarchy_stats,
+# docs_neardup_degree_distribution, events_time_to_first_purchase,
+# orders_segment_priority_mix, events_daily_drawdown,
+# docs_quality_length_matrix, lineitem_returns_by_brand,
+# events_hourly_profile_similarity, emb_centroid_drift, ri_check_report,
+# lineitem_linenumber_integrity, events_error_pchart,
+# docs_dup_shardability, events_lorenz_concentration,
+# docs_fingerprint_collision_rate, supplier_portfolio_breadth,
+# events_session_type_lift, events_churn_risk, orders_cohort_repeat,
+# events_user_icc, orders_month_seasonal_index,
+# lineitem_ship_lag_profile, events_first_session_conversion,
+# orders_status_year_matrix, emb_1nn_label_consistency,
+# orders_basket_size_trend, supplier_quartile_mobility.
 _SAMPLE_FIRST = [
     # reference core (SURVEY §2 ops 1, 5-13 + window variants)
     "starter_pipeline",
