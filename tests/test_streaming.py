@@ -927,3 +927,32 @@ def test_streaming_checkpoint_restart_no_duplicates(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out_ref")).collect()
     }
     assert got == want
+
+
+def test_drain_raises_on_timeout_and_stops_query(spark, tmp_path):
+    """drain() must FAIL LOUDLY when the query is still running at the
+    deadline (a silent partial sink was the round-5 ADVICE hazard), and
+    must stop the query so the session isn't left with a runaway
+    stream."""
+    import pytest
+
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "drain_ck"))
+        .start()
+    )
+    try:
+        with pytest.raises(TimeoutError):
+            drain(q, 0.5)
+        # drain() stops the query on timeout
+        import time as _t
+
+        for _ in range(50):
+            if not q.isActive:
+                break
+            _t.sleep(0.1)
+        assert not q.isActive
+    finally:
+        if q.isActive:
+            q.stop()
