@@ -39,52 +39,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries per
-# round. Round-6 ordering (registry FROZEN at 238 — drain the never-
-# driver-sampled tail before any growth): the SURVEY §2 reference core
-# (always first, so the judge gets a fresh driver row for every reference
-# operator each round), then the 3 round-5 non-green rows re-pinned after
-# their round-6 fixes (the sketch pair now carries bound-assertion
-# oracles; emb_quantize_int8 serializes its code vector), then the first
-# 39 never-driver-sampled queries in registry order. Remaining tail after
-# this window: 69 queries (drained over rounds 7-8 at ~39 slots/round).
-#
-# ROUND-7 ROTATION PLAN (precomputed; assumes every round-6 window row
-# lands green — reconcile against CORRECTNESS_r06 before applying): keep
-# the 8-query core, then fill the 42 remaining slots with the first 42
-# of this registry-ordered never-sampled tail; the final 27 drain in
-# round 8: events_burst_detection, events_user_lifecycle,
-# events_trailing_hour_sum, events_multi_distinct_profile,
-# events_model_score, events_k_anonymity, events_weekend_ttest,
-# emb_dim_variance, docs_dedup_threshold_sweep,
-# events_sequence_violations, lineitem_supplier_hhi,
-# events_value_benford, events_bounce_rate, events_top_minutes_with_ties,
-# docs_vocab_growth, docs_jsonl_ingest, docs_langid_confusion,
-# sim_lsh_recall_eval, dedup_minhash_error_eval,
-# events_session_duration_histogram, emb_label_separability,
-# orders_size_distribution, events_peak_concurrent_sessions,
-# docs_dq_by_source, events_dow_anova, emb_quantization_report,
-# events_type_entropy, docs_lang_diversity, docs_char_trigram_profile,
-# events_hourly_variance_explained, tables_row_counts,
-# events_user_powerlaw_alpha, events_bot_users,
-# events_attribution_latency, docs_hash_partition_balance,
-# events_kpi_summary, lineitem_brand_price_qty_corr,
-# orders_customer_lifetime, events_transition_entropy,
-# supplier_acctbal_boxstats, orders_reorder_consistency,
-# docs_dedup_savings; then (round 8) part_type_hierarchy_stats,
-# docs_neardup_degree_distribution, events_time_to_first_purchase,
-# orders_segment_priority_mix, events_daily_drawdown,
-# docs_quality_length_matrix, lineitem_returns_by_brand,
-# events_hourly_profile_similarity, emb_centroid_drift, ri_check_report,
-# lineitem_linenumber_integrity, events_error_pchart,
-# docs_dup_shardability, events_lorenz_concentration,
-# docs_fingerprint_collision_rate, supplier_portfolio_breadth,
-# events_session_type_lift, events_churn_risk, orders_cohort_repeat,
-# events_user_icc, orders_month_seasonal_index,
-# lineitem_ship_lag_profile, events_first_session_conversion,
-# orders_status_year_matrix, emb_1nn_label_consistency,
-# orders_basket_size_trend, supplier_quartile_mobility.
+# round. Round-7 ordering (registry FROZEN at 238; round-6 window landed
+# 50/50 green, CORRECTNESS_r06, so the precomputed rotation applies
+# unchanged): the SURVEY §2 reference core (always first, so the judge
+# gets a fresh driver row for every reference operator each round), then
+# the first 42 never-driver-sampled queries in registry order. After this
+# window, cumulative driver-green coverage reaches 211/238; the final 27
+# tail entries drain in round 8: part_type_hierarchy_stats,
+# docs_neardup_degree_distribution,
+# events_time_to_first_purchase,
+# orders_segment_priority_mix,
+# events_daily_drawdown,
+# docs_quality_length_matrix,
+# lineitem_returns_by_brand,
+# events_hourly_profile_similarity,
+# emb_centroid_drift,
+# ri_check_report,
+# lineitem_linenumber_integrity,
+# events_error_pchart,
+# docs_dup_shardability,
+# events_lorenz_concentration,
+# docs_fingerprint_collision_rate,
+# supplier_portfolio_breadth,
+# events_session_type_lift,
+# events_churn_risk,
+# orders_cohort_repeat,
+# events_user_icc,
+# orders_month_seasonal_index,
+# lineitem_ship_lag_profile,
+# events_first_session_conversion,
+# orders_status_year_matrix,
+# emb_1nn_label_consistency,
+# orders_basket_size_trend,
+# supplier_quartile_mobility.
 _SAMPLE_FIRST = [
-    # reference core (SURVEY §2 ops 1, 5-13 + window variants)
+    # reference core (SURVEY §2 ops 1, 5-13 + window variants; streaming
+    # ops 2-4 proved by streaming_traffic_parity: injector -> file-drop
+    # source -> watermarked tumbling agg -> parquet sink, availableNow
+    # drain vs batch oracle)
     "starter_pipeline",
     "traffic_lane_info",
     "traffic_max_lane_flow",
@@ -92,53 +84,50 @@ _SAMPLE_FIRST = [
     "events_tumbling_agg",
     "events_sliding_agg",
     "events_sessionize",
-    # streaming ops 2-4 proof (injector -> file-drop source -> watermarked
-    # tumbling agg -> parquet sink, availableNow drain vs batch oracle)
     "streaming_traffic_parity",
-    # round-5 non-green rows, re-pinned after their round-6 fixes
-    "events_approx_distinct",
-    "events_approx_percentiles",
-    "emb_quantize_int8",
-    # never driver-sampled (registry order) — round-6 rotation slots
-    "emb_random_projection",
-    "docs_incremental_dedup",
-    "events_nearest_join",
-    "streaming_sliding_parity",
-    "streaming_join_parity",
-    "events_ewma",
-    "text_substring_dup",
-    "docs_cluster_balanced_sample",
-    "events_point_in_time_join",
-    "events_rolling_active_users",
-    "events_psi_drift",
-    "emb_norm_outliers",
-    "docs_bloom_decontaminate",
-    "events_zorder_layout",
-    "orders_join_skew_report",
-    "docs_ngram_dup_rate",
-    "events_arrival_lateness",
-    "streaming_session_parity",
-    "events_salted_distinct_users",
-    "docs_tfidf_top_terms",
-    "orders_top_percentile",
-    "events_dq_checks",
-    "events_snapshot_diff",
-    "events_feature_hash",
-    "events_daily_value_quantiles",
-    "text_readability",
-    "events_chi2_independence",
-    "events_latest_per_user",
-    "events_gap_duration_stats",
-    "orders_running_total",
-    "events_daily_autocorr",
-    "lineitem_basket_pairs",
-    "suppliers_full_nation_parts",
-    "events_user_streaks",
-    "orders_revenue_yoy_growth",
-    "orders_customer_gini",
-    "streaming_enrich_parity",
-    "events_attribution_first_touch",
-    "docs_cross_source_dup_matrix",
+    # never driver-sampled (registry order) — round-7 rotation slots
+    "events_burst_detection",
+    "events_user_lifecycle",
+    "events_trailing_hour_sum",
+    "events_multi_distinct_profile",
+    "events_model_score",
+    "events_k_anonymity",
+    "events_weekend_ttest",
+    "emb_dim_variance",
+    "docs_dedup_threshold_sweep",
+    "events_sequence_violations",
+    "lineitem_supplier_hhi",
+    "events_value_benford",
+    "events_bounce_rate",
+    "events_top_minutes_with_ties",
+    "docs_vocab_growth",
+    "docs_jsonl_ingest",
+    "docs_langid_confusion",
+    "sim_lsh_recall_eval",
+    "dedup_minhash_error_eval",
+    "events_session_duration_histogram",
+    "emb_label_separability",
+    "orders_size_distribution",
+    "events_peak_concurrent_sessions",
+    "docs_dq_by_source",
+    "events_dow_anova",
+    "emb_quantization_report",
+    "events_type_entropy",
+    "docs_lang_diversity",
+    "docs_char_trigram_profile",
+    "events_hourly_variance_explained",
+    "tables_row_counts",
+    "events_user_powerlaw_alpha",
+    "events_bot_users",
+    "events_attribution_latency",
+    "docs_hash_partition_balance",
+    "events_kpi_summary",
+    "lineitem_brand_price_qty_corr",
+    "orders_customer_lifetime",
+    "events_transition_entropy",
+    "supplier_acctbal_boxstats",
+    "orders_reorder_consistency",
+    "docs_dedup_savings",
 ]
 
 
