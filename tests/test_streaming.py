@@ -680,10 +680,24 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path, fixture_csv):
     import time
 
     q = start()
-    deadline = time.time() + 60
-    while time.time() < deadline and not q.recentProgress:
-        time.sleep(0.25)
-    q.stop()  # interrupt mid-stream (some batches committed, some not)
+    # Deterministic interrupt point: wait for the FIRST batch to appear in
+    # the checkpoint's commit log, then stop. Polling q.recentProgress is
+    # racy under suite load (a progress entry exists before the commit-log
+    # write lands, so the stop could interrupt batch 0's commit and the
+    # recovered run would legitimately re-emit it) — poll the durable
+    # commits/ dir instead, which is the exactly-once ledger itself.
+    commits = tmp_path / "rec_ck" / "commits"
+    deadline = time.time() + 120
+    committed: list = []
+    while time.time() < deadline and not committed:
+        if commits.exists():
+            committed = [
+                p for p in commits.iterdir() if not p.name.startswith(".")
+            ]
+        if not committed:
+            time.sleep(0.25)
+    assert committed, "no micro-batch committed within 120s"
+    q.stop()  # interrupt AFTER a durable commit (later batches may be mid-flight)
     q2 = run_traffic_stream(
         spark,
         topic,
@@ -712,6 +726,11 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path, fixture_csv):
         tuple(r)
         for r in spark.read.parquet(str(tmp_path / "clean_out")).collect()
     }
+    if recovered != clean:
+        # Distinguish a real duplicate/loss from a race: show which side
+        # holds the extra/missing windows.
+        print("recovered-only rows:", sorted(recovered - clean)[:10])
+        print("clean-only rows:", sorted(clean - recovered)[:10])
     assert recovered == clean and recovered
 
 
