@@ -1,10 +1,13 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": sf}. `queries`/`value` are steady-state
-(min of N_RUNS executions per query); `cold_sec`/`cold_total` record each
-query's first timed execution (the rounds-1-4 single-run methodology) so
-both cold and warm numbers are visible side by side.
+COMPACT JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {5 slowest}, "cold_total": ..., "sf": sf, "detail":
+"BENCH_DETAIL.json"}. The full per-query breakdown (steady/cold/construct
+for every query) is written to BENCH_DETAIL.json beside this file — the
+driver captures only a ~2KB stdout tail, which the full dict exceeded.
+`value` is the steady-state total (min of N_RUNS executions per query);
+`cold_total` sums each query's first timed execution (the rounds-1-4
+single-run methodology) so both cold and warm numbers are visible.
 
 Each query is fully materialized with the noop writer (all partitions
 computed, nothing collected to the driver), so timings measure the engine,
@@ -168,22 +171,46 @@ def main() -> None:
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "construct_sec": construct,
+        "cold_sec": cold,
+        "cold_total": round(sum(cold.values()), 3),
+        "runs_per_query": N_RUNS,
+        "agg": "min",
+        "total_with_construct": round(total + sum(construct.values()), 3),
+        "sf": sf,
+    }
+    # Full per-query breakdown goes to a FILE; stdout gets a compact
+    # summary line. The driver captures only the last ~2KB of output, and
+    # the full breakdown (25 queries x 3 timing dicts) exceeded that in
+    # rounds 5-6, leaving BENCH_r{5,6}.json unparseable ("parsed": null).
+    # The summary keeps the driver's contract keys (metric/value/unit/
+    # queries/sf) but trims `queries` to the 5 slowest steady-state
+    # entries; everything else lives in the committed detail file.
+    detail_path = Path(__file__).resolve().parent / os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"
+    )
+    detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+    top5 = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "construct_sec": construct,
-                "cold_sec": cold,
-                "cold_total": round(sum(cold.values()), 3),
+                "queries": top5,
+                "n_queries": len(timings),
+                "cold_total": detail["cold_total"],
                 "runs_per_query": N_RUNS,
                 "agg": "min",
-                "total_with_construct": round(
-                    total + sum(construct.values()), 3
-                ),
                 "sf": sf,
+                "detail": detail_path.name,
             }
         )
     )

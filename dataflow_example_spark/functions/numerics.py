@@ -21,11 +21,16 @@ dimension, one ln term per user).
 3. divide back to double.
 
 The result differs from the true double sum by at most n * 10^-frac
-(absolute) — at frac=12, measurement noise for the statistics built on
-it — and is IDENTICAL in Spark and DuckDB, which is what the gate
-hashes. Domain requirement: |term| < ~9e6 so term * 1e12 stays inside
-the exact-integer double range before floor; all call sites sum
-ln-counts, unit-scale embedding components, or their squares.
+(absolute) for |term| < ~9e3 (= 2^53 / 1e12), where term * 1e12 stays
+inside the exact-integer double range and floor loses nothing beyond
+the grid. Between ~9e3 and ~9.2e6 (= 2^63 / 1e12, the LONG range Spark's
+``floor`` returns into) results remain deterministic and engine-
+identical — the double product rounds the same way in both engines —
+but the n * 10^-frac error bound no longer holds term-exactly. Past
+~9.2e6, Spark's floor->LONG silently wraps in non-ANSI mode while
+DuckDB's HUGEINT does not: a hard domain violation. All call sites sum
+ln-counts, unit-scale embedding components, or their squares — well
+inside the ~9e3 exact regime.
 
 DuckDB mirror (oracles.py ``fpsum``):
     CAST(sum(CAST(floor(v * 1e12) AS HUGEINT)) AS DOUBLE) / 1e12

@@ -77,7 +77,7 @@ def global_row_number(
     )
     return (
         local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("int"))
+        .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("bigint"))
         .drop("_pid", "_lrn", "_off")
     )
 

@@ -221,12 +221,21 @@ _TOKS_CTE = f"toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)"
 def fpsum(expr: str) -> str:
     """Fixed-point deterministic sum (mirror of numerics.fixed_point_sum):
     floor-quantize each double term to the 1e-12 grid, sum exactly as
-    HUGEINT, divide back — order-independent and bit-identical to the
+    integers, divide back — order-independent and bit-identical to the
     Spark side, with O(1) aggregation state instead of a sorted
-    collect-fold of the whole group."""
+    collect-fold of the whole group.
+
+    The integer sum accumulates in HUGEINT but is narrowed to BIGINT
+    before the final cast to DOUBLE: DuckDB's HUGEINT->DOUBLE cast is
+    TRUNCATING (drops low bits past 2^53, e.g. -9007601624385538 ->
+    -9007601624385536.0) while both BIGINT->DOUBLE here and Spark's
+    DECIMAL->DOUBLE round to nearest — with the truncating cast the two
+    engines diverge by 1 ulp whenever |group sum| > ~9007. The BIGINT
+    narrowing is safe under the documented numerics domain
+    (|group sum| < ~9.2e6 => |scaled sum| < 2^63)."""
     return (
-        "(CAST(sum(CAST(floor((" + expr + ") * 1e12) AS HUGEINT)) "
-        "AS DOUBLE) / 1e12)"
+        "(CAST(CAST(sum(CAST(floor((" + expr + ") * 1e12) AS HUGEINT)) "
+        "AS BIGINT) AS DOUBLE) / 1e12)"
     )
 
 

@@ -64,17 +64,25 @@ def test_no_query_returns_non_atomic_columns(spark):
     when the local pyarrow gate passes. Every registry query must emit
     only atomic columns (serialize vectors with to_json/concat_ws)."""
     from dataflow_example_spark import queries as _queries
+    from dataflow_example_spark.functions import cachereg
     from tests.conftest import SF_SMOKE
 
     offenders = []
-    for name, fn in _queries.QUERIES.items():
-        if name in _EXECUTES_ON_BUILD:
-            continue
-        df = fn(spark, SF_SMOKE)
-        for f in df.schema.fields:
-            t = f.dataType.simpleString()
-            if t.startswith(("array", "map", "struct")):
-                offenders.append((name, f.name, t))
+    try:
+        for name, fn in _queries.QUERIES.items():
+            if name in _EXECUTES_ON_BUILD:
+                continue
+            df = fn(spark, SF_SMOKE)
+            for f in df.schema.fields:
+                t = f.dataType.simpleString()
+                if t.startswith(("array", "map", "struct")):
+                    offenders.append((name, f.name, t))
+    finally:
+        # constructing ~231 queries registers hundreds of persisted
+        # frames / scratch dirs via cachereg; release them so the shared
+        # spark fixture doesn't carry them into the rest of the session
+        cachereg.cleanup()
+        spark.catalog.clearCache()
     assert not offenders, f"non-atomic output columns: {offenders}"
 
 

@@ -655,13 +655,21 @@ def test_fixed_point_sum_deterministic_and_close(spark):
             .collect()[0]["s"]
         )
         assert s1 == s2  # bit-identical across partitionings
-        assert abs(s1 - sum(vals)) <= len(vals) * 1e-12 + 1e-9
+        # error model (numerics.py docstring): 1e-12 grid error per term,
+        # plus — for |term| past ~9e3, where term*1e12 exceeds 2^53 —
+        # up to 1 ulp of representation error per term and on the sum
+        n = len(vals)
+        ulp_slack = (n + 1) * max(abs(v) for v in vals) * 2.0**-52
+        assert abs(s1 - sum(vals)) <= n * 1e-12 + ulp_slack + 1e-9
         con = duckdb.connect()
         con.execute("CREATE TABLE t(v DOUBLE)")
         con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+        # the oracles.fpsum mirror: narrow HUGEINT->BIGINT before the
+        # DOUBLE cast (DuckDB's HUGEINT->DOUBLE truncates; BIGINT->DOUBLE
+        # rounds to nearest like Spark's DECIMAL->DOUBLE)
         d = con.execute(
-            "SELECT CAST(sum(CAST(floor(v * 1e12) AS HUGEINT)) AS DOUBLE)"
-            " / 1e12 FROM t"
+            "SELECT CAST(CAST(sum(CAST(floor(v * 1e12) AS HUGEINT))"
+            " AS BIGINT) AS DOUBLE) / 1e12 FROM t"
         ).fetchone()[0]
         assert s1 == d  # engine-exact
 
