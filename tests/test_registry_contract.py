@@ -96,18 +96,24 @@ def test_plan_audit_covers_whole_registry():
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
-    from tools.plan_audit import AUDITS, PLAN_AUDIT_EXEMPT
+    from tools.plan_audit import AUDITS, BATCH_EQUIVALENTS, PLAN_AUDIT_EXEMPT
 
     from dataflow_example_spark import queries as _queries
 
     uncovered = [
         n
         for n in _queries.QUERIES
-        if n not in AUDITS and n not in PLAN_AUDIT_EXEMPT
+        if n not in AUDITS
+        and n not in BATCH_EQUIVALENTS
+        and n not in PLAN_AUDIT_EXEMPT
     ]
     assert not uncovered, f"queries without plan-audit rules: {uncovered}"
+    # round 7: every former exemption now audits its batch-leg transform
+    assert not PLAN_AUDIT_EXEMPT
     for name, rules in AUDITS.items():
         assert "codegen" in rules or "no_bnl" in rules or "partial" in rules, name
+    for name, (_, rules) in BATCH_EQUIVALENTS.items():
+        assert "codegen" in rules, name
 
 
 def test_registry_names_unique_and_stable():

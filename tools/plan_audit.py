@@ -332,18 +332,163 @@ AUDITS: dict[str, list[str]] = {
 }
 
 
-# streaming-parity / ingest queries execute on construction (drain a
-# stream, read the sink back) — their physical plan is a parquet scan of
-# the sink, so a static plan audit is meaningless; their scale behavior
-# is covered by the streaming tests and the correctness gate.
-PLAN_AUDIT_EXEMPT = {
-    "streaming_traffic_parity",
-    "streaming_dedup_parity",
-    "streaming_sliding_parity",
-    "streaming_join_parity",
-    "streaming_session_parity",
-    "streaming_enrich_parity",
-    "docs_jsonl_ingest",
+# Streaming-parity / ingest queries execute on construction (drain a
+# stream, read the sink back) — the REGISTRY callable's plan is just a
+# parquet scan of the sink. But each one's transform is a pure
+# DataFrame -> DataFrame function (SURVEY §1.4 unified model), so the
+# audit runs the SAME transform on a batch input and checks that plan:
+# the micro-batch executor plans each trigger from the same Catalyst
+# pipeline, so the batch plan is the per-batch work the stream does
+# (minus the state-store operators, whose boundedness is argued in the
+# streaming module docstrings and exercised by the parity gate rows).
+PLAN_AUDIT_EXEMPT: set[str] = set()
+
+
+def _be_traffic(spark, sf_dir):
+    from dataflow_example_spark.config import TrafficConfig
+    from dataflow_example_spark.operators.traffic import traffic_pipeline
+    from dataflow_example_spark.synth import synth_traffic_lines
+
+    cfg = TrafficConfig(window_duration_minutes=60, window_slide_minutes=60)
+    return traffic_pipeline(synth_traffic_lines(spark, sf_dir), cfg)
+
+
+def _be_dedup(spark, sf_dir):
+    # dropDuplicatesWithinWatermark rejects batch inputs outright, so
+    # the batch leg is the oracle's contract: DISTINCT over the same
+    # content fingerprint (the state-store keying the streaming op uses)
+    import pyspark.sql.functions as F
+
+    from dataflow_example_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("content_md5", F.md5(F.col("text")))
+        .select("content_md5", "n_chars")
+        .dropDuplicates(["content_md5"])
+    )
+
+
+def _be_sliding(spark, sf_dir):
+    from dataflow_example_spark.streaming.events import sliding_agg_stream
+    from dataflow_example_spark.tables import load
+
+    return sliding_agg_stream(load(spark, sf_dir, "events"))
+
+
+def _be_session(spark, sf_dir):
+    from dataflow_example_spark.streaming.events import session_agg_stream
+    from dataflow_example_spark.tables import load
+
+    return session_agg_stream(load(spark, sf_dir, "events"))
+
+
+def _be_join(spark, sf_dir):
+    # batch twin of run_click_purchase_join_stream's bucketed interval
+    # join (same bucket construction, same four-way condition)
+    import pyspark.sql.functions as F
+
+    from dataflow_example_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    interval = 1800
+    g = F.lit(interval).cast("long")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    l = purchases.withColumn(
+        "_bucket",
+        F.floor(F.unix_timestamp(F.col("purchase_ts")) / g).cast("long"),
+    )
+    b_start = F.floor(F.unix_timestamp(F.col("click_ts")) / g).cast("long")
+    b_end = F.floor(
+        (F.unix_timestamp(F.col("click_ts")) + interval) / g
+    ).cast("long")
+    r = clicks.withColumn("_bucket", F.explode(F.sequence(b_start, b_end)))
+    cond = (
+        (l["_bucket"] == r["_bucket"])
+        & (l["user_id"] == r["c_user_id"])
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr(f"INTERVAL {interval} SECONDS")
+        )
+    )
+    return l.join(r, cond).select(
+        "purchase_id", "click_id", "user_id", "purchase_ts", "click_ts",
+        "amount",
+    )
+
+
+def _be_enrich(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from dataflow_example_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(F.col("user_id") % 3 == 0, F.lit("gold"))
+            .when(F.col("user_id") % 3 == 1, F.lit("silver"))
+            .otherwise(F.lit("bronze"))
+            .alias("tier"),
+        )
+    )
+    enriched = ev.join(F.broadcast(dim), "user_id")
+    return enriched.groupBy("event_type", "tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+def _be_jsonl(spark, sf_dir):
+    # docs_jsonl_ingest minus the text-file round trip: the same in-plan
+    # serialize -> corrupt -> parse -> per-lang aggregate shape, with
+    # from_json standing in for the PERMISSIVE text-scan parse
+    import pyspark.sql.functions as F
+
+    from dataflow_example_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    line = F.to_json(F.struct("doc_id", "lang", "source", "n_chars"))
+    corrupted = F.when(
+        F.col("doc_id") % 97 == 0, F.substring(line, 1, 20)
+    ).otherwise(line)
+    parsed = docs.select(corrupted.alias("value")).select(
+        F.from_json(
+            "value",
+            "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT",
+        ).alias("j")
+    )
+    clean = parsed.filter(F.col("j.doc_id").isNotNull())
+    return clean.groupBy(F.col("j.lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# name -> (batch-leg builder, rules). Audited alongside AUDITS; the
+# contract test accepts either table as coverage.
+BATCH_EQUIVALENTS = {
+    "streaming_traffic_parity": (_be_traffic, ["no_bnl", "codegen", "partial"]),
+    "streaming_dedup_parity": (_be_dedup, ["no_bnl", "codegen"]),
+    "streaming_sliding_parity": (_be_sliding, ["no_bnl", "codegen", "partial"]),
+    "streaming_session_parity": (_be_session, ["no_bnl", "codegen"]),
+    "streaming_join_parity": (_be_join, ["no_bnl", "codegen"]),
+    "streaming_enrich_parity": (_be_enrich, ["broadcast", "no_bnl", "codegen", "partial"]),
+    "docs_jsonl_ingest": (_be_jsonl, ["no_bnl", "codegen", "partial"]),
 }
 
 
@@ -443,19 +588,26 @@ def main() -> None:
     from dataflow_example_spark import queries
     from dataflow_example_spark.session import get_spark
 
-    names = sys.argv[1:] or list(AUDITS)
+    names = sys.argv[1:] or (list(AUDITS) + list(BATCH_EQUIVALENTS))
     spark = get_spark(app_name="plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     _configure(spark)
     failed = 0
     for name in names:
-        df = queries.QUERIES[name](spark, SF_DIR)
-        fails = check(name, _plan(df), AUDITS[name])
+        if name in BATCH_EQUIVALENTS:
+            builder, rules = BATCH_EQUIVALENTS[name]
+            df = builder(spark, SF_DIR)
+            tag = " (batch leg)"
+        else:
+            df = queries.QUERIES[name](spark, SF_DIR)
+            rules = AUDITS[name]
+            tag = ""
+        fails = check(name, _plan(df), rules)
         if fails:
             failed += 1
-            print(f"FAIL  {name}: " + "; ".join(fails))
+            print(f"FAIL  {name}{tag}: " + "; ".join(fails))
         else:
-            print(f"ok    {name}")
+            print(f"ok    {name}{tag}")
     print(f"\n{len(names) - failed}/{len(names)} plans pass")
     sys.exit(1 if failed else 0)
 
