@@ -60,6 +60,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Spark 4 default, pinned so a deployment that flipped the
+        # cluster default cannot change semantics: every parse path uses
+        # try_cast/try_to_timestamp, so malformed input still degrades to
+        # NULL-and-drop rather than job failure, while genuine overflow
+        # (e.g. numerics.fixed_point_sum outside its documented domain)
+        # raises instead of silently wrapping.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
@@ -83,4 +90,5 @@ def configure_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.parquet.filterPushdown", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     return spark
