@@ -194,10 +194,12 @@ def main() -> None:
     detail_path = Path(__file__).resolve().parent / os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"
     )
-    detail_path.write_text(json.dumps(detail, indent=1) + "\n")
     top5 = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:5]
     )
+    # summary FIRST: the stdout line is the driver's only parse surface,
+    # so a detail-write failure (read-only checkout, full disk) must not
+    # discard the run
     print(
         json.dumps(
             {
@@ -212,8 +214,13 @@ def main() -> None:
                 "sf": sf,
                 "detail": detail_path.name,
             }
-        )
+        ),
+        flush=True,
     )
+    try:
+        detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+    except OSError as ex:
+        print(f"warning: could not write {detail_path}: {ex}", file=sys.stderr)
 
 
 if __name__ == "__main__":

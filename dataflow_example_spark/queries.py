@@ -4197,7 +4197,7 @@ def streaming_enrich_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream (compact and order-insensitive)."""
     import os
 
-    from .streaming.events import run_enrich_stream
+    from .streaming.events import enrich_rollup, run_enrich_stream, user_tier_dim
 
     base = scratch_dir("dfx_enrich_parity_")
     topic = os.path.join(base, "topic")
@@ -4206,27 +4206,12 @@ def streaming_enrich_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     ev.repartition(4).write.mode("overwrite").parquet(topic)
-    dim = (
-        ev.select("user_id")
-        .distinct()
-        .select(
-            "user_id",
-            F.when(F.col("user_id") % 3 == 0, F.lit("gold"))
-            .when(F.col("user_id") % 3 == 1, F.lit("silver"))
-            .otherwise(F.lit("bronze"))
-            .alias("tier"),
-        )
-    )
     q = run_enrich_stream(
-        spark, topic, dim, output_dir=out, checkpoint_dir=ckpt,
+        spark, topic, user_tier_dim(ev), output_dir=out, checkpoint_dir=ckpt,
         schema=ev.schema,
     )
     drain(q, 600)
-    enriched = spark.read.parquet(out)
-    return enriched.groupBy("event_type", "tier").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(dec("value")).cast("double").alias("sum_value"),
-    )
+    return enrich_rollup(spark.read.parquet(out))
 
 
 @query("events_attribution_first_touch")

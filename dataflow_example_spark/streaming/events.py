@@ -83,52 +83,43 @@ def run_sliding_stream(
     return writer.start()
 
 
-def run_click_purchase_join_stream(
-    spark,
-    topic_dir: str,
-    output_dir: str,
-    checkpoint_dir: str,
-    schema,
+def split_clicks_purchases(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Project the raw events relation into the (purchases, clicks) legs
+    of the attribution join — shared by the stream runner and the
+    plan-audit batch twin so the two can never drift."""
+    purchases = df.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    clicks = df.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return purchases, clicks
+
+
+def click_purchase_interval_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
     interval_seconds: int = 1800,
     watermark: str = "1 day",
-    available_now: bool = True,
-):
-    """Stream-stream attribution join: every purchase pairs with the
-    same user's clicks in the preceding ``interval_seconds``. Two reads
-    of the same topic (Spark plans them as independent sources), joined
-    by the bucketed ``stream_interval_join``. Inner matches emit without
-    waiting on the watermark, so the drained sink equals the batch
-    inequality join; the generous watermark only bounds state and is
-    irrelevant to a pre-written topic drained in one availableNow batch.
+) -> DataFrame:
+    """Bucketed interval join: every purchase pairs with the same user's
+    clicks in the preceding ``interval_seconds``. Pure transform — runs
+    on streaming legs (stream-stream join with bounded state) and batch
+    legs (withWatermark is a no-op) alike.
+
+    Same bucketed formulation as streaming.joins.stream_interval_join,
+    restated so the user-equality predicate joins under distinct column
+    names: every equality (bucket AND user) must live in the join
+    condition itself — Spark keys the stream-stream state store on the
+    extracted equi-predicates, so filtering on user AFTER the join
+    would leave state (and match fan-out) keyed on the time bucket
+    alone, all users colliding in one key.
     """
-    purchases = (
-        spark.readStream.schema(schema)
-        .parquet(topic_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            "user_id",
-            F.col("ts").alias("purchase_ts"),
-            F.col("value").alias("amount"),
-        )
-    )
-    clicks = (
-        spark.readStream.schema(schema)
-        .parquet(topic_dir)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user_id"),
-            F.col("ts").alias("click_ts"),
-        )
-    )
-    # Same bucketed formulation as streaming.joins.stream_interval_join,
-    # inlined so the user-equality predicate joins under distinct column
-    # names: every equality (bucket AND user) must live in the join
-    # condition itself — Spark keys the stream-stream state store on the
-    # extracted equi-predicates, so filtering on user AFTER the join
-    # would leave state (and match fan-out) keyed on the time bucket
-    # alone, all users colliding in one key.
     g = F.lit(interval_seconds).cast("long")
     l = purchases.withWatermark("purchase_ts", watermark).withColumn(
         "_bucket",
@@ -151,13 +142,41 @@ def run_click_purchase_join_stream(
             + F.expr(f"INTERVAL {interval_seconds} SECONDS")
         )
     )
-    out = l.join(r, cond).select(
+    return l.join(r, cond).select(
         "purchase_id",
         "click_id",
         "user_id",
         "purchase_ts",
         "click_ts",
         "amount",
+    )
+
+
+def run_click_purchase_join_stream(
+    spark,
+    topic_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema,
+    interval_seconds: int = 1800,
+    watermark: str = "1 day",
+    available_now: bool = True,
+):
+    """Stream-stream attribution join: two reads of the same topic
+    (Spark plans them as independent sources) through
+    ``click_purchase_interval_join``. Inner matches emit without
+    waiting on the watermark, so the drained sink equals the batch
+    inequality join; the generous watermark only bounds state and is
+    irrelevant to a pre-written topic drained in one availableNow batch.
+    """
+    purchases, _ = split_clicks_purchases(
+        spark.readStream.schema(schema).parquet(topic_dir)
+    )
+    _, clicks = split_clicks_purchases(
+        spark.readStream.schema(schema).parquet(topic_dir)
+    )
+    out = click_purchase_interval_join(
+        purchases, clicks, interval_seconds, watermark
     )
     writer = (
         out.writeStream.outputMode("append")
@@ -227,6 +246,38 @@ def run_session_stream(
     return writer.start()
 
 
+def user_tier_dim(df: DataFrame) -> DataFrame:
+    """Deterministic per-user tier dimension (derived from user_id) —
+    the static side of the enrichment parity query; shared by the
+    registry query and the plan-audit batch twin."""
+    return (
+        df.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(F.col("user_id") % 3 == 0, F.lit("gold"))
+            .when(F.col("user_id") % 3 == 1, F.lit("silver"))
+            .otherwise(F.lit("bronze"))
+            .alias("tier"),
+        )
+    )
+
+
+def enrich_events(stream: DataFrame, dim_df: DataFrame) -> DataFrame:
+    """Fact relation broadcast-joins the bounded dimension — pure
+    transform shared by the stream runner and the batch twin."""
+    return stream.join(F.broadcast(dim_df), "user_id")
+
+
+def enrich_rollup(enriched: DataFrame) -> DataFrame:
+    """Per-(type, tier) count/sum rollup of the enriched relation
+    (compact, order-insensitive; exact DECIMAL sum)."""
+    return enriched.groupBy("event_type", "tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    )
+
+
 def run_enrich_stream(
     spark,
     topic_dir: str,
@@ -243,9 +294,7 @@ def run_enrich_stream(
     refreshes propagate). Inner join, append mode, no watermark needed
     — stream-static joins are stateless."""
     stream = spark.readStream.schema(schema).parquet(topic_dir)
-    from pyspark.sql.functions import broadcast
-
-    out = stream.join(broadcast(dim_df), "user_id")
+    out = enrich_events(stream, dim_df)
     writer = (
         out.writeStream.outputMode("append")
         .format("parquet")

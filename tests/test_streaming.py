@@ -728,9 +728,10 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path, fixture_csv):
     }
     if recovered != clean:
         # Distinguish a real duplicate/loss from a race: show which side
-        # holds the extra/missing windows.
-        print("recovered-only rows:", sorted(recovered - clean)[:10])
-        print("clean-only rows:", sorted(clean - recovered)[:10])
+        # holds the extra/missing windows. key=repr keeps the sort total
+        # even when a differing row carries a NULL field.
+        print("recovered-only rows:", sorted(recovered - clean, key=repr)[:10])
+        print("clean-only rows:", sorted(clean - recovered, key=repr)[:10])
     assert recovered == clean and recovered
 
 

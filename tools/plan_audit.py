@@ -384,74 +384,28 @@ def _be_session(spark, sf_dir):
 
 
 def _be_join(spark, sf_dir):
-    # batch twin of run_click_purchase_join_stream's bucketed interval
-    # join (same bucket construction, same four-way condition)
-    import pyspark.sql.functions as F
-
+    # the stream runner's own transforms over a batch input — drift-proof
+    from dataflow_example_spark.streaming.events import (
+        click_purchase_interval_join,
+        split_clicks_purchases,
+    )
     from dataflow_example_spark.tables import load
 
     ev = load(spark, sf_dir, "events")
-    interval = 1800
-    g = F.lit(interval).cast("long")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        "user_id",
-        F.col("ts").alias("purchase_ts"),
-        F.col("value").alias("amount"),
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("c_user_id"),
-        F.col("ts").alias("click_ts"),
-    )
-    l = purchases.withColumn(
-        "_bucket",
-        F.floor(F.unix_timestamp(F.col("purchase_ts")) / g).cast("long"),
-    )
-    b_start = F.floor(F.unix_timestamp(F.col("click_ts")) / g).cast("long")
-    b_end = F.floor(
-        (F.unix_timestamp(F.col("click_ts")) + interval) / g
-    ).cast("long")
-    r = clicks.withColumn("_bucket", F.explode(F.sequence(b_start, b_end)))
-    cond = (
-        (l["_bucket"] == r["_bucket"])
-        & (l["user_id"] == r["c_user_id"])
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (
-            F.col("purchase_ts")
-            < F.col("click_ts") + F.expr(f"INTERVAL {interval} SECONDS")
-        )
-    )
-    return l.join(r, cond).select(
-        "purchase_id", "click_id", "user_id", "purchase_ts", "click_ts",
-        "amount",
-    )
+    purchases, clicks = split_clicks_purchases(ev)
+    return click_purchase_interval_join(purchases, clicks)
 
 
 def _be_enrich(spark, sf_dir):
-    import pyspark.sql.functions as F
-
+    from dataflow_example_spark.streaming.events import (
+        enrich_events,
+        enrich_rollup,
+        user_tier_dim,
+    )
     from dataflow_example_spark.tables import load
 
     ev = load(spark, sf_dir, "events")
-    dim = (
-        ev.select("user_id")
-        .distinct()
-        .select(
-            "user_id",
-            F.when(F.col("user_id") % 3 == 0, F.lit("gold"))
-            .when(F.col("user_id") % 3 == 1, F.lit("silver"))
-            .otherwise(F.lit("bronze"))
-            .alias("tier"),
-        )
-    )
-    enriched = ev.join(F.broadcast(dim), "user_id")
-    return enriched.groupBy("event_type", "tier").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(30,6)"))
-        .cast("double")
-        .alias("sum_value"),
-    )
+    return enrich_rollup(enrich_events(ev, user_tier_dim(ev)))
 
 
 def _be_jsonl(spark, sf_dir):
@@ -588,27 +542,34 @@ def main() -> None:
     from dataflow_example_spark import queries
     from dataflow_example_spark.session import get_spark
 
-    names = sys.argv[1:] or (list(AUDITS) + list(BATCH_EQUIVALENTS))
+    names = sys.argv[1:] or (
+        list(AUDITS) + [n for n in BATCH_EQUIVALENTS if n not in AUDITS]
+    )
     spark = get_spark(app_name="plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     _configure(spark)
+    # a name may carry BOTH a registry audit (AUDITS: the real callable's
+    # plan) and a batch-leg audit (BATCH_EQUIVALENTS: the streaming
+    # transform over a batch input) — e.g. docs_jsonl_ingest. Run both.
+    audits = 0
     failed = 0
     for name in names:
+        legs = []
+        if name in AUDITS:
+            legs.append((queries.QUERIES[name], AUDITS[name], ""))
         if name in BATCH_EQUIVALENTS:
             builder, rules = BATCH_EQUIVALENTS[name]
+            legs.append((builder, rules, " (batch leg)"))
+        for builder, rules, tag in legs:
+            audits += 1
             df = builder(spark, SF_DIR)
-            tag = " (batch leg)"
-        else:
-            df = queries.QUERIES[name](spark, SF_DIR)
-            rules = AUDITS[name]
-            tag = ""
-        fails = check(name, _plan(df), rules)
-        if fails:
-            failed += 1
-            print(f"FAIL  {name}{tag}: " + "; ".join(fails))
-        else:
-            print(f"ok    {name}{tag}")
-    print(f"\n{len(names) - failed}/{len(names)} plans pass")
+            fails = check(name, _plan(df), rules)
+            if fails:
+                failed += 1
+                print(f"FAIL  {name}{tag}: " + "; ".join(fails))
+            else:
+                print(f"ok    {name}{tag}")
+    print(f"\n{audits - failed}/{audits} plans pass")
     sys.exit(1 if failed else 0)
 
 
