@@ -107,42 +107,24 @@ def click_purchase_interval_join(
     interval_seconds: int = 1800,
     watermark: str = "1 day",
 ) -> DataFrame:
-    """Bucketed interval join: every purchase pairs with the same user's
-    clicks in the preceding ``interval_seconds``. Pure transform — runs
-    on streaming legs (stream-stream join with bounded state) and batch
-    legs (withWatermark is a no-op) alike.
+    """Every purchase pairs with the same user's clicks in the preceding
+    ``interval_seconds`` — the ONE bucketed interval join
+    (streaming.joins.stream_interval_join) with the user key named
+    differently per side, so stream runner, batch leg, and plan audit
+    all execute the same operator. Pure transform: streaming inputs get
+    a bounded-state stream-stream join, batch inputs the same plan with
+    the watermarks elided."""
+    from .joins import stream_interval_join
 
-    Same bucketed formulation as streaming.joins.stream_interval_join,
-    restated so the user-equality predicate joins under distinct column
-    names: every equality (bucket AND user) must live in the join
-    condition itself — Spark keys the stream-stream state store on the
-    extracted equi-predicates, so filtering on user AFTER the join
-    would leave state (and match fan-out) keyed on the time bucket
-    alone, all users colliding in one key.
-    """
-    g = F.lit(interval_seconds).cast("long")
-    l = purchases.withWatermark("purchase_ts", watermark).withColumn(
-        "_bucket",
-        F.floor(F.unix_timestamp(F.col("purchase_ts")) / g).cast("long"),
-    )
-    b_start = F.floor(F.unix_timestamp(F.col("click_ts")) / g).cast("long")
-    b_end = F.floor(
-        (F.unix_timestamp(F.col("click_ts")) + interval_seconds) / g
-    ).cast("long")
-    r = clicks.withWatermark("click_ts", watermark).withColumn(
-        "_bucket", F.explode(F.sequence(b_start, b_end))
-    )
-    cond = (
-        (l["_bucket"] == r["_bucket"])
-        & (l["user_id"] == r["c_user_id"])
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (
-            F.col("purchase_ts")
-            < F.col("click_ts")
-            + F.expr(f"INTERVAL {interval_seconds} SECONDS")
-        )
-    )
-    return l.join(r, cond).select(
+    return stream_interval_join(
+        purchases,
+        "purchase_ts",
+        clicks,
+        "click_ts",
+        interval_seconds=interval_seconds,
+        keys=[("user_id", "c_user_id")],
+        watermark=watermark,
+    ).select(
         "purchase_id",
         "click_id",
         "user_id",

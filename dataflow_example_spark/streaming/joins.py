@@ -27,13 +27,22 @@ def stream_interval_join(
     right_ts: str,
     interval_seconds: int = 3600,
     grain_seconds: int | None = None,
-    keys: list[str] | None = None,
+    keys: list[str | tuple[str, str]] | None = None,
     watermark: str = "0 seconds",
 ) -> DataFrame:
     """Join left rows to right rows with
     ``right_ts <= left_ts < right_ts + interval_seconds`` (and equal
-    ``keys``). Both inputs must be streaming DataFrames; watermarks are
-    applied here so the state bound is part of the operator contract.
+    ``keys``). Watermarks are applied here so the state bound is part of
+    the operator contract (on a batch input they are no-ops, so the same
+    transform serves the batch legs and the plan audit).
+
+    A ``keys`` entry is either one column name present on both sides, or
+    a ``(left_col, right_col)`` pair when the sides name the key
+    differently (the attribution join's user_id/c_user_id) — every
+    equality must live IN the join condition: Spark keys the
+    stream-stream state store on the extracted equi-predicates, so
+    filtering on a key after the join would leave state keyed on the
+    time bucket alone, all key values colliding in one entry.
     """
     keys = list(keys or [])
     g = grain_seconds or interval_seconds
@@ -59,5 +68,6 @@ def stream_interval_join(
         )
     )
     for k in keys:
-        cond = cond & (l[k] == r[k])
+        lk, rk = (k, k) if isinstance(k, str) else k
+        cond = cond & (l[lk] == r[rk])
     return l.join(r, cond).drop("_bucket")
