@@ -649,15 +649,42 @@ def test_streaming_quarantine_fork(spark, tmp_path, fixture_csv):
 
 
 def test_checkpoint_recovery_exactly_once(spark, tmp_path, fixture_csv):
-    """Kill-and-restart: stop the query after the first micro-batch,
-    restart against the same checkpoint, drain — output equals a single
-    clean run (no loss, no duplicates). The file-source offsets in the
-    checkpoint are the exactly-once contract."""
+    """Kill-and-restart: stop the query after the first micro-batch
+    commits, deliver a LATE tranche of data, restart against the same
+    checkpoint, drain — output equals a single clean run over the full
+    topic (no loss, no duplicates). The file-source offsets in the
+    checkpoint are the exactly-once contract.
+
+    Why the late tranche is part of the contract, not a convenience:
+    exactly-once covers DATA, but watermark progress is only persisted
+    when the NEXT batch's offsets are written. A stop landing between
+    ``commits/N`` and ``offsets/N+1`` loses batch N's max-event-time
+    observation, so a restart with no new data cannot advance the
+    watermark and append mode legitimately withholds the final windows
+    (verified against the offset-log metadata: ``batchWatermarkMs`` in
+    ``offsets/0`` stays 0). With post-restart data carrying the global
+    max event time — the production shape for a restarted ingest — the
+    watermark re-advances from fresh observations and the recovered
+    sink must equal the clean run exactly, at EVERY possible interrupt
+    position (before/inside/after the flush batch)."""
+    import time
+
     from dataflow_example_spark.config import TrafficConfig
     from dataflow_example_spark.streaming import run_traffic_stream
 
     topic = str(tmp_path / "rec_topic")
     inject_file(spark, fixture_csv, topic, chunks=3)
+    # late tranche: strictly later event times than every fixture row
+    # (fixture spans 10:00-10:02), injected only AFTER the interrupt
+    late_lines = ["Timestamp,header,row"]
+    for minute in (3, 4):
+        for st in ("S001", "S002"):
+            lanes = [
+                _lane(10 * i + minute, 0.25, 60.5) for i in range(1, 9)
+            ]
+            late_lines.append(_line(f"01/02/2010 10:0{minute}:00", st, lanes))
+    late_csv = tmp_path / "traffic_late.csv"
+    late_csv.write_text("\n".join(late_lines) + "\n")
     cfg = TrafficConfig(
         streaming=True,
         streaming_honor_payload_timestamp=True,
@@ -676,8 +703,6 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path, fixture_csv):
             available_now=False,
             processing_time="0 seconds",
         )
-
-    import time
 
     q = start()
     # Deterministic interrupt point: wait for the FIRST batch to appear in
@@ -698,6 +723,9 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path, fixture_csv):
             time.sleep(0.25)
     assert committed, "no micro-batch committed within 120s"
     q.stop()  # interrupt AFTER a durable commit (later batches may be mid-flight)
+    # the late tranche arrives while the query is down — on restart the
+    # watermark re-advances from these fresh observations (see docstring)
+    inject_file(spark, str(late_csv), topic, chunks=1)
     q2 = run_traffic_stream(
         spark,
         topic,
