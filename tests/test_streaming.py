@@ -498,6 +498,45 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert got and got == want
 
 
+def test_stream_interval_join_key_pairs_batch_equivalence(spark):
+    """A (left_col, right_col) keys entry equals renaming the right key
+    and joining on the shared name — pins the key-pair path the
+    attribution join (click_purchase_interval_join) relies on. Batch
+    inputs: the transform is pure, watermarks elide."""
+    import pyspark.sql.functions as F
+
+    from dataflow_example_spark.streaming.joins import stream_interval_join
+    from dataflow_example_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("l_id"),
+        "user_id",
+        F.col("ts").alias("l_ts"),
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+    )
+    paired = {
+        (r.l_id, r.r_id)
+        for r in stream_interval_join(
+            left, "l_ts", right, "r_ts",
+            interval_seconds=1800, keys=[("user_id", "r_user")],
+        ).collect()
+    }
+    renamed = {
+        (r.l_id, r.r_id)
+        for r in stream_interval_join(
+            left, "l_ts",
+            right.withColumnRenamed("r_user", "user_id"), "r_ts",
+            interval_seconds=1800, keys=["user_id"],
+        ).collect()
+    }
+    assert paired and paired == renamed
+
+
 def test_streaming_dedup_first_occurrence(spark, tmp_path):
     """dropDuplicatesWithinWatermark keeps exactly one row per content
     fingerprint; agreement with the batch exact-dedup contract (md5)."""
