@@ -239,6 +239,26 @@ def fpsum(expr: str) -> str:
     )
 
 
+def _dec_int_to_double_sql(col: str) -> str:
+    """Mirror of numerics.dec_int_to_double: nearest-double of an
+    integer-valued DECIMAL(38,0) column. DuckDB's raw int128->double
+    conversion is NOT correctly rounded (two-limb assembly; ~2% of a
+    2,928-value 54..126-bit property sweep was 1 ulp off), so compensate:
+    ``hi`` is DuckDB's own cast, the residual ``col - decimal(hi)`` is
+    EXACT (DuckDB's double->decimal is binary-exact, and the residual is
+    small enough to convert exactly), and the final IEEE addition is
+    correctly rounded — the result is nearest(col) regardless of how
+    ``hi`` rounded. The Spark side is a PLAIN cast: its scale-0
+    decimal->double is already correctly rounded, and this compensation
+    would corrupt it there (Spark's double->decimal goes through
+    Double.toString, not the exact binary value). Sweep-verified equal to
+    Python's correctly-rounded float() on both engines."""
+    return (
+        f"(CAST({col} AS DOUBLE) + CAST({col} - "
+        f"CAST(CAST({col} AS DOUBLE) AS DECIMAL(38,0)) AS DOUBLE))"
+    )
+
+
 def _hash32_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
 
@@ -1551,7 +1571,7 @@ SELECT cal.month,
 FROM cal LEFT JOIN monthly ON cal.month = monthly.month
 """
 
-ORACLES["lineitem_corr_stats"] = """
+ORACLES["lineitem_corr_stats"] = f"""
 WITH s AS (
     SELECT l_returnflag,
            count(*) AS n,
@@ -1565,18 +1585,38 @@ WITH s AS (
                * CAST(l_extendedprice AS DECIMAL(19,6))) AS sy2
     FROM lineitem GROUP BY l_returnflag
 )
+-- Cancellation in exact decimal, assembled as integer-valued parts
+-- (mirror of numerics.pearson_exact_parts: the double-first assembly
+-- failed the sf0.1 gate by ~1e-11 relative — DuckDB's nonzero-scale
+-- decimal->double cast double-rounds, Spark's rounds once, and
+-- n*sxy - sx*sy amplifies that last ulp ~4 orders of magnitude; the
+-- 10^k scale shifts below cancel algebraically in r, so every double
+-- op after the portable casts is the same IEEE op on both engines).
+, p AS (
+    SELECT l_returnflag, n,
+           CAST(CAST(
+               CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,2))
+                 - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,2))
+             AS DECIMAL(33,2)) * CAST(100 AS DECIMAL(3,0))
+             AS DECIMAL(38,0)) AS num_i,
+           CAST(
+               CAST(n AS DECIMAL(12,0)) * CAST(sx2 AS DECIMAL(19,0))
+                 - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+             AS DECIMAL(38,0)) AS den_x_i,
+           CAST(CAST(
+               CAST(n AS DECIMAL(12,0)) * CAST(sy2 AS DECIMAL(26,4))
+                 - CAST(sy AS DECIMAL(19,2)) * CAST(sy AS DECIMAL(19,2))
+             AS DECIMAL(33,4)) * CAST(10000 AS DECIMAL(5,0))
+             AS DECIMAL(38,0)) AS den_y_i
+    FROM s
+)
 SELECT l_returnflag, n,
-       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       / sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-              * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
-                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       {_dec_int_to_double_sql('num_i')}
+       / sqrt({_dec_int_to_double_sql('den_x_i')} * {_dec_int_to_double_sql('den_y_i')})
            AS corr_qty_price,
-       sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
-             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       sqrt({_dec_int_to_double_sql('den_x_i')}
             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_qty
-FROM s
+FROM p
 """
 
 ORACLES["docs_split_decontamination"] = f"""
@@ -4109,7 +4149,7 @@ FROM events
 """
 
 
-ORACLES["lineitem_brand_price_qty_corr"] = """
+ORACLES["lineitem_brand_price_qty_corr"] = f"""
 WITH s AS (
     SELECT p.p_brand,
            count(*) AS n,
@@ -4124,15 +4164,36 @@ WITH s AS (
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     GROUP BY 1
 )
+-- Cancellation in exact decimal, assembled as integer-valued parts
+-- (mirror of numerics.pearson_exact_parts: the double-first assembly
+-- failed the sf0.1 gate by ~1e-11 relative — DuckDB's nonzero-scale
+-- decimal->double cast double-rounds, Spark's rounds once, and
+-- n*sxy - sx*sy amplifies that last ulp ~4 orders of magnitude; the
+-- 10^k scale shifts below cancel algebraically in r, so every double
+-- op after the portable casts is the same IEEE op on both engines).
+, p AS (
+    SELECT p_brand, n,
+           CAST(CAST(
+               CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,2))
+                 - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,2))
+             AS DECIMAL(33,2)) * CAST(100 AS DECIMAL(3,0))
+             AS DECIMAL(38,0)) AS num_i,
+           CAST(
+               CAST(n AS DECIMAL(12,0)) * CAST(sxx AS DECIMAL(19,0))
+                 - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+             AS DECIMAL(38,0)) AS den_x_i,
+           CAST(CAST(
+               CAST(n AS DECIMAL(12,0)) * CAST(syy AS DECIMAL(26,4))
+                 - CAST(sy AS DECIMAL(19,2)) * CAST(sy AS DECIMAL(19,2))
+             AS DECIMAL(33,4)) * CAST(10000 AS DECIMAL(5,0))
+             AS DECIMAL(38,0)) AS den_y_i
+    FROM s
+)
 SELECT p_brand, n,
-       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       {_dec_int_to_double_sql('num_i')}
+       / sqrt({_dec_int_to_double_sql('den_x_i')} * {_dec_int_to_double_sql('den_y_i')})
            AS corr_qty_price
-FROM s
+FROM p
 """
 
 

@@ -1714,17 +1714,24 @@ def lineitem_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x * x).alias("_sx2"),
         F.sum(y * y).alias("_sy2"),
     )
+    # Cancellation in exact decimal (numerics.pearson_exact_parts); only
+    # the compact integer parts reach double, via the portable
+    # nearest-double conversion, so DuckDB's double-rounding
+    # wide-decimal->double cast can no longer be amplified into the
+    # 12th significant digit at large scale factors.
+    from .functions.numerics import dec_int_to_double, pearson_exact_parts
+
+    num, den_x, den_y = pearson_exact_parts(
+        sx="_sx", sy="_sy", sxy="_sxy", sxx="_sx2", syy="_sy2"
+    )
     n = F.col("n").cast("double")
-    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
-    sxy = F.col("_sxy").cast("double")
-    sx2, sy2 = F.col("_sx2").cast("double"), F.col("_sy2").cast("double")
     return g.select(
         "l_returnflag",
         "n",
-        ((n * sxy - sx * sy)
-         / F.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))
+        (dec_int_to_double(num)
+         / F.sqrt(dec_int_to_double(den_x) * dec_int_to_double(den_y))
          ).alias("corr_qty_price"),
-        F.sqrt((n * sx2 - sx * sx) / (n * (n - F.lit(1.0)))).alias(
+        F.sqrt(dec_int_to_double(den_x) / (n * (n - F.lit(1.0)))).alias(
             "stddev_qty"
         ),
     )
@@ -5527,21 +5534,17 @@ def lineitem_brand_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(x * x).alias("sxx"),
         F.sum(y * y).alias("syy"),
     )
-    nd = F.col("n").cast("double")
-    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
-        "double"
-    ) * F.col("sy").cast("double")
-    den = F.sqrt(
-        (
-            nd * F.col("sxx").cast("double")
-            - F.col("sx").cast("double") * F.col("sx").cast("double")
-        )
-        * (
-            nd * F.col("syy").cast("double")
-            - F.col("sy").cast("double") * F.col("sy").cast("double")
-        )
+    # Cancellation in exact decimal, portable nearest-double conversion
+    # on the compact integer parts (numerics.pearson_exact_parts: the
+    # double-first assembly diverged from DuckDB at sf0.1 via its
+    # double-rounding wide-decimal->double cast).
+    from .functions.numerics import dec_int_to_double, pearson_exact_parts
+
+    num, den_x, den_y = pearson_exact_parts()
+    corr = dec_int_to_double(num) / F.sqrt(
+        dec_int_to_double(den_x) * dec_int_to_double(den_y)
     )
-    return s.select("p_brand", "n", (num / den).alias("corr_qty_price"))
+    return s.select("p_brand", "n", corr.alias("corr_qty_price"))
 
 
 @query("orders_customer_lifetime")

@@ -674,3 +674,48 @@ def test_fixed_point_sum_deterministic_and_close(spark):
         assert s1 == d  # engine-exact
 
     check()
+
+
+def test_dec_int_to_double_cross_engine_nearest(spark):
+    """Property: dec_int_to_double (Spark plain cast) and its DuckDB
+    mirror _dec_int_to_double_sql (compensated cast) both land on
+    Python's correctly-rounded float() for integer magnitudes from
+    2^53 to 2^120, including exact ulp midpoints, both signs, and the
+    regression value whose residual Spark's Double.toString-based
+    double->decimal cast mangled (5044931019679511357550: a naive
+    Spark-side compensation returned 1 ulp below nearest)."""
+    import random
+
+    import duckdb
+
+    from dataflow_example_spark.functions.numerics import dec_int_to_double
+    from dataflow_example_spark.oracles import _dec_int_to_double_sql
+
+    rng = random.Random(20260814)
+    vals = [5044931019679511357550, -5044931019679511357550]
+    for bits in range(54, 121, 6):
+        for _ in range(6):
+            v = rng.getrandbits(bits) | (1 << (bits - 1))
+            vals += [v, -v]
+        ulp = 1 << (bits - 52)
+        vals += [(1 << bits) + ulp // 2, -((1 << bits) + 3 * ulp + ulp // 2)]
+    want = [float(v) for v in vals]
+
+    df = spark.createDataFrame([(str(v),) for v in vals], "s STRING")
+    got_spark = [
+        r["d"]
+        for r in df.select(
+            dec_int_to_double(F.col("s").cast("decimal(38,0)")).alias("d")
+        ).collect()
+    ]
+    assert got_spark == want
+
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            "SELECT "
+            + _dec_int_to_double_sql(f"CAST('{v}' AS DECIMAL(38,0))")
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert got_duck == want
