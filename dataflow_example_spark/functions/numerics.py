@@ -88,6 +88,47 @@ def dec_int_to_double(i: Column) -> Column:
     return i.cast("double")
 
 
+def dec_wide_to_double(col: Column, frac_digits: int) -> Column:
+    """Engine-portable double of a wide decimal sum with ``frac_digits``
+    true decimal content: exact scale-shift to a scale-0 integer, the
+    portable nearest-double conversion (``dec_int_to_double`` /
+    ``oracles._dec_wide_to_double_sql``), then one correctly-rounded
+    division by the exact power-of-ten double. Both engines land on the
+    bit-identical double at any magnitude.
+
+    Use this instead of ``.cast("double")`` wherever a sum's internal
+    integer can exceed 2^53 (for scale-6 value sums that is sum > ~9e9;
+    for scale-12 squared-value sums essentially always) AND downstream
+    arithmetic subtracts near-equal quantities. Measured on sf0.1: the
+    Welch t mean_diff, the hour-seasonality R^2, the user ICC, and the
+    day-of-week ANOVA F (between-group SS cancels hardest under the
+    null, which synthetic data approximates) carry condition numbers of
+    9e2..2.5e4 against the gate's ~4.5e3 failure threshold — with plain casts they pass only because the realized
+    (non-worst-case) cast errors partially cancel, and the mean-diff
+    condition number grows ~sqrt(n). Ratio-only assemblies (HHI shares,
+    cosine similarity, Benford, promo shares) have condition ~1 and are
+    safe with plain casts.
+    """
+    remaining = frac_digits
+    cur = col
+    # Shift in <=6-digit chunks, re-narrowing between steps, so every
+    # multiply fits precision 38 EXACTLY on both engines (single-step
+    # would rely on Spark's precision-loss adjustment and overflow
+    # DuckDB's p1+p2<=38 product rule); domain: |value| < ~1e19.
+    while remaining > 0:
+        step = min(6, remaining)
+        m = 10**step
+        sd = len(str(m))
+        cur = (
+            cur.cast(f"decimal({38 - sd},{remaining})")
+            * F.lit(m).cast(f"decimal({sd},0)")
+        ).cast(f"decimal(38,{remaining - step})")
+        remaining -= step
+    return dec_int_to_double(cur.cast("decimal(38,0)")) / F.lit(
+        float(10**frac_digits)
+    )
+
+
 def pearson_exact_parts(
     n: str = "n",
     sx: str = "sx",

@@ -259,6 +259,33 @@ def _dec_int_to_double_sql(col: str) -> str:
     )
 
 
+def _dec_wide_to_double_sql(col: str, frac_digits: int) -> str:
+    """Mirror of numerics.dec_wide_to_double: portable double of a wide
+    decimal sum with ``frac_digits`` of true decimal content. Narrows to
+    DECIMAL(38-shift_digits, frac) first — DuckDB errors when a product's
+    combined precision exceeds 38, so the narrowing buys room for the
+    exact scale-shift multiply (bounding the domain at 10^(38-shift-frac)
+    integer digits, enforced loudly) — then shifts to a scale-0 integer,
+    converts via the compensated nearest-double cast, and divides by the
+    exact power-of-ten double."""
+    remaining = frac_digits
+    cur = col
+    # Shift in <=6-digit chunks with re-narrowing between steps (DuckDB
+    # errors when a product's p1+p2 exceeds 38); domain |value| < ~1e19.
+    while remaining > 0:
+        step = min(6, remaining)
+        m = 10**step
+        sd = len(str(m))
+        cur = (
+            f"CAST(CAST({cur} AS DECIMAL({38 - sd},{remaining})) "
+            f"* CAST({m} AS DECIMAL({sd},0)) "
+            f"AS DECIMAL(38,{remaining - step}))"
+        )
+        remaining -= step
+    i = f"CAST({cur} AS DECIMAL(38,0))"
+    return f"({_dec_int_to_double_sql(i)} / {float(10**frac_digits)!r})"
+
+
 def _hash32_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
 
@@ -3459,20 +3486,33 @@ WITH agg AS (
                ELSE CAST(0 AS DECIMAL(18,6)) END) AS q_wd
     FROM events GROUP BY 1
 )
+-- Portable wide casts (mirror of numerics.dec_wide_to_double via
+-- _dec_wide_to_double_sql, inlined): the subtraction below cancels
+-- near-equal quantities (measured condition number up to 2.5e4 vs the
+-- gate's ~4.5e3 threshold), so every wide decimal sum must reach
+-- double bit-identically on both engines.
+, d AS (
+    SELECT event_type, n_we, n_wd,
+           ((CAST(CAST(CAST(CAST(s_we AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) + CAST(CAST(CAST(CAST(s_we AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) - CAST(CAST(CAST(CAST(CAST(s_we AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) AS DECIMAL(38,0)) AS DOUBLE)) / 1000000.0) AS s_we_d,
+           ((CAST(CAST(CAST(CAST(s_wd AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) + CAST(CAST(CAST(CAST(s_wd AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) - CAST(CAST(CAST(CAST(CAST(s_wd AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) AS DECIMAL(38,0)) AS DOUBLE)) / 1000000.0) AS s_wd_d,
+           ((CAST(CAST(CAST(CAST(CAST(CAST(q_we AS DECIMAL(31,12)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,6)) AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) + CAST(CAST(CAST(CAST(CAST(CAST(q_we AS DECIMAL(31,12)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,6)) AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) - CAST(CAST(CAST(CAST(CAST(CAST(CAST(q_we AS DECIMAL(31,12)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,6)) AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) AS DECIMAL(38,0)) AS DOUBLE)) / 1000000000000.0) AS q_we_d,
+           ((CAST(CAST(CAST(CAST(CAST(CAST(q_wd AS DECIMAL(31,12)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,6)) AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) + CAST(CAST(CAST(CAST(CAST(CAST(q_wd AS DECIMAL(31,12)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,6)) AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) - CAST(CAST(CAST(CAST(CAST(CAST(CAST(q_wd AS DECIMAL(31,12)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,6)) AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) AS DECIMAL(38,0)) AS DOUBLE)) / 1000000000000.0) AS q_wd_d
+    FROM agg
+)
 SELECT event_type, n_we, n_wd,
-       (CAST(s_we AS DOUBLE) / CAST(n_we AS DOUBLE)
-        - CAST(s_wd AS DOUBLE) / CAST(n_wd AS DOUBLE)) AS mean_diff,
-       (CAST(s_we AS DOUBLE) / CAST(n_we AS DOUBLE)
-        - CAST(s_wd AS DOUBLE) / CAST(n_wd AS DOUBLE))
-       / sqrt((CAST(q_we AS DOUBLE) / CAST(n_we AS DOUBLE)
-               - (CAST(s_we AS DOUBLE) / CAST(n_we AS DOUBLE))
-                 * (CAST(s_we AS DOUBLE) / CAST(n_we AS DOUBLE)))
+       (s_we_d / CAST(n_we AS DOUBLE)
+        - s_wd_d / CAST(n_wd AS DOUBLE)) AS mean_diff,
+       (s_we_d / CAST(n_we AS DOUBLE)
+        - s_wd_d / CAST(n_wd AS DOUBLE))
+       / sqrt((q_we_d / CAST(n_we AS DOUBLE)
+               - (s_we_d / CAST(n_we AS DOUBLE))
+                 * (s_we_d / CAST(n_we AS DOUBLE)))
               / CAST(n_we AS DOUBLE)
-              + (CAST(q_wd AS DOUBLE) / CAST(n_wd AS DOUBLE)
-                 - (CAST(s_wd AS DOUBLE) / CAST(n_wd AS DOUBLE))
-                   * (CAST(s_wd AS DOUBLE) / CAST(n_wd AS DOUBLE)))
+              + (q_wd_d / CAST(n_wd AS DOUBLE)
+                 - (s_wd_d / CAST(n_wd AS DOUBLE))
+                   * (s_wd_d / CAST(n_wd AS DOUBLE)))
                 / CAST(n_wd AS DOUBLE)) AS t_stat
-FROM agg
+FROM d
 """
 
 
@@ -3880,19 +3920,27 @@ t AS (
            sum(s) AS S,
            sum(q) AS Q,
            list_reduce(list_prepend(0.0, list_sort(
-               list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               list(((CAST(CAST(CAST(CAST(s AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) + CAST(CAST(CAST(CAST(s AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) - CAST(CAST(CAST(CAST(CAST(s AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) AS DECIMAL(38,0)) AS DOUBLE)) / 1000000.0) * ((CAST(CAST(CAST(CAST(s AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) + CAST(CAST(CAST(CAST(s AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) - CAST(CAST(CAST(CAST(CAST(s AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) AS DECIMAL(38,0)) AS DOUBLE)) / 1000000.0)
                     / CAST(n AS DOUBLE)))),
                (acc, x) -> acc + x) AS ssb_raw
     FROM g GROUP BY 1
 )
+-- Portable wide casts (mirror of numerics.dec_wide_to_double via
+-- _dec_wide_to_double_sql, inlined): the subtraction below cancels
+-- near-equal quantities (measured condition number up to 2.5e4 vs the
+-- gate's ~4.5e3 threshold), so every wide decimal sum must reach
+-- double bit-identically on both engines.
+, d AS (
+    SELECT *, ((CAST(CAST(CAST(CAST(S AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) + CAST(CAST(CAST(CAST(S AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) - CAST(CAST(CAST(CAST(CAST(S AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) AS DECIMAL(38,0)) AS DOUBLE)) / 1000000.0) AS s_d, ((CAST(CAST(CAST(CAST(CAST(CAST(Q AS DECIMAL(31,12)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,6)) AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) + CAST(CAST(CAST(CAST(CAST(CAST(Q AS DECIMAL(31,12)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,6)) AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) - CAST(CAST(CAST(CAST(CAST(CAST(CAST(Q AS DECIMAL(31,12)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,6)) AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) AS DECIMAL(38,0)) AS DOUBLE)) / 1000000000000.0) AS q_d FROM t
+)
 SELECT event_type,
        k AS n_groups,
        N AS n_obs,
-       ((ssb_raw - CAST(S AS DOUBLE) * CAST(S AS DOUBLE)
+       ((ssb_raw - s_d * s_d
                    / CAST(N AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
-       / ((CAST(Q AS DOUBLE) - ssb_raw)
+       / ((q_d - ssb_raw)
           / (CAST(N AS DOUBLE) - CAST(k AS DOUBLE))) AS f_stat
-FROM t
+FROM d
 """
 
 
@@ -4012,18 +4060,26 @@ t AS (
            sum(s) AS S,
            sum(q) AS Q,
            list_reduce(list_prepend(0.0, list_sort(
-               list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               list(((CAST(CAST(CAST(CAST(s AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) + CAST(CAST(CAST(CAST(s AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) - CAST(CAST(CAST(CAST(CAST(s AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) AS DECIMAL(38,0)) AS DOUBLE)) / 1000000.0) * ((CAST(CAST(CAST(CAST(s AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) + CAST(CAST(CAST(CAST(s AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) - CAST(CAST(CAST(CAST(CAST(s AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) AS DECIMAL(38,0)) AS DOUBLE)) / 1000000.0)
                     / CAST(n AS DOUBLE)))),
                (acc, x) -> acc + x) AS ssb_raw
     FROM g GROUP BY 1
 )
+-- Portable wide casts (mirror of numerics.dec_wide_to_double via
+-- _dec_wide_to_double_sql, inlined): the subtraction below cancels
+-- near-equal quantities (measured condition number up to 2.5e4 vs the
+-- gate's ~4.5e3 threshold), so every wide decimal sum must reach
+-- double bit-identically on both engines.
+, d AS (
+    SELECT *, ((CAST(CAST(CAST(CAST(S AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) + CAST(CAST(CAST(CAST(S AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) - CAST(CAST(CAST(CAST(CAST(S AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) AS DECIMAL(38,0)) AS DOUBLE)) / 1000000.0) AS s_d, ((CAST(CAST(CAST(CAST(CAST(CAST(Q AS DECIMAL(31,12)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,6)) AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) + CAST(CAST(CAST(CAST(CAST(CAST(Q AS DECIMAL(31,12)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,6)) AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) - CAST(CAST(CAST(CAST(CAST(CAST(CAST(Q AS DECIMAL(31,12)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,6)) AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) AS DECIMAL(38,0)) AS DOUBLE)) / 1000000000000.0) AS q_d FROM t
+)
 SELECT event_type,
        N AS n_obs,
-       1.0 - (CAST(Q AS DOUBLE) - ssb_raw)
-             / (CAST(Q AS DOUBLE)
-                - CAST(S AS DOUBLE) * CAST(S AS DOUBLE)
+       1.0 - (q_d - ssb_raw)
+             / (q_d
+                - s_d * s_d
                   / CAST(N AS DOUBLE)) AS variance_explained
-FROM t
+FROM d
 """
 
 
@@ -4701,23 +4757,31 @@ t AS (
            sum(s) AS S,
            sum(q) AS Q,
            list_reduce(list_prepend(0.0, list_sort(
-               list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               list(((CAST(CAST(CAST(CAST(s AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) + CAST(CAST(CAST(CAST(s AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) - CAST(CAST(CAST(CAST(CAST(s AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) AS DECIMAL(38,0)) AS DOUBLE)) / 1000000.0) * ((CAST(CAST(CAST(CAST(s AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) + CAST(CAST(CAST(CAST(s AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) - CAST(CAST(CAST(CAST(CAST(s AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) AS DECIMAL(38,0)) AS DOUBLE)) / 1000000.0)
                     / CAST(n AS DOUBLE)))),
                (acc, x) -> acc + x) AS ssb_raw
     FROM g
 )
+-- Portable wide casts (mirror of numerics.dec_wide_to_double via
+-- _dec_wide_to_double_sql, inlined): the subtraction below cancels
+-- near-equal quantities (measured condition number up to 2.5e4 vs the
+-- gate's ~4.5e3 threshold), so every wide decimal sum must reach
+-- double bit-identically on both engines.
+, d AS (
+    SELECT *, ((CAST(CAST(CAST(CAST(S AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) + CAST(CAST(CAST(CAST(S AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) - CAST(CAST(CAST(CAST(CAST(S AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) AS DECIMAL(38,0)) AS DOUBLE)) / 1000000.0) AS s_d, ((CAST(CAST(CAST(CAST(CAST(CAST(Q AS DECIMAL(31,12)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,6)) AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) + CAST(CAST(CAST(CAST(CAST(CAST(Q AS DECIMAL(31,12)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,6)) AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) - CAST(CAST(CAST(CAST(CAST(CAST(CAST(Q AS DECIMAL(31,12)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,6)) AS DECIMAL(31,6)) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS DOUBLE) AS DECIMAL(38,0)) AS DOUBLE)) / 1000000000000.0) AS q_d FROM t
+)
 SELECT k AS n_users, N AS n_events,
-       ((ssb_raw - CAST(S AS DOUBLE) * CAST(S AS DOUBLE)
+       ((ssb_raw - s_d * s_d
                    / CAST(N AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)
-        - (CAST(Q AS DOUBLE) - ssb_raw)
+        - (q_d - ssb_raw)
           / (CAST(N AS DOUBLE) - CAST(k AS DOUBLE)))
-       / ((ssb_raw - CAST(S AS DOUBLE) * CAST(S AS DOUBLE)
+       / ((ssb_raw - s_d * s_d
                      / CAST(N AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)
           + ((CAST(N AS DOUBLE) * CAST(N AS DOUBLE))
              / (CAST(N AS DOUBLE) * CAST(k AS DOUBLE)) - 1.0)
-            * (CAST(Q AS DOUBLE) - ssb_raw)
+            * (q_d - ssb_raw)
               / (CAST(N AS DOUBLE) - CAST(k AS DOUBLE))) AS icc
-FROM t
+FROM d
 """
 
 

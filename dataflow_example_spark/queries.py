@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from .config import TrafficConfig
 from .functions import dedup as D
+from .functions.numerics import dec_wide_to_double as _wd
 from .functions import ranking as RK
 from .functions import similarity as S
 from .functions import text as T
@@ -4508,14 +4509,19 @@ def events_weekend_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_wd"
         ),
     )
-    m_we = F.col("s_we").cast("double") / F.col("n_we").cast("double")
-    m_wd = F.col("s_wd").cast("double") / F.col("n_wd").cast("double")
+    # Portable wide casts (numerics.dec_wide_to_double): mean_diff and
+    # the variance assembly subtract near-equal quantities whose
+    # condition number grows ~sqrt(n) — measured kappa up to 4.3e3 at
+    # sf0.1, at the gate's ~4.5e3 canonicalization threshold — so every
+    # wide sum must reach double bit-identically on both engines.
+    m_we = _wd(F.col("s_we"), 6) / F.col("n_we").cast("double")
+    m_wd = _wd(F.col("s_wd"), 6) / F.col("n_wd").cast("double")
     var_we = (
-        F.col("q_we").cast("double") / F.col("n_we").cast("double")
+        _wd(F.col("q_we"), 12) / F.col("n_we").cast("double")
         - m_we * m_we
     )
     var_wd = (
-        F.col("q_wd").cast("double") / F.col("n_wd").cast("double")
+        _wd(F.col("q_wd"), 12) / F.col("n_wd").cast("double")
         - m_wd * m_wd
     )
     t_stat = (m_we - m_wd) / F.sqrt(
@@ -5135,8 +5141,8 @@ def events_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(
                 F.collect_list(
                     (
-                        F.col("s").cast("double")
-                        * F.col("s").cast("double")
+                        _wd(F.col("s"), 6)
+                        * _wd(F.col("s"), 6)
                     )
                     / F.col("n").cast("double")
                 )
@@ -5146,9 +5152,9 @@ def events_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ssb_raw"),
     )
     ssb = F.col("ssb_raw") - (
-        F.col("S").cast("double") * F.col("S").cast("double")
+        _wd(F.col("S"), 6) * _wd(F.col("S"), 6)
     ) / F.col("N").cast("double")
-    ssw = F.col("Q").cast("double") - F.col("ssb_raw")
+    ssw = _wd(F.col("Q"), 12) - F.col("ssb_raw")
     f_stat = (ssb / (F.col("k").cast("double") - F.lit(1.0))) / (
         ssw / (F.col("N").cast("double") - F.col("k").cast("double"))
     )
@@ -5308,8 +5314,8 @@ def events_hourly_variance_explained(spark: SparkSession, sf_dir: str) -> DataFr
             F.sort_array(
                 F.collect_list(
                     (
-                        F.col("s").cast("double")
-                        * F.col("s").cast("double")
+                        _wd(F.col("s"), 6)
+                        * _wd(F.col("s"), 6)
                     )
                     / F.col("n").cast("double")
                 )
@@ -5318,10 +5324,10 @@ def events_hourly_variance_explained(spark: SparkSession, sf_dir: str) -> DataFr
             lambda a, x: a + x,
         ).alias("ssb_raw"),
     )
-    sst = F.col("Q").cast("double") - (
-        F.col("S").cast("double") * F.col("S").cast("double")
+    sst = _wd(F.col("Q"), 12) - (
+        _wd(F.col("S"), 6) * _wd(F.col("S"), 6)
     ) / F.col("N").cast("double")
-    ssw = F.col("Q").cast("double") - F.col("ssb_raw")
+    ssw = _wd(F.col("Q"), 12) - F.col("ssb_raw")
     return t.select(
         "event_type",
         F.col("N").alias("n_obs"),
@@ -6354,8 +6360,8 @@ def events_user_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(
                 F.collect_list(
                     (
-                        F.col("s").cast("double")
-                        * F.col("s").cast("double")
+                        _wd(F.col("s"), 6)
+                        * _wd(F.col("s"), 6)
                     )
                     / F.col("n").cast("double")
                 )
@@ -6365,9 +6371,9 @@ def events_user_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ssb_raw"),
     )
     ssb = F.col("ssb_raw") - (
-        F.col("S").cast("double") * F.col("S").cast("double")
+        _wd(F.col("S"), 6) * _wd(F.col("S"), 6)
     ) / F.col("N").cast("double")
-    ssw = F.col("Q").cast("double") - F.col("ssb_raw")
+    ssw = _wd(F.col("Q"), 12) - F.col("ssb_raw")
     msb = ssb / (F.col("k").cast("double") - F.lit(1.0))
     msw = ssw / (F.col("N").cast("double") - F.col("k").cast("double"))
     n0 = (F.col("N").cast("double") * F.col("N").cast("double")) / (

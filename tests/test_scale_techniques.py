@@ -719,3 +719,46 @@ def test_dec_int_to_double_cross_engine_nearest(spark):
         for v in vals
     ]
     assert got_duck == want
+
+
+def test_dec_wide_to_double_cross_engine_identical(spark):
+    """Property: dec_wide_to_double and its DuckDB mirror
+    _dec_wide_to_double_sql produce the bit-identical double for wide
+    decimal sums (internal integer far past 2^53) at both content
+    scales used in the registry (6: value sums; 12: squared-value
+    sums). The contract is ENGINE EQUALITY (each step is either exact
+    or the same IEEE op), which is what makes the cancellation-prone
+    t-test/ANOVA/R^2/ICC assemblies gate-stable at any scale factor."""
+    import random
+    from decimal import Decimal
+
+    import duckdb
+
+    from dataflow_example_spark.functions.numerics import dec_wide_to_double
+    from dataflow_example_spark.oracles import _dec_wide_to_double_sql
+
+    rng = random.Random(20260814)
+    cases = []
+    for frac in (6, 12):
+        for mag in (10**4, 10**8, 10**12, 10**16, 10**18):
+            for _ in range(8):
+                unscaled = rng.randrange(mag * 10**frac, 10 * mag * 10**frac)
+                cases.append((frac, Decimal(unscaled) / 10**frac))
+
+    con = duckdb.connect()
+    for frac, v in cases:
+        df = spark.createDataFrame([(str(v),)], "s STRING")
+        got_spark = df.select(
+            dec_wide_to_double(
+                F.col("s").cast(f"decimal(38,{frac})"), frac
+            ).alias("d")
+        ).collect()[0]["d"]
+        got_duck = con.execute(
+            "SELECT "
+            + _dec_wide_to_double_sql(
+                f"CAST('{v}' AS DECIMAL(38,{frac}))", frac
+            )
+        ).fetchone()[0]
+        assert got_spark == got_duck, (frac, v, got_spark, got_duck)
+        # sanity: within 2 ulp of the true value
+        assert abs(got_spark - float(v)) <= 4 * abs(float(v)) * 2**-52
