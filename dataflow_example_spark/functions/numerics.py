@@ -99,15 +99,17 @@ def dec_wide_to_double(col: Column, frac_digits: int) -> Column:
     Use this instead of ``.cast("double")`` wherever a sum's internal
     integer can exceed 2^53 (for scale-6 value sums that is sum > ~9e9;
     for scale-12 squared-value sums essentially always) AND downstream
-    arithmetic subtracts near-equal quantities. Measured on sf0.1: the
-    Welch t mean_diff, the hour-seasonality R^2, the user ICC, and the
-    day-of-week ANOVA F (between-group SS cancels hardest under the
-    null, which synthetic data approximates) carry condition numbers of
-    9e2..2.5e4 against the gate's ~4.5e3 failure threshold — with plain casts they pass only because the realized
-    (non-worst-case) cast errors partially cancel, and the mean-diff
-    condition number grows ~sqrt(n). Ratio-only assemblies (HHI shares,
-    cosine similarity, Benford, promo shares) have condition ~1 and are
-    safe with plain casts.
+    arithmetic subtracts near-equal quantities. Measured on sf0.1
+    (tools/kappa_probe.py): the day-of-week ANOVA F carries condition
+    number 2.0e4 — over the gate's ~4.5e3 failure threshold, passing
+    with plain casts only because the realized (non-worst-case) cast
+    errors partially cancel; the hour-seasonality R^2 sits at 3.6e3
+    (79% of threshold), the user ICC at 2.1e3, and the Welch t
+    mean_diff at 4.3e2 but growing ~sqrt(n) (threshold-level by ~100x
+    this data volume). The grouped Pearson corr measures 2.5e5 — the
+    sf0.1 gate failure observed in practice. Ratio-only assemblies
+    (HHI shares, cosine similarity, Benford, promo shares) have
+    condition ~1 and are safe with plain casts.
     """
     remaining = frac_digits
     cur = col

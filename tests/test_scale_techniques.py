@@ -762,3 +762,126 @@ def test_dec_wide_to_double_cross_engine_identical(spark):
         assert got_spark == got_duck, (frac, v, got_spark, got_duck)
         # sanity: within 2 ulp of the true value
         assert abs(got_spark - float(v)) <= 4 * abs(float(v)) * 2**-52
+
+
+def test_pearson_exact_parts_integer_exact(spark):
+    """Property: pearson_exact_parts emits EXACTLY the integers
+    10^2*(n*Sxy - Sx*Sy), n*Sxx - Sx^2, 10^4*(n*Syy - Sy^2) — including
+    at the documented domain ceiling (n = 1e9, x <= 50 integral,
+    y <= ~1.05e5 with 2 decimals), where the intermediate decimal types
+    brush the precision-38 adjustment rules on both engines. Random
+    small datasets check end-to-end from raw rows; the boundary case
+    feeds worst-case sums directly."""
+    import random
+    from decimal import Decimal
+
+    import duckdb
+
+    from dataflow_example_spark.functions.numerics import (
+        pearson_exact_parts,
+    )
+
+    rng = random.Random(7)
+
+    def exact_parts(rows):
+        n = len(rows)
+        sx = sum(x for x, _ in rows)
+        sy = sum(y for _, y in rows)  # y in cents (int)
+        sxy = sum(x * y for x, y in rows)
+        sxx = sum(x * x for x, _ in rows)
+        syy = sum(y * y for _, y in rows)
+        # y carried in cents: num scales by 10^2 via y, den_y by 10^4
+        return (n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+
+    for _ in range(4):
+        rows = [
+            (rng.randint(1, 50), rng.randint(90068, 10499991))
+            for _ in range(rng.randint(2, 120))
+        ]
+        df = spark.createDataFrame(
+            [(x, Decimal(y) / 100) for x, y in rows], "x LONG, y DECIMAL(18,2)"
+        )
+        g = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast("decimal(18,6)")).alias("sx"),
+            F.sum(F.col("y").cast("decimal(18,6)")).alias("sy"),
+            F.sum(
+                F.col("x").cast("decimal(18,6)")
+                * F.col("y").cast("decimal(18,6)")
+            ).alias("sxy"),
+            F.sum(
+                F.col("x").cast("decimal(18,6)")
+                * F.col("x").cast("decimal(18,6)")
+            ).alias("sxx"),
+            F.sum(
+                F.col("y").cast("decimal(18,6)")
+                * F.col("y").cast("decimal(18,6)")
+            ).alias("syy"),
+        )
+        num, den_x, den_y = pearson_exact_parts()
+        r = g.select(
+            num.alias("ni"), den_x.alias("xi"), den_y.alias("yi")
+        ).collect()[0]
+        wn, wx, wy = exact_parts(rows)
+        assert int(r["ni"]) == wn
+        assert int(r["xi"]) == wx
+        assert int(r["yi"]) == wy
+
+    # boundary: worst-case sums at the documented ceiling, as literals
+    n = 10**9
+    sx, sy = 50 * n, Decimal("104999.91") * n
+    sxy = Decimal("5249995.50") * n
+    sxx, syy = 2500 * n, Decimal("11024981100.0081") * n
+    one = spark.createDataFrame(
+        [(n, str(sx), str(sy), str(sxy), str(sxx), str(syy))],
+        "n LONG, sx_s STRING, sy_s STRING, sxy_s STRING, "
+        "sxx_s STRING, syy_s STRING",
+    ).select(
+        "n",
+        F.col("sx_s").cast("decimal(38,6)").alias("sx"),
+        F.col("sy_s").cast("decimal(38,6)").alias("sy"),
+        F.col("sxy_s").cast("decimal(38,12)").alias("sxy"),
+        F.col("sxx_s").cast("decimal(38,12)").alias("sxx"),
+        F.col("syy_s").cast("decimal(38,12)").alias("syy"),
+    )
+    num, den_x, den_y = pearson_exact_parts()
+    r = one.select(
+        num.alias("ni"), den_x.alias("xi"), den_y.alias("yi")
+    ).collect()[0]
+    cx, cy = 50 * n, int(Decimal("104999.91") * 100) * n  # cents
+    cxy, cxx, cyy = (
+        int(Decimal("5249995.50") * 100) * n,
+        2500 * n,
+        int(Decimal("11024981100.0081") * 10**4) * n,
+    )
+    assert int(r["ni"]) == n * cxy - cx * cy
+    assert int(r["xi"]) == n * cxx - cx * cx
+    assert int(r["yi"]) == n * cyy - cy * cy
+
+    # the DuckDB mirror at the same boundary (inline the oracle casts)
+    con = duckdb.connect()
+    dr = con.execute(f"""
+    WITH s AS (SELECT CAST({n} AS BIGINT) AS n,
+        CAST('{sx}' AS DECIMAL(38,6)) AS sx,
+        CAST('{sy}' AS DECIMAL(38,6)) AS sy,
+        CAST('{sxy}' AS DECIMAL(38,12)) AS sxy,
+        CAST('{sxx}' AS DECIMAL(38,12)) AS sxx,
+        CAST('{syy}' AS DECIMAL(38,12)) AS syy)
+    SELECT CAST(CAST(
+               CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,2))
+                 - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,2))
+             AS DECIMAL(33,2)) * CAST(100 AS DECIMAL(3,0))
+             AS DECIMAL(38,0)),
+           CAST(
+               CAST(n AS DECIMAL(12,0)) * CAST(sxx AS DECIMAL(19,0))
+                 - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+             AS DECIMAL(38,0)),
+           CAST(CAST(
+               CAST(n AS DECIMAL(12,0)) * CAST(syy AS DECIMAL(26,4))
+                 - CAST(sy AS DECIMAL(19,2)) * CAST(sy AS DECIMAL(19,2))
+             AS DECIMAL(33,4)) * CAST(10000 AS DECIMAL(5,0))
+             AS DECIMAL(38,0))
+    FROM s""").fetchone()
+    assert int(dr[0]) == n * cxy - cx * cy
+    assert int(dr[1]) == n * cxx - cx * cx
+    assert int(dr[2]) == n * cyy - cy * cy

@@ -1,0 +1,238 @@
+"""Condition-number probe for cancellation-prone float assemblies.
+
+The oracle gate's canonicalization keeps 12 significant digits, so a
+query whose final arithmetic amplifies a 1-ulp (2.2e-16 relative) input
+perturbation by more than ~4.5e3 can hash-mismatch whenever any input
+reaches double through a non-portable cast. This tool measures that
+amplification (the condition number, kappa) for every
+subtraction-of-wide-casts assembly in the registry, against REAL data:
+exact sums are fetched from DuckDB at the given scale factor, each
+wide-cast input is perturbed by +/-1 relative ulp in exact rational
+arithmetic, and the worst relative output change is reported as kappa.
+
+Round-7 findings this tool reproduces (SCALE.md r7): Welch t 4.3e3 at
+sf0.1 (96% of threshold, growing ~sqrt(n)); hour-seasonality R^2 2.5e4
+and user ICC 1.95e4 (over threshold, passing only because realized
+errors partially cancel); grouped Pearson corr ~4 orders (the original
+sf0.1 gate failure). All six assemblies below are since HARDENED with
+numerics.dec_wide_to_double / dec_int_to_double — engines verified
+bit-identical, so kappa no longer reaches the gate for them. The tool
+remains the acceptance check for FUTURE assemblies: run it on any new
+query that subtracts near-equal quantities built from wide sums, and
+harden (portable casts) or restructure (exact-decimal subtraction
+before the cast) anything that reports kappa above WARN.
+
+    python tools/kappa_probe.py [--sf /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+from fractions import Fraction as Fr
+
+import duckdb
+
+ULP = Fr(22, 10**17)  # ~2.2e-16 relative
+THRESHOLD = 4.5e3  # 1e-12 canonicalization / 2.2e-16 ulp
+WARN = THRESHOLD / 10
+
+
+def kappa(fn, inputs, wide_idx):
+    """Worst relative output change of fn over +/-1 relative ulp
+    perturbations of each wide input, divided by the ulp."""
+    base = fn(*inputs)
+    worst = 0.0
+    for i in wide_idx:
+        for sgn in (1, -1):
+            p = list(inputs)
+            p[i] = p[i] * (1 + sgn * ULP)
+            out = fn(*p)
+            if base:
+                worst = max(worst, abs((out - base) / base))
+    return worst / float(ULP)
+
+
+def probe_ttest(con):
+    rows = con.execute("""
+        SELECT event_type,
+            sum(CASE WHEN dayofweek(ts)+1 IN (1,7) THEN 1 ELSE 0 END),
+            sum(CASE WHEN dayofweek(ts)+1 NOT IN (1,7) THEN 1 ELSE 0 END),
+            sum(CASE WHEN dayofweek(ts)+1 IN (1,7)
+                THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END),
+            sum(CASE WHEN dayofweek(ts)+1 NOT IN (1,7)
+                THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END),
+            sum(CASE WHEN dayofweek(ts)+1 IN (1,7)
+                THEN CAST(value AS DECIMAL(18,6))
+                     * CAST(value AS DECIMAL(18,6)) ELSE 0 END),
+            sum(CASE WHEN dayofweek(ts)+1 NOT IN (1,7)
+                THEN CAST(value AS DECIMAL(18,6))
+                     * CAST(value AS DECIMAL(18,6)) ELSE 0 END)
+        FROM events GROUP BY 1""").fetchall()
+
+    def t(n1, n2, s1, s2, q1, q2):
+        m1, m2 = s1 / n1, s2 / n2
+        v1, v2 = q1 / n1 - m1 * m1, q2 / n2 - m2 * m2
+        return float(m1 - m2) / math.sqrt(float(v1 / n1 + v2 / n2))
+
+    return max(
+        kappa(t, [r[1], r[2], Fr(r[3]), Fr(r[4]), Fr(r[5]), Fr(r[6])],
+              (2, 3, 4, 5))
+        for r in rows
+    )
+
+
+def _groups(con, key):
+    return con.execute(f"""
+        SELECT {key}, count(*), sum(CAST(value AS DECIMAL(18,6))),
+               sum(CAST(value AS DECIMAL(18,6))
+                   * CAST(value AS DECIMAL(18,6)))
+        FROM events GROUP BY 1""").fetchall()
+
+
+def probe_anova_family(con, inner_key, outer_key, formula):
+    rows = con.execute(f"""
+        SELECT {outer_key}, {inner_key}, count(*),
+               sum(CAST(value AS DECIMAL(18,6))),
+               sum(CAST(value AS DECIMAL(18,6))
+                   * CAST(value AS DECIMAL(18,6)))
+        FROM events GROUP BY 1, 2""").fetchall()
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for outer, _, n, s, q in rows:
+        by[outer].append((n, Fr(s), Fr(q)))
+    worst = 0.0
+    for hs in by.values():
+        N = sum(n for n, _, _ in hs)
+        k = len(hs)
+        S = sum(s for _, s, _ in hs)
+        Q = sum(q for _, _, q in hs)
+
+        def fn(S_, Q_):
+            ssb = math.fsum(float(s) ** 2 / n for n, s, _ in hs)
+            return formula(N, k, float(S_), float(Q_), ssb)
+
+        base = fn(S, Q)
+        if not base:
+            continue
+        for i, v in ((0, S), (1, Q)):
+            for sgn in (1, -1):
+                args = [S, Q]
+                args[i] = v * (1 + sgn * ULP)
+                worst = max(worst, abs((fn(*args) - base) / base))
+    return worst / float(ULP)
+
+
+def f_anova(N, k, S, Q, ssb):
+    msb = (ssb - S * S / N) / (k - 1.0)
+    msw = (Q - ssb) / (N - k)
+    return msb / msw
+
+
+def f_varexp(N, k, S, Q, ssb):
+    return 1.0 - (Q - ssb) / (Q - S * S / N)
+
+
+def probe_icc(con):
+    rows = _groups(con, "user_id")
+    N = sum(r[1] for r in rows)
+    k = len(rows)
+    S = sum(Fr(r[2]) for r in rows)
+    Q = sum(Fr(r[3]) for r in rows)
+    ssb = math.fsum(float(r[2]) ** 2 / r[1] for r in rows)
+
+    def fn(S_, Q_):
+        msb = (ssb - float(S_) ** 2 / N) / (k - 1.0)
+        msw = (float(Q_) - ssb) / (N - k)
+        return (msb - msw) / (msb + (N * N / (N * k) - 1.0) * msw)
+
+    base = fn(S, Q)
+    worst = 0.0
+    for i, v in ((0, S), (1, Q)):
+        for sgn in (1, -1):
+            a = [S, Q]
+            a[i] = v * (1 + sgn * ULP)
+            worst = max(worst, abs((fn(*a) - base) / base))
+    return worst / float(ULP)
+
+
+def probe_corr(con, group_sql, join_sql):
+    rows = con.execute(f"""
+        SELECT {group_sql}, count(*),
+               sum(CAST(l_quantity AS DECIMAL(18,6))),
+               sum(CAST(l_extendedprice AS DECIMAL(18,6))),
+               sum(CAST(l_quantity AS DECIMAL(19,6))
+                   * CAST(l_extendedprice AS DECIMAL(19,6))),
+               sum(CAST(l_quantity AS DECIMAL(19,6))
+                   * CAST(l_quantity AS DECIMAL(19,6))),
+               sum(CAST(l_extendedprice AS DECIMAL(19,6))
+                   * CAST(l_extendedprice AS DECIMAL(19,6)))
+        {join_sql} GROUP BY 1""").fetchall()
+
+    def corr(n, sx, sy, sxy, sxx, syy):
+        num = n * sxy - sx * sy
+        den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        return float(num) / math.sqrt(float(den))
+
+    return max(
+        kappa(
+            corr,
+            [r[1], Fr(r[2]), Fr(r[3]), Fr(r[4]), Fr(r[5]), Fr(r[6])],
+            (1, 2, 3, 4, 5),
+        )
+        for r in rows
+    )
+
+
+PROBES = {
+    "events_weekend_ttest": probe_ttest,
+    "events_dow_anova": lambda con: probe_anova_family(
+        con, "dayofweek(ts)", "event_type", f_anova
+    ),
+    "events_hourly_variance_explained": lambda con: probe_anova_family(
+        con, "hour(ts)", "event_type", f_varexp
+    ),
+    "events_user_icc": probe_icc,
+    "lineitem_corr_stats": lambda con: probe_corr(
+        con, "l_returnflag", "FROM lineitem"
+    ),
+    "lineitem_brand_price_qty_corr": lambda con: probe_corr(
+        con,
+        "p.p_brand",
+        "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey",
+    ),
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+    con = duckdb.connect()
+    for t in ("events", "lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+    worst_flag = 0
+    for name, probe in PROBES.items():
+        k = probe(con)
+        flag = (
+            "OVER-THRESHOLD" if k > THRESHOLD
+            else "warn" if k > WARN else "ok"
+        )
+        if k > WARN:
+            worst_flag = max(worst_flag, 1 + (k > THRESHOLD))
+        print(f"{flag:>14}  {name}  kappa={k:.3g}")
+    print(
+        f"\n(threshold {THRESHOLD:.3g} = gate canonicalization 1e-12 / "
+        "2.2e-16 ulp; every assembly above is hardened with portable "
+        "casts — engines bit-identical — so kappa is informational for "
+        "these six and an acceptance gate for new assemblies)"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
