@@ -27,13 +27,18 @@ the grid. Between ~9e3 and ~9.2e6 (= 2^63 / 1e12, the LONG range Spark's
 ``floor`` returns into) results remain deterministic and engine-
 identical — the double product rounds the same way in both engines —
 but the n * 10^-frac error bound no longer holds term-exactly. Past
-~9.2e6, Spark's floor->LONG silently wraps in non-ANSI mode while
-DuckDB's HUGEINT does not: a hard domain violation. All call sites sum
-ln-counts, unit-scale embedding components, or their squares — well
-inside the ~9e3 exact regime.
+~9.2e6 PER TERM, Spark's floor->LONG overflows — loudly under the
+pinned ANSI mode. All call sites sum ln-counts, unit-scale embedding
+components, or their squares — well inside the ~9e3 exact regime.
+GROUP sums are unbounded in practice: the sum accumulates exactly in
+DECIMAL(38,0)/HUGEINT and reaches double through the portable
+nearest conversion on both engines (plain cast here — correctly
+rounded for scale-0 decimals — and the compensated cast in the DuckDB
+mirror), engine-identical for |scaled group sum| < ~2e31, i.e.
+|group sum| < ~2e19.
 
-DuckDB mirror (oracles.py ``fpsum``):
-    CAST(sum(CAST(floor(v * 1e12) AS HUGEINT)) AS DOUBLE) / 1e12
+DuckDB mirror (oracles.py ``fpsum``): the same quantized HUGEINT sum
+through ``_dec_int_to_double_sql`` (compensated nearest-double), / 1e12
 """
 
 from __future__ import annotations

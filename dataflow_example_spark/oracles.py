@@ -225,18 +225,23 @@ def fpsum(expr: str) -> str:
     Spark side, with O(1) aggregation state instead of a sorted
     collect-fold of the whole group.
 
-    The integer sum accumulates in HUGEINT but is narrowed to BIGINT
-    before the final cast to DOUBLE: DuckDB's HUGEINT->DOUBLE cast is
-    TRUNCATING (drops low bits past 2^53, e.g. -9007601624385538 ->
-    -9007601624385536.0) while both BIGINT->DOUBLE here and Spark's
-    DECIMAL->DOUBLE round to nearest — with the truncating cast the two
-    engines diverge by 1 ulp whenever |group sum| > ~9007. The BIGINT
-    narrowing is safe under the documented numerics domain
-    (|group sum| < ~9.2e6 => |scaled sum| < 2^63)."""
-    return (
-        "(CAST(CAST(sum(CAST(floor((" + expr + ") * 1e12) AS HUGEINT)) "
-        "AS BIGINT) AS DOUBLE) / 1e12)"
+    The integer sum accumulates in HUGEINT and reaches DOUBLE through
+    the compensated nearest-double conversion (via DECIMAL(38,0) and
+    ``_dec_int_to_double_sql``): DuckDB's raw wide-int->DOUBLE cast is
+    not correctly rounded (observed truncating, e.g.
+    -9007601624385538 -> -9007601624385536.0) while Spark's
+    DECIMAL->DOUBLE rounds to nearest — with a raw cast the engines
+    diverge by 1 ulp whenever |group sum| > ~9007. An earlier mirror
+    narrowed through BIGINT instead (correctly rounded but capping the
+    oracle's domain at |group sum| < ~9.2e6, a cliff a 10M-row ln-count
+    group would hit); the compensated cast is exact-identical to
+    Spark's for |scaled sum| < ~2e31, i.e. |group sum| < ~2e19, with
+    ~1e-31 relative drift at most beyond."""
+    i = (
+        "CAST(sum(CAST(floor((" + expr + ") * 1e12) AS HUGEINT)) "
+        "AS DECIMAL(38,0))"
     )
+    return f"({_dec_int_to_double_sql(i)} / 1e12)"
 
 
 def _dec_int_to_double_sql(col: str) -> str:

@@ -664,16 +664,30 @@ def test_fixed_point_sum_deterministic_and_close(spark):
         con = duckdb.connect()
         con.execute("CREATE TABLE t(v DOUBLE)")
         con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
-        # the oracles.fpsum mirror: narrow HUGEINT->BIGINT before the
-        # DOUBLE cast (DuckDB's HUGEINT->DOUBLE truncates; BIGINT->DOUBLE
-        # rounds to nearest like Spark's DECIMAL->DOUBLE)
+        # the LIVE oracles.fpsum mirror (compensated nearest-double —
+        # imported, not copied, so this test pins the shipped SQL)
+        from dataflow_example_spark.oracles import fpsum as fpsum_sql
+
         d = con.execute(
-            "SELECT CAST(CAST(sum(CAST(floor(v * 1e12) AS HUGEINT))"
-            " AS BIGINT) AS DOUBLE) / 1e12 FROM t"
+            "SELECT " + fpsum_sql("v") + " FROM t"
         ).fetchone()[0]
         assert s1 == d  # engine-exact
 
     check()
+
+    # widened group-sum domain: the old BIGINT-narrowed mirror errored
+    # past |group sum| ~9.2e6 (scaled sum > 2^63); the compensated
+    # mirror must stay engine-exact far beyond that cliff
+    from dataflow_example_spark.oracles import fpsum as fpsum_sql
+
+    big = [5_000_000.0] * 12 + [1234.567890123] * 3  # sum 6e7 >> 9.2e6
+    df = spark.createDataFrame([(v,) for v in big], "v DOUBLE")
+    s = df.agg(fixed_point_sum(F.col("v")).alias("s")).collect()[0]["s"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in big])
+    d = con.execute("SELECT " + fpsum_sql("v") + " FROM t").fetchone()[0]
+    assert s == d
 
 
 def test_dec_int_to_double_cross_engine_nearest(spark):
