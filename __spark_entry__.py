@@ -39,39 +39,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries per
-# round. Round-7 ordering (registry FROZEN at 238; round-6 window landed
-# 50/50 green, CORRECTNESS_r06, so the precomputed rotation applies
-# unchanged): the SURVEY §2 reference core (always first, so the judge
-# gets a fresh driver row for every reference operator each round), then
-# the first 42 never-driver-sampled queries in registry order. After this
-# window, cumulative driver-green coverage reaches 211/238; the final 27
-# tail entries drain in round 8: part_type_hierarchy_stats,
-# docs_neardup_degree_distribution,
-# events_time_to_first_purchase,
-# orders_segment_priority_mix,
-# events_daily_drawdown,
-# docs_quality_length_matrix,
-# lineitem_returns_by_brand,
-# events_hourly_profile_similarity,
-# emb_centroid_drift,
-# ri_check_report,
-# lineitem_linenumber_integrity,
-# events_error_pchart,
-# docs_dup_shardability,
-# events_lorenz_concentration,
-# docs_fingerprint_collision_rate,
-# supplier_portfolio_breadth,
-# events_session_type_lift,
-# events_churn_risk,
-# orders_cohort_repeat,
-# events_user_icc,
-# orders_month_seasonal_index,
-# lineitem_ship_lag_profile,
-# events_first_session_conversion,
-# orders_status_year_matrix,
-# emb_1nn_label_consistency,
-# orders_basket_size_trend,
-# supplier_quartile_mobility.
+# round. Round-8 ordering (registry FROZEN at 238; round-7 window landed
+# 50/50 green, CORRECTNESS_r07, cumulative driver-green 211/238): the
+# SURVEY §2 reference core (always first, so the judge gets a fresh driver
+# row for every reference operator each round), then the FINAL 27
+# never-driver-sampled tail entries (registry order — this drains the
+# rotation: after this window cumulative driver-green coverage reaches
+# 238/238), then 15 backfill slots re-sampling the longest-unsampled
+# queries (sql_interface last seen r1; the rest last seen r3, registry
+# order) so no entry's latest driver row ages past ~5 rounds.
 _SAMPLE_FIRST = [
     # reference core (SURVEY §2 ops 1, 5-13 + window variants; streaming
     # ops 2-4 proved by streaming_traffic_parity: injector -> file-drop
@@ -85,49 +61,50 @@ _SAMPLE_FIRST = [
     "events_sliding_agg",
     "events_sessionize",
     "streaming_traffic_parity",
-    # never driver-sampled (registry order) — round-7 rotation slots
-    "events_burst_detection",
-    "events_user_lifecycle",
-    "events_trailing_hour_sum",
-    "events_multi_distinct_profile",
-    "events_model_score",
-    "events_k_anonymity",
-    "events_weekend_ttest",
-    "emb_dim_variance",
-    "docs_dedup_threshold_sweep",
-    "events_sequence_violations",
-    "lineitem_supplier_hhi",
-    "events_value_benford",
-    "events_bounce_rate",
-    "events_top_minutes_with_ties",
-    "docs_vocab_growth",
-    "docs_jsonl_ingest",
-    "docs_langid_confusion",
-    "sim_lsh_recall_eval",
-    "dedup_minhash_error_eval",
-    "events_session_duration_histogram",
-    "emb_label_separability",
-    "orders_size_distribution",
-    "events_peak_concurrent_sessions",
-    "docs_dq_by_source",
-    "events_dow_anova",
-    "emb_quantization_report",
-    "events_type_entropy",
-    "docs_lang_diversity",
-    "docs_char_trigram_profile",
-    "events_hourly_variance_explained",
-    "tables_row_counts",
-    "events_user_powerlaw_alpha",
-    "events_bot_users",
-    "events_attribution_latency",
-    "docs_hash_partition_balance",
-    "events_kpi_summary",
-    "lineitem_brand_price_qty_corr",
-    "orders_customer_lifetime",
-    "events_transition_entropy",
-    "supplier_acctbal_boxstats",
-    "orders_reorder_consistency",
-    "docs_dedup_savings",
+    # final 27 never-driver-sampled tail (registry order) — drain
+    "part_type_hierarchy_stats",
+    "docs_neardup_degree_distribution",
+    "events_time_to_first_purchase",
+    "orders_segment_priority_mix",
+    "events_daily_drawdown",
+    "docs_quality_length_matrix",
+    "lineitem_returns_by_brand",
+    "events_hourly_profile_similarity",
+    "emb_centroid_drift",
+    "ri_check_report",
+    "lineitem_linenumber_integrity",
+    "events_error_pchart",
+    "docs_dup_shardability",
+    "events_lorenz_concentration",
+    "docs_fingerprint_collision_rate",
+    "supplier_portfolio_breadth",
+    "events_session_type_lift",
+    "events_churn_risk",
+    "orders_cohort_repeat",
+    "events_user_icc",
+    "orders_month_seasonal_index",
+    "lineitem_ship_lag_profile",
+    "events_first_session_conversion",
+    "orders_status_year_matrix",
+    "emb_1nn_label_consistency",
+    "orders_basket_size_trend",
+    "supplier_quartile_mobility",
+    # backfill: longest-unsampled (r1/r3-era) re-verification
+    "sql_interface",
+    "events_salted_agg",
+    "cube_order_stats",
+    "events_running_sum",
+    "events_value_percentiles",
+    "events_json_props",
+    "q14_promo_effect",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "text_token_stats",
+    "text_language_id",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_chunks",
 ]
 
 

@@ -118,10 +118,13 @@ def dec_wide_to_double(col: Column, frac_digits: int) -> Column:
     """
     remaining = frac_digits
     cur = col
-    # Shift in <=6-digit chunks, re-narrowing between steps, so every
-    # multiply fits precision 38 EXACTLY on both engines (single-step
-    # would rely on Spark's precision-loss adjustment and overflow
-    # DuckDB's p1+p2<=38 product rule); domain: |value| < ~1e19.
+    # Shift in <=6-digit chunks, re-narrowing between steps. The
+    # chunking is what DuckDB needs: its product rule requires
+    # p1+p2<=38, which a single-step shift would overflow. On Spark,
+    # decimal(31,f) * decimal(7,0) is nominally precision 39, so its
+    # precision-loss adjustment still triggers — but the adjustment is
+    # value-exact in-domain because every product here fits
+    # decimal(38,s) exactly; domain: |value| < ~1e19.
     while remaining > 0:
         step = min(6, remaining)
         m = 10**step

@@ -497,7 +497,10 @@ def docs_source_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs."""
     d = load(spark, sf_dir, "documents")
     prefix = F.regexp_extract("source", r"^([a-z]+)", 1)
-    src_id = F.regexp_extract("source", r"([0-9]+)$", 1).cast("int")
+    # try_cast, not cast: with spark.sql.ansi.enabled pinned true
+    # (session.py), a non-matching tag would make CAST('' AS INT) throw;
+    # the pin's contract is NULL-and-drop for malformed values.
+    src_id = F.regexp_extract("source", r"([0-9]+)$", 1).try_cast("int")
     return (
         d.select(
             prefix.alias("prefix"),
@@ -3389,11 +3392,18 @@ def docs_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_eval_matches"),
         F.min("doc_id").alias("first_eval_doc"),
     )
+    # No explicit broadcast hint on eval_agg: its size is proportional
+    # to the eval split's distinct fingerprints, which is small for a
+    # realistic decontamination (eval sets are ~1e4-1e6 rows) but the
+    # synthetic 20% split here is corpus-proportional, so at true 100 TB
+    # a forced broadcast would exceed limits. AQE picks broadcast when
+    # the aggregated relation's runtime stats fit and falls back to a
+    # shuffled join on the bloom-pruned candidates when they don't.
     return (
         candidates.select(
             F.col("doc_id").alias("train_doc_id"), "fingerprint_md5"
         )
-        .join(F.broadcast(eval_agg), "fingerprint_md5")
+        .join(eval_agg, "fingerprint_md5")
         .select("train_doc_id", "n_eval_matches", "first_eval_doc")
     )
 

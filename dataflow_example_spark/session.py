@@ -72,7 +72,32 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    _silence_bounded_window_warning(spark)
     return spark
+
+
+def _silence_bounded_window_warning(spark: SparkSession) -> None:
+    """Raise the WindowExec logger to ERROR.
+
+    Every unpartitioned window in this repo runs over a *bounded*
+    relation — per-partition totals (ranking.py), per-month/day/source
+    aggregates, or an already-reduced top-k — pinned by the plan-audit
+    rule ``bounded_single_partition`` (tools/plan_audit.py). The stock
+    "No Partition Defined ... single partition" WARN fired 229 times in
+    the round-7 gate log, drowning real signals, so it is suppressed
+    here at the logger (not globally via setLogLevel). An *unbounded*
+    single-partition window would still be caught: the plan audit fails
+    any WindowExec without a partition spec that is not fed by an
+    aggregation or limit.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployments: warning is cosmetic, never fail
 
 
 def configure_session(spark: SparkSession) -> SparkSession:
@@ -91,4 +116,5 @@ def configure_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.parquet.filterPushdown", "true")
     spark.conf.set("spark.sql.ansi.enabled", "true")
+    _silence_bounded_window_warning(spark)
     return spark

@@ -160,8 +160,12 @@ AUDITS: dict[str, list[str]] = {
     "events_psi_drift": ["partial", "codegen", "no_bnl", "pruned:3"],
     "emb_norm_outliers": ["broadcast", "partial", "no_bnl", "pruned:3"],
     # bloom probe must stay inside codegen (literal-array bit tests, no
-    # Python); the exact verify join broadcasts the tiny eval agg
-    "docs_bloom_decontaminate": ["broadcast", "partial", "no_bnl", "codegen"],
+    # Python). The exact verify join carries NO broadcast hint (r8): the
+    # eval-side aggregate is only bounded for realistic eval sets, so
+    # AQE decides broadcast-vs-shuffle from runtime stats; the static
+    # (audit-mode, AQE-off) plan is the shuffled-join fallback, and the
+    # rule asserts it stays a hash join on bloom-pruned candidates.
+    "docs_bloom_decontaminate": ["partial", "no_bnl", "codegen"],
     "events_zorder_layout": ["partial", "codegen", "no_bnl", "pruned:2"],
     # skew report crossJoins a broadcast 1-row totals aggregate — the BNL
     # is a constant-width fan-out (q22 exception), so no no_bnl rule
