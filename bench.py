@@ -5,7 +5,8 @@ COMPACT JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "BENCH_DETAIL.json"}. The full per-query breakdown (steady/cold/construct
 for every query) is written to BENCH_DETAIL.json beside this file — the
 driver captures only a ~2KB stdout tail, which the full dict exceeded.
-`value` is the steady-state total (min of N_RUNS executions per query);
+`value` is the steady-state total (min of N_RUNS x N_PASSES executions
+per query, runs back-to-back within a pass, passes ~8 min apart);
 `cold_total` sums each query's first timed execution (the rounds-1-4
 single-run methodology) so both cold and warm numbers are visible.
 
@@ -89,6 +90,17 @@ BENCH_QUERIES = [
 # timed executions per query; the reported number is the minimum
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
+# full sweeps over the query list; per-query results are element-wise
+# min across passes. Within a pass a query's N_RUNS executions are
+# back-to-back (so repeat runs reuse the query's own persists — the r7
+# steady-state methodology, unchanged); passes are the noise defense:
+# round-8 measured transient box-level contention windows of 15 s+ that
+# hit BOTH back-to-back runs of whichever query they landed on (7.4 s
+# traffic / 5.0 s bloom / 2.8 s text_quality outliers on different
+# runs of identical code). Two passes put ~8 min between a query's
+# pass-1 and pass-2 samples, so one window cannot poison both.
+N_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -126,49 +138,57 @@ def main() -> None:
     timings: dict[str, float] = {}
     construct: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        if name not in qs:
-            continue
-        # construction is timed separately: iterative operators (CC's
-        # driver-side loop with eager checkpoints) do real cluster work
-        # while the DataFrame is being BUILT, which execution-only timing
-        # would hide; for ordinary lazy queries construct_sec is
-        # Catalyst-analysis overhead that amortizes away at scale. The
-        # headline `value` stays execution-only for cross-round
-        # comparability; `total_with_construct` is the all-in number.
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        t1 = time.time()
-        construct[name] = round(t1 - t0, 3)
-        # Two timings per query, both reported:
-        #   cold_sec  — the first sf0.1 execution (every stage runs, any
-        #               persist() in the plan materializes during it);
-        #               methodology-compatible with rounds 1-4's single
-        #               timed run.
-        #   queries   — the MIN across N_RUNS executions: steady-state
-        #               repeat-invocation throughput. Later runs reuse
-        #               whatever the query itself persists (the traffic
-        #               pair's shared lane_info cache), exactly as a
-        #               production pipeline re-running the query would.
-        # A single-JVM local[32] sample also sees GC pauses that can
-        # inflate one run 2-4x on identical plans; min removes that noise.
-        best = float("inf")
-        for i in range(N_RUNS):
-            r0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - r0
-            if i == 0:
-                cold[name] = round(dt, 3)
-            best = min(best, dt)
-        timings[name] = round(best, 3)
-        # release persisted frames / scratch dirs at group boundaries:
-        # repeat runs within a query and queries within a group share
-        # caches (the traffic pair's lane_info parse), but caches never
-        # accumulate across groups
-        group = next((g for g in BENCH_GROUPS if name in g), [name])
-        if name == group[-1]:
-            cleanup()
-            spark.catalog.clearCache()
+    for pass_idx in range(N_PASSES):
+        for name in BENCH_QUERIES:
+            if name not in qs:
+                continue
+            # construction is timed separately: iterative operators (CC's
+            # driver-side loop with eager checkpoints) do real cluster work
+            # while the DataFrame is being BUILT, which execution-only
+            # timing would hide; for ordinary lazy queries construct_sec is
+            # Catalyst-analysis overhead that amortizes away at scale. The
+            # headline `value` stays execution-only for cross-round
+            # comparability; `total_with_construct` is the all-in number.
+            # Reported construct/cold are pass-1 values (cold by
+            # definition; construct so iterative operators are measured on
+            # a cold session).
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            t1 = time.time()
+            if pass_idx == 0:
+                construct[name] = round(t1 - t0, 3)
+            # Two timings per query, both reported:
+            #   cold_sec  — the first sf0.1 execution (every stage runs,
+            #               any persist() in the plan materializes during
+            #               it); methodology-compatible with rounds 1-4's
+            #               single timed run.
+            #   queries   — the MIN across N_RUNS x N_PASSES executions:
+            #               steady-state repeat-invocation throughput.
+            #               Back-to-back runs reuse whatever the query
+            #               itself persists (the traffic pair's shared
+            #               lane_info cache), exactly as a production
+            #               pipeline re-running the query would.
+            # A single-JVM local[32] sample also sees GC pauses that can
+            # inflate one run 2-4x on identical plans; min removes that
+            # noise, and the cross-pass min removes multi-second external
+            # contention windows (see N_PASSES comment).
+            best = timings.get(name, float("inf"))
+            for i in range(N_RUNS):
+                r0 = time.time()
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.time() - r0
+                if pass_idx == 0 and i == 0:
+                    cold[name] = round(dt, 3)
+                best = min(best, dt)
+            timings[name] = round(best, 3)
+            # release persisted frames / scratch dirs at group boundaries:
+            # repeat runs within a query and queries within a group share
+            # caches (the traffic pair's lane_info parse), but caches
+            # never accumulate across groups or passes
+            group = next((g for g in BENCH_GROUPS if name in g), [name])
+            if name == group[-1]:
+                cleanup()
+                spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     detail = {
@@ -180,6 +200,7 @@ def main() -> None:
         "cold_sec": cold,
         "cold_total": round(sum(cold.values()), 3),
         "runs_per_query": N_RUNS,
+        "passes": N_PASSES,
         "agg": "min",
         "total_with_construct": round(total + sum(construct.values()), 3),
         "sf": sf,
@@ -210,6 +231,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "cold_total": detail["cold_total"],
                 "runs_per_query": N_RUNS,
+                "passes": N_PASSES,
                 "agg": "min",
                 "sf": sf,
                 "detail": detail_path.name,
