@@ -21,6 +21,8 @@ handles moderate cases; rotate to multi-table LSH beyond that).
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -217,6 +219,45 @@ def lsh_topk(
     )
 
 
+def _nearest_centroid_expr(
+    code: list[tuple[int, list[float]]], vec_col: str
+) -> Column:
+    """Nearest-centroid id (by cosine, smallest id on ties) as a single
+    column expression over a LITERAL codebook — a pure map, no join, no
+    aggregate, no exchange.
+
+    ``code`` is the collected codebook [(cid, components), ...] —
+    bounded by the centroid count (a model artifact, like the Bloom
+    filter's bit array in ``bloom.py``), never corpus-sized.
+
+    Bit-parity notes: the vector norm is computed once and reused
+    across centroids (same double as recomputing per pair); each
+    centroid's norm is precomputed driver-side with the exact fold
+    ``norm`` runs (sequential sum of squares then sqrt — Python floats
+    are IEEE doubles and the op order is identical, so the literal is
+    bit-identical to the in-engine fold, which Catalyst would otherwise
+    re-evaluate per row: HOF aggregates are not constant-folded).
+    """
+    v = _to_double(F.col(vec_col))
+    nv = norm(v)
+    cands = []
+    for cid, comps in code:
+        cv = F.array(*[F.lit(x) for x in comps])
+        acc = 0.0
+        for x in comps:
+            acc = acc + x * x
+        ncv = math.sqrt(acc)
+        # same structure as cosine(): dot / (norm(v) * norm(c))
+        s = dot(v, cv) / (nv * F.lit(ncv))
+        cands.append(
+            F.struct(
+                s.alias("s"),
+                F.lit(-int(cid)).cast("bigint").alias("neg_cid"),
+            )
+        )
+    return -F.array_max(F.array(*cands))["neg_cid"]
+
+
 def assign_ivf_lists(
     embeddings: DataFrame,
     centroids: DataFrame,
@@ -228,31 +269,36 @@ def assign_ivf_lists(
     """Coarse quantization: nearest centroid per vector (by cosine,
     smallest centroid id on ties) -> inverted-list id.
 
-    Plan shape: broadcast the (always-small) centroid table, fan out
-    C rows per vector, map-side partial max collapses them immediately —
-    at 100 TB this is a single scan with no driver collect and no
-    full-size shuffle (the exchange carries one row per vector).
+    Plan shape (r8): the codebook is collected to the driver and
+    inlined as a literal array of (centroid, id) structs — bounded by
+    ``n_centroids`` (a model artifact, like the Bloom filter's bit
+    array in ``bloom.py``), never corpus-sized — and the nearest
+    centroid is an ``array_max`` over per-centroid cosine structs.
+    The assignment is therefore a PURE MAP: at 100 TB the corpus is
+    scanned once and never exchanged. (The previous shape broadcast
+    the codebook as a table, fanned out C rows per vector, and
+    collapsed them with a groupBy keyed on (id, vector) — map-side
+    partial max, but still a full-corpus shuffle carrying the vectors
+    as grouping keys.)
+
+    Bit-parity with the oracle is preserved: identical fold
+    expressions over identical doubles; the vector norm is computed
+    once and reused across centroids, which is the same double as
+    recomputing it per pair.
     """
-    c = F.broadcast(
-        centroids.select(
+    code = [
+        (int(r["_cid"]), [float(x) for x in r["_cv0"]])
+        for r in centroids.select(
             F.col(centroid_id_col).alias("_cid"),
             F.col(centroid_vec_col).alias("_cv0"),
         )
-    )
-    scored = embeddings.crossJoin(c).select(
+        .orderBy("_cid")
+        .collect()
+    ]
+    return embeddings.select(
         F.col(id_col),
         F.col(vec_col),
-        F.struct(
-            cosine(F.col(vec_col), F.col("_cv0")).alias("s"),
-            (-F.col("_cid")).alias("neg_cid"),
-        ).alias("_sc"),
-    )
-    return (
-        scored.groupBy(id_col, vec_col)
-        .agg(F.max("_sc").alias("_best"))
-        .select(
-            id_col, vec_col, (-F.col("_best.neg_cid")).alias("list_id")
-        )
+        _nearest_centroid_expr(code, vec_col).alias("list_id"),
     )
 
 
@@ -478,28 +524,22 @@ def _assign_to_centroids(
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """Nearest centroid by cosine (smallest cid on ties) — broadcast
-    fan-out + map-side struct-max collapse, same shape as
-    ``assign_ivf_lists``. ``centroids``: (cid, cv array)."""
-    c = F.broadcast(
-        centroids.select(F.col("cid").alias("_cid"), F.col("cv").alias("_cv"))
-    )
-    scored = embeddings.crossJoin(c).select(
+    """Nearest centroid by cosine (smallest cid on ties) — literal
+    codebook + ``array_max`` (``_nearest_centroid_expr``), a pure map
+    with no exchange, same shape as ``assign_ivf_lists``. The collect
+    is bounded by k and makes the k-means loop's existing per-iteration
+    driver sync explicit; it also resets plan lineage each round (the
+    previous broadcast fan-out + groupBy(id, vector) shape shuffled the
+    FULL corpus per iteration with the vectors as grouping keys).
+    ``centroids``: (cid, cv array)."""
+    code = [
+        (int(r["cid"]), [float(x) for x in r["cv"]])
+        for r in centroids.select("cid", "cv").orderBy("cid").collect()
+    ]
+    return embeddings.select(
         F.col(id_col),
         F.col(vec_col),
-        F.struct(
-            cosine(F.col(vec_col), F.col("_cv")).alias("s"),
-            (-F.col("_cid")).alias("neg_cid"),
-        ).alias("_sc"),
-    )
-    return (
-        scored.groupBy(id_col, vec_col)
-        .agg(F.max("_sc").alias("_best"))
-        .select(
-            id_col,
-            vec_col,
-            (-F.col("_best.neg_cid")).cast("bigint").alias("cluster"),
-        )
+        _nearest_centroid_expr(code, vec_col).alias("cluster"),
     )
 
 

@@ -47,7 +47,12 @@ AUDITS: dict[str, list[str]] = {
     "dedup_jaccard_pairs": ["no_bnl", "partial"],
     "sim_embedding_near_dup": ["no_bnl"],
     "sim_lsh_near_dup": ["no_bnl"],
-    "sim_ivf_topk": ["partial"],
+    # r8: list assignment is a pure map (literal codebook, array_max) —
+    # no aggregate exists to be partial, and the corpus is never
+    # exchanged before the candidate join. The two BNLs are the q22
+    # constant-width shapes (queries x 16-centroid probe fan-out), so
+    # no no_bnl rule; codegen pins the scan->assign->join pipeline.
+    "sim_ivf_topk": ["codegen", "pruned:2"],
     "top_customers_per_nation": ["pruned:5", "codegen", "no_bnl", "bounded_single_partition"],
     "q10_returned_items": ["broadcast", "partial", "no_bnl", "codegen"],
     "q19_disjunctive_predicates": ["broadcast", "partial", "no_bnl", "codegen"],
@@ -280,9 +285,10 @@ AUDITS: dict[str, list[str]] = {
     # in PLAN_AUDIT_EXEMPT) carries at least codegen [+ no_bnl where the
     # plan has no allow-listed constant-width broadcast crossJoin]. The 4
     # entries without no_bnl plan a deliberate BNL: sim_cosine_topk's
-    # brute-force broadcast crossJoin baseline, sim_kmeans_assign /
-    # docs_cluster_balanced_sample's broadcast centroid fan-out, and
-    # text_salient_terms' 1-row corpus-total broadcast.
+    # brute-force broadcast crossJoin baseline and text_salient_terms'
+    # 1-row corpus-total broadcast. (sim_kmeans_assign /
+    # docs_cluster_balanced_sample lost their centroid fan-out BNL in
+    # r8 — assignment is a literal-codebook map now, so no_bnl holds.)
     "starter_pipeline": ["no_bnl", "codegen"],
     "traffic_lane_info": ["no_bnl", "codegen", "partial"],
     "traffic_max_lane_flow_tumbling": ["no_bnl", "codegen", "partial"],
@@ -320,7 +326,12 @@ AUDITS: dict[str, list[str]] = {
     "sim_cosine_topk": ["codegen"],
     "sim_lsh_topk": ["no_bnl", "codegen"],
     "sim_semantic_dedup_clusters": ["no_bnl", "codegen"],
-    "sim_kmeans_assign": ["codegen", "partial"],
+    # r8: assignment is a literal-codebook pure map (the iteration
+    # aggregates run eagerly at construction behind localCheckpoint),
+    # so the final plan has no aggregate and — the point — no corpus
+    # exchange; no_bnl now holds too (the broadcast centroid fan-out
+    # is gone)
+    "sim_kmeans_assign": ["codegen", "no_bnl"],
     "sql_interface": ["no_bnl", "codegen", "partial"],
     "events_throttle": ["no_bnl", "codegen"],
     "q7_volume_shipping": ["no_bnl", "codegen", "partial"],
@@ -331,7 +342,8 @@ AUDITS: dict[str, list[str]] = {
     "events_lead_lag_ntile": ["no_bnl", "codegen", "bounded_single_partition"],
     "rollup_revenue": ["no_bnl", "codegen", "partial"],
     "docs_cap_per_source": ["no_bnl", "codegen", "bounded_single_partition"],
-    "docs_cluster_balanced_sample": ["codegen", "partial", "bounded_single_partition"],
+    # r8: same literal-codebook map shape as sim_kmeans_assign
+    "docs_cluster_balanced_sample": ["codegen", "no_bnl", "bounded_single_partition"],
     "tables_row_counts": ["no_bnl", "codegen", "partial"],
 }
 
