@@ -383,3 +383,61 @@ def test_random_projection_matches_numpy_reference(spark):
             sorted(np.float64(np.float32(vecs[1][j])) * sign(k, j) for j in range(d))
         ) / 8.0
         assert abs(got[(1, k)] - want) < 1e-12
+
+
+def test_ivf_assignment_tie_break_and_plan_shape(spark):
+    """r8 literal-codebook assignment: equidistant centroids resolve to
+    the smallest cid, and the plan is a pure map — no exchange, no
+    aggregate, no join (the previous broadcast-fan-out + groupBy shape
+    shuffled the full corpus with the vectors as grouping keys)."""
+    from dataflow_example_spark.functions.similarity import assign_ivf_lists
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [0.001, -0.002]), (2, [-1.0, 5.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    # two IDENTICAL centroids: every vector ties -> smallest cid (1)
+    cents = spark.createDataFrame(
+        [(3, [1.0, 0.0]), (1, [1.0, 0.0])], "cid bigint, cv array<double>"
+    )
+    out = assign_ivf_lists(emb, cents)
+    assert all(r.list_id == 1 for r in out.collect())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for node in ("Exchange", "HashAggregate", "Join"):
+        assert node not in plan, f"{node} in assignment plan:\n{plan}"
+
+
+def test_kmeans_assign_matches_pre_r8_fanout_shape(spark):
+    """The literal-codebook assignment must produce exactly what the
+    old broadcast-fan-out + struct-max collapse produced (same cosine
+    folds, same tie rule) — pinned by re-deriving the old shape inline
+    on the smoke embeddings."""
+    from dataflow_example_spark.functions.similarity import (
+        _assign_to_centroids,
+        cosine,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(200)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("bigint").alias("cid"),
+        F.col("embedding").alias("cv"),
+    )
+    new = {
+        r.vec_id: r.cluster
+        for r in _assign_to_centroids(emb, cents, "vec_id", "embedding").collect()
+    }
+    c = F.broadcast(
+        cents.select(F.col("cid").alias("_cid"), F.col("cv").alias("_cv"))
+    )
+    scored = emb.crossJoin(c).select(
+        "vec_id",
+        F.struct(
+            cosine(F.col("embedding"), F.col("_cv")).alias("s"),
+            (-F.col("_cid")).alias("neg_cid"),
+        ).alias("_sc"),
+    )
+    old = {
+        r.vec_id: -r["_best"]["neg_cid"]
+        for r in scored.groupBy("vec_id").agg(F.max("_sc").alias("_best")).collect()
+    }
+    assert new == old
