@@ -295,6 +295,14 @@ def assign_ivf_lists(
         .orderBy("_cid")
         .collect()
     ]
+    if not code:
+        # empty codebook: no vector is assignable — zero rows, same as
+        # the pre-r8 fan-out shape (empty crossJoin -> empty groupBy)
+        return embeddings.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.lit(None).cast("bigint").alias("list_id"),
+        ).where(F.lit(False))
     return embeddings.select(
         F.col(id_col),
         F.col(vec_col),
@@ -536,6 +544,13 @@ def _assign_to_centroids(
         (int(r["cid"]), [float(x) for x in r["cv"]])
         for r in centroids.select("cid", "cv").orderBy("cid").collect()
     ]
+    if not code:
+        # empty codebook -> zero rows (pre-r8 fan-out degenerate case)
+        return embeddings.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.lit(None).cast("bigint").alias("cluster"),
+        ).where(F.lit(False))
     return embeddings.select(
         F.col(id_col),
         F.col(vec_col),

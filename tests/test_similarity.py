@@ -441,3 +441,25 @@ def test_kmeans_assign_matches_pre_r8_fanout_shape(spark):
         for r in scored.groupBy("vec_id").agg(F.max("_sc").alias("_best")).collect()
     }
     assert new == old
+
+
+def test_ivf_and_kmeans_survive_empty_codebook(spark):
+    """Empty centroid table (e.g. empty corpus): assignment must degrade
+    to zero rows with the correct schema — the pre-r8 fan-out behavior —
+    not crash building array_max over an empty literal array (caught by
+    tools/empty_input_sweep.py on the r8 literal-codebook rewrite)."""
+    from dataflow_example_spark.functions.similarity import (
+        _assign_to_centroids,
+        assign_ivf_lists,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id bigint, embedding array<double>"
+    )
+    no_cents = spark.createDataFrame([], "cid bigint, cv array<double>")
+    lists = assign_ivf_lists(emb, no_cents)
+    assert lists.columns == ["vec_id", "embedding", "list_id"]
+    assert lists.count() == 0
+    clusters = _assign_to_centroids(emb, no_cents, "vec_id", "embedding")
+    assert clusters.columns == ["vec_id", "embedding", "cluster"]
+    assert clusters.count() == 0
