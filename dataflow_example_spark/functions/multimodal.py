@@ -46,6 +46,10 @@ def as_media_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.array(*[F.lit(t) for t in MEDIA_TYPES]),
         (F.col("doc_id") % 3).cast("int") + 1,
     )
+    # a NULL text has no payload to synthesize — no media row (the same
+    # header/empty NULL-and-drop contract as the traffic parse); the
+    # worker functions below additionally drop NULL payloads defensively
+    docs = docs.filter(F.col(text_col).isNotNull())
     return docs.select(
         "doc_id",
         mt.alias("media_type"),
@@ -62,6 +66,7 @@ def media_metadata(media: DataFrame) -> DataFrame:
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = pdf[pdf["payload"].notna()]  # NULL payloads: no media
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -88,6 +93,8 @@ def sample_frames(media: DataFrame, modulo: int = 5) -> DataFrame:
         for pdf in batches:
             ids, idxs, digests = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # NULL payloads: no frames
+                    continue
                 data = bytes(payload)
                 for i in range(len(data) % modulo + 1):
                     ids.append(doc_id)
@@ -126,6 +133,7 @@ def decode_media(media: DataFrame, allow_fake: bool = False) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = pdf[pdf["payload"].notna()]  # NULL payloads: no decode
             digests = pdf["payload"].map(
                 lambda b: hashlib.md5(bytes(b)).digest()
             )
@@ -157,6 +165,8 @@ def media_metadata_arrow(media: DataFrame) -> DataFrame:
 
     def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
+            if batch.column("payload").null_count:  # NULL payloads: drop
+                batch = batch.filter(batch.column("payload").is_valid())
             payloads = batch.column("payload")
             md5s = [
                 hashlib.md5(p.as_py()).hexdigest() for p in payloads
@@ -191,6 +201,7 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = pdf[pdf["payload"].notna()]  # NULL payloads: no features
             digests = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).digest())
             yield pd.DataFrame(
                 {

@@ -48,8 +48,58 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """``try_divide``, not ``/``: cosine of a zero-norm vector is
+    undefined and must degrade to NULL (the session's NULL-and-drop
+    contract), not an ANSI DIVIDE_BY_ZERO that kills the job — at corpus
+    scale zero-padded vectors are a certainty. For nonzero norms the
+    quotient is bit-identical to plain division, so oracle hashes are
+    unchanged; entry points additionally pre-filter with
+    ``valid_vectors`` so NaN/Inf components never reach a ranking."""
     da, db = _to_double(a), _to_double(b)
-    return dot(da, db) / (norm(da) * norm(db))
+    return F.try_divide(dot(da, db), norm(da) * norm(db))
+
+
+def vector_norm2(vec: Column) -> Column:
+    """Sum of squared components (double fold). NULL vector -> NULL;
+    NaN/Inf components propagate into the result, which is what the
+    validity predicates below test."""
+    return F.aggregate(
+        F.transform(_to_double(vec), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def finite_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """NULL-and-drop for vectors no numeric kernel can process: NULL,
+    empty, or containing NaN/±Inf (detected as a non-finite squared
+    norm). Zero vectors are KEPT — they are representable and meaningful
+    to e.g. quantization and centroid math. Clean corpora pass through
+    unchanged (the predicate is a cheap fused scan filter)."""
+    n2 = vector_norm2(F.col(vec_col))
+    return df.filter(
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) > 0)
+        & ~F.isnan(n2)
+        & (n2 < F.lit(float("inf")))
+    )
+
+
+def valid_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """``finite_vectors`` plus zero-norm rejection — the precondition for
+    every DIRECTION-based kernel (cosine similarity, sign-projection
+    buckets, nearest-centroid assignment), where a zero vector has no
+    defined direction. Applied at each similarity entry point so dirty
+    corpora degrade by dropping undefined rows instead of crashing the
+    job (tools/dirty_input_sweep.py pins this)."""
+    n2 = vector_norm2(F.col(vec_col))
+    return df.filter(
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) > 0)
+        & ~F.isnan(n2)
+        & (n2 > 0)
+        & (n2 < F.lit(float("inf")))
+    )
 
 
 def cosine_topk(
@@ -69,10 +119,10 @@ def cosine_topk(
     """
     from pyspark.sql.window import Window
 
-    q = queries.select(
+    q = valid_vectors(queries, vec_col).select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
-    c = embeddings.select(
+    c = valid_vectors(embeddings, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
     scored = (
@@ -190,12 +240,12 @@ def lsh_topk(
     """
     from pyspark.sql.window import Window
 
-    c = embeddings.select(
+    c = valid_vectors(embeddings, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
-    q = queries.select(
+    q = valid_vectors(queries, vec_col).select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
@@ -247,8 +297,10 @@ def _nearest_centroid_expr(
         for x in comps:
             acc = acc + x * x
         ncv = math.sqrt(acc)
-        # same structure as cosine(): dot / (norm(v) * norm(c))
-        s = dot(v, cv) / (nv * F.lit(ncv))
+        # same structure as cosine(): try_divide(dot, norm(v) * norm(c));
+        # callers pre-filter zero-norm vectors, the NULL degrade is the
+        # backstop (an all-NULL struct array still array_max's cleanly)
+        s = F.try_divide(dot(v, cv), nv * F.lit(ncv))
         cands.append(
             F.struct(
                 s.alias("s"),
@@ -286,9 +338,11 @@ def assign_ivf_lists(
     once and reused across centroids, which is the same double as
     recomputing it per pair.
     """
+    embeddings = valid_vectors(embeddings, vec_col)
     code = [
         (int(r["_cid"]), [float(x) for x in r["_cv0"]])
-        for r in centroids.select(
+        for r in valid_vectors(centroids, centroid_vec_col)
+        .select(
             F.col(centroid_id_col).alias("_cid"),
             F.col(centroid_vec_col).alias("_cv0"),
         )
@@ -336,6 +390,7 @@ def ivf_topk(
     """
     from pyspark.sql.window import Window
 
+    embeddings = valid_vectors(embeddings, vec_col)
     centroids = embeddings.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
     )
@@ -343,7 +398,7 @@ def ivf_topk(
     lists = assign_ivf_lists(embeddings, centroids, id_col, vec_col)
 
     # Each query's n_probe nearest centroids (same fan-out/collapse shape).
-    q = queries.select(
+    q = valid_vectors(queries, vec_col).select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
     probe_w = Window.partitionBy("query_id").orderBy(
@@ -403,6 +458,7 @@ def lsh_near_dup_pairs(
     the O(N^2) cross join with a self-join on the bucket key. Recall < 1
     (cross-bucket near-dups are missed, as in any single-table LSH);
     rotate to multi-table LSH for higher recall."""
+    embeddings = valid_vectors(embeddings, vec_col)
     b = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
@@ -474,6 +530,7 @@ def multi_lsh_near_dup_pairs(
             F.col(vec_col), n_planes, dim, plane_offset=t * n_planes
         )
 
+    embeddings = valid_vectors(embeddings, vec_col)
     b = embeddings.select(
         F.col(id_col),
         F.explode(
@@ -542,7 +599,10 @@ def _assign_to_centroids(
     ``centroids``: (cid, cv array)."""
     code = [
         (int(r["cid"]), [float(x) for x in r["cv"]])
-        for r in centroids.select("cid", "cv").orderBy("cid").collect()
+        for r in valid_vectors(centroids, "cv")
+        .select("cid", "cv")
+        .orderBy("cid")
+        .collect()
     ]
     if not code:
         # empty codebook -> zero rows (pre-r8 fan-out degenerate case)
@@ -581,7 +641,9 @@ def kmeans_assign(
     work deterministic; library callers can loop until assignments stop
     changing exactly as connected_components checks labels.
     """
-    emb = embeddings.select(F.col(id_col), F.col(vec_col))
+    emb = valid_vectors(embeddings, vec_col).select(
+        F.col(id_col), F.col(vec_col)
+    )
     centroids = emb.filter(F.col(id_col) < k).select(
         F.col(id_col).cast("bigint").alias("cid"), F.col(vec_col).alias("cv")
     )
@@ -654,7 +716,7 @@ def label_centroids(
     """
     from .numerics import fixed_point_sum
 
-    comp = embeddings.select(
+    comp = finite_vectors(embeddings, vec_col).select(
         F.col(label_col).alias("label"),
         F.posexplode(F.col(vec_col)).alias("pos", "_v"),
     )
@@ -709,9 +771,9 @@ def center_by_label(
             }
         )
 
-    return embeddings.select(id_col, label_col, vec_col).groupBy(
-        label_col
-    ).applyInPandas(center, out_schema)
+    return finite_vectors(embeddings, vec_col).select(
+        id_col, label_col, vec_col
+    ).groupBy(label_col).applyInPandas(center, out_schema)
 
 
 def center_by_label_native(
@@ -723,6 +785,7 @@ def center_by_label_native(
     """Native twin of ``center_by_label``: centroid via plain avg per
     (label, pos), broadcast join back, zip_with subtract. No group
     materialization — the scale path for huge groups."""
+    embeddings = finite_vectors(embeddings, vec_col)
     comp = embeddings.select(
         F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "_v")
     )
@@ -761,6 +824,7 @@ def cosine_near_dup_pairs(
     join; TEST-ONLY recall verifier for the bucketed paths
     (``lsh_near_dup_pairs``, ``multi_lsh_near_dup_pairs``). Never ship
     corpus-wide."""
+    embeddings = valid_vectors(embeddings, vec_col)
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
@@ -790,8 +854,12 @@ def quantize_int8(
     Emits the max absolute reconstruction error per vector (bounded by
     scale/2), the quantity capacity planning needs.
 
-    One linear codegen scan, no shuffle, no Python.
+    One linear codegen scan, no shuffle, no Python. NaN/Inf components
+    make the quantization grid itself undefined (scale = NaN/Inf), so
+    such vectors are dropped (``finite_vectors``); zero vectors are kept
+    per the scale-0 contract above.
     """
+    embeddings = finite_vectors(embeddings, vec_col)
     v = _to_double(F.col(vec_col))
     max_abs = F.array_max(F.transform(v, F.abs))
     scale = max_abs / F.lit(127.0)

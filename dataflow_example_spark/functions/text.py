@@ -45,14 +45,17 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "n_chars",
         F.size("_t").cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct("_t")).cast("bigint").alias("n_distinct_tokens"),
-        (
-            F.aggregate("_t", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
-            .cast("double")
-            / F.size("_t")
+        # try_divide: zero-token documents get NULL ratios (NULL-and-drop)
+        # instead of ANSI DIVIDE_BY_ZERO
+        F.try_divide(
+            F.aggregate(
+                "_t", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+            ).cast("double"),
+            F.size("_t"),
         ).alias("avg_token_len"),
-        (F.size(F.array_distinct("_t")).cast("double") / F.size("_t")).alias(
-            "type_token_ratio"
-        ),
+        F.try_divide(
+            F.size(F.array_distinct("_t")).cast("double"), F.size("_t")
+        ).alias("type_token_ratio"),
     )
 
 
@@ -316,9 +319,13 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     out = g.select(
         "doc_id",
         F.size("_t").cast("bigint").alias("n_tokens"),
+        # try_divide: zero-token documents have no defined duplicate
+        # fraction -> NULL (the keep verdict below then also NULLs)
         (
             F.lit(1.0)
-            - F.size(F.array_distinct("_t")).cast("double") / F.size("_t")
+            - F.try_divide(
+                F.size(F.array_distinct("_t")).cast("double"), F.size("_t")
+            )
         ).alias("dup_token_frac"),
         F.coalesce(top, F.lit(0)).cast("bigint").alias("top_bigram_count"),
         F.when(F.size("_g") > 0, top.cast("double") / F.size("_g"))

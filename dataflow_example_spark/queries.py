@@ -51,6 +51,17 @@ def dec(col: str):
     return F.col(col).cast(DEC)
 
 
+def is_finite(c) -> "F.Column":
+    """TRUE iff the double column holds a finite value (not NULL / NaN /
+    ±Inf). The guard for bucketization and log/floor assemblies whose
+    ANSI casts crash on non-finite inputs — a 100 TB corpus is
+    guaranteed to contain them (tools/dirty_input_sweep.py pins each
+    use). NULL input yields NULL, which filters/`when`s treat as
+    false."""
+    d = c.cast("double")
+    return ~F.isnan(d) & (F.abs(d) < F.lit(float("inf")))
+
+
 # ---------------------------------------------------------------- reference
 
 
@@ -848,12 +859,16 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.createOrReplaceTempView("events_variant_v")
     return spark.sql(
         """
+        -- try_parse_json + try_cast: malformed props (or a non-numeric
+        -- k) degrade to NULLs the aggregates skip, not a FAILFAST
+        -- MALFORMED_RECORD_IN_PARSING / ANSI cast error
         SELECT event_type,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(parse_json(props):k::int AS DECIMAL(18,6)))
+               CAST(SUM(CAST(TRY_CAST(try_parse_json(props):k AS INT)
+                             AS DECIMAL(18,6)))
                     AS DOUBLE) AS sum_k,
-               MIN(parse_json(props):k::int) AS min_k,
-               MAX(parse_json(props):k::int) AS max_k
+               MIN(TRY_CAST(try_parse_json(props):k AS INT)) AS min_k,
+               MAX(TRY_CAST(try_parse_json(props):k AS INT)) AS max_k
         FROM events_variant_v
         GROUP BY event_type
         """
@@ -871,9 +886,10 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size(pieces).cast("bigint").alias("n_bpe_tokens"),
-        (F.length("text").cast("double") / F.size(pieces)).alias(
-            "chars_per_token"
-        ),
+        # try_divide: an empty document has zero pieces -> NULL ratio
+        F.try_divide(
+            F.length("text").cast("double"), F.size(pieces)
+        ).alias("chars_per_token"),
     )
 
 
@@ -1729,15 +1745,19 @@ def lineitem_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         sx="_sx", sy="_sy", sxy="_sxy", sxx="_sx2", syy="_sy2"
     )
     n = F.col("n").cast("double")
+    # try_divide on both statistics: a degenerate group (n=1, or constant
+    # x/y) leaves corr/stddev undefined -> NULL, not a job-killing ANSI
+    # DIVIDE_BY_ZERO; quotients are unchanged whenever defined
     return g.select(
         "l_returnflag",
         "n",
-        (dec_int_to_double(num)
-         / F.sqrt(dec_int_to_double(den_x) * dec_int_to_double(den_y))
-         ).alias("corr_qty_price"),
-        F.sqrt(dec_int_to_double(den_x) / (n * (n - F.lit(1.0)))).alias(
-            "stddev_qty"
-        ),
+        F.try_divide(
+            dec_int_to_double(num),
+            F.sqrt(dec_int_to_double(den_x) * dec_int_to_double(den_y)),
+        ).alias("corr_qty_price"),
+        F.sqrt(
+            F.try_divide(dec_int_to_double(den_x), n * (n - F.lit(1.0)))
+        ).alias("stddev_qty"),
     )
 
 
@@ -2046,9 +2066,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supply = (
         l.groupBy("l_partkey", "l_suppkey")
         .agg(
-            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
-                "supply_cost"
-            )
+            # try_divide: a zero-quantity line (data corruption at scale)
+            # degrades to a NULL unit price that min() skips, instead of
+            # an ANSI DIVIDE_BY_ZERO killing the scan
+            F.min(
+                F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))
+            ).alias("supply_cost")
         )
     )
     eu = (
@@ -2441,7 +2464,13 @@ def events_interval_overlap_count(spark: SparkSession, sf_dir: str) -> DataFrame
     key; no global sort."""
     from pyspark.sql.window import Window
 
-    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    # finite-duration guard: a NaN/Inf value has no interval end (the
+    # round->long cast would ANSI-overflow); NULL-and-drop the event
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "value")
+        .filter(is_finite(F.col("value")))
+    )
     end_ts = F.timestamp_millis(
         F.unix_millis(F.col("ts"))
         + F.round(F.col("value") * 1000).cast("long")
@@ -2475,8 +2504,11 @@ def docs_quality_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_alnum = F.length(
         F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
     )
-    mean_wl = n_alnum.cast("double") / n_words
-    distinct_ratio = F.size(F.array_distinct(t)).cast("double") / n_words
+    # try_divide: zero-token documents get NULL ratios -> rule fails
+    mean_wl = F.try_divide(n_alnum.cast("double"), n_words)
+    distinct_ratio = F.try_divide(
+        F.size(F.array_distinct(t)).cast("double"), n_words
+    )
     flags = d.select(
         F.when(F.col("n_chars") >= 100, 1).otherwise(0).alias("min_chars"),
         F.when(F.col("n_chars") <= 400, 1).otherwise(0).alias("max_chars"),
@@ -3282,9 +3314,14 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     probabilities are exact decimals, only the final ln/multiply is
     float."""
     ev = load(spark, sf_dir, "events")
-    b = F.least(
-        F.greatest(F.floor(F.col("value") / 50).cast("int"), F.lit(0)),
-        F.lit(9),
+    # non-finite values get a NULL bucket (their own report row) rather
+    # than an ANSI CAST_OVERFLOW from floor(Inf) -> Long.MAX -> int
+    b = F.when(
+        is_finite(F.col("value")),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 50).cast("int"), F.lit(0)),
+            F.lit(9),
+        ),
     )
     tagged = ev.select(
         "event_type",
@@ -3339,9 +3376,12 @@ def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda a, x: a + x,
     )
+    # keep zero-norm vectors (zero-pads are exactly what this gate must
+    # surface) but drop NaN/Inf norms — they poison the decimal moment
+    # sums; is_finite(NULL)=NULL also drops NULL-vector rows here
     norms = emb.select(
         "vec_id", "label", F.sqrt(sq_fold).alias("norm")
-    )
+    ).filter(is_finite(F.col("norm")))
     stats = norms.groupBy("label").agg(
         (fixed_point_sum(F.col("norm")) / F.count(F.lit(1))).alias(
             "mean_norm"
@@ -3351,8 +3391,11 @@ def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("_m2"),
     )
-    z = (F.col("norm") - F.col("mean_norm")) / F.sqrt(
-        F.col("_m2") - F.col("mean_norm") * F.col("mean_norm")
+    # try_divide: a label whose norms are all identical (e.g. a single
+    # member) has zero variance -> z undefined -> NULL -> not an outlier
+    z = F.try_divide(
+        F.col("norm") - F.col("mean_norm"),
+        F.sqrt(F.col("_m2") - F.col("mean_norm") * F.col("mean_norm")),
     )
     return (
         norms.join(F.broadcast(stats), "label")
@@ -4487,8 +4530,11 @@ def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "event_type",
             F.hour("ts").alias("hour"),
-            F.least(
-                F.floor(F.col("value") / 50).cast("int"), F.lit(9)
+            # NULL bucket for non-finite values (its own equivalence
+            # class) instead of an ANSI overflow on floor(Inf) -> int
+            F.when(
+                is_finite(F.col("value")),
+                F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9)),
             ).alias("value_bucket"),
         )
         .groupBy("event_type", "hour", "value_bucket")
@@ -4524,19 +4570,20 @@ def events_weekend_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # condition number grows ~sqrt(n) — measured kappa up to 4.3e3 at
     # sf0.1, at the gate's ~4.5e3 canonicalization threshold — so every
     # wide sum must reach double bit-identically on both engines.
-    m_we = _wd(F.col("s_we"), 6) / F.col("n_we").cast("double")
-    m_wd = _wd(F.col("s_wd"), 6) / F.col("n_wd").cast("double")
-    var_we = (
-        _wd(F.col("q_we"), 12) / F.col("n_we").cast("double")
-        - m_we * m_we
-    )
-    var_wd = (
-        _wd(F.col("q_wd"), 12) / F.col("n_wd").cast("double")
-        - m_wd * m_wd
-    )
-    t_stat = (m_we - m_wd) / F.sqrt(
-        var_we / F.col("n_we").cast("double")
-        + var_wd / F.col("n_wd").cast("double")
+    # try_divide throughout: a type with no weekend (or no weekday)
+    # events, or zero variance on both sides, leaves the statistic
+    # undefined -> NULL rather than an ANSI DIVIDE_BY_ZERO
+    n_we_d = F.col("n_we").cast("double")
+    n_wd_d = F.col("n_wd").cast("double")
+    m_we = F.try_divide(_wd(F.col("s_we"), 6), n_we_d)
+    m_wd = F.try_divide(_wd(F.col("s_wd"), 6), n_wd_d)
+    var_we = F.try_divide(_wd(F.col("q_we"), 12), n_we_d) - m_we * m_we
+    var_wd = F.try_divide(_wd(F.col("q_wd"), 12), n_wd_d) - m_wd * m_wd
+    t_stat = F.try_divide(
+        m_we - m_wd,
+        F.sqrt(
+            F.try_divide(var_we, n_we_d) + F.try_divide(var_wd, n_wd_d)
+        ),
     )
     return agg.select(
         "event_type",
@@ -4675,7 +4722,10 @@ def events_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         v / F.pow(F.lit(10.0), F.floor(F.log10(v)))
     ).cast("int")
     obs = (
-        ev.filter(v > 0)
+        # finite guard: NaN compares greater-than-everything in Spark, so
+        # `v > 0` alone admits NaN (whose floor lands digit 0 -> a 1/0
+        # in the benford_share expression); Inf likewise
+        ev.filter((v > 0) & is_finite(v))
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("observed"))
@@ -4990,9 +5040,11 @@ def emb_label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     group holds its whole corpus slice, so the former sorted
     collect-fold was an OOM at 100 TB."""
     from .functions.numerics import fixed_point_sum
-    from .functions.similarity import cosine, label_centroids
+    from .functions.similarity import cosine, label_centroids, valid_vectors
 
-    emb = load(spark, sf_dir, "embeddings")
+    # direction-based metric: zero-norm / NaN vectors have no cosine to
+    # any centroid — NULL-and-drop them before scoring
+    emb = valid_vectors(load(spark, sf_dir, "embeddings"))
     cents = (
         label_centroids(emb)
         .groupBy("label")
@@ -5165,8 +5217,13 @@ def events_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         _wd(F.col("S"), 6) * _wd(F.col("S"), 6)
     ) / F.col("N").cast("double")
     ssw = _wd(F.col("Q"), 12) - F.col("ssb_raw")
-    f_stat = (ssb / (F.col("k").cast("double") - F.lit(1.0))) / (
-        ssw / (F.col("N").cast("double") - F.col("k").cast("double"))
+    # try_divide at every stage: k=1 (no between-groups df), N=k (no
+    # within df), or zero within-variance each leave F undefined -> NULL
+    f_stat = F.try_divide(
+        F.try_divide(ssb, F.col("k").cast("double") - F.lit(1.0)),
+        F.try_divide(
+            ssw, F.col("N").cast("double") - F.col("k").cast("double")
+        ),
     )
     return t.select(
         "event_type",
@@ -5212,9 +5269,14 @@ def events_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact; -sum(p ln p) folds through exact decimal terms so the float
     result is engine-identical."""
     ev = load(spark, sf_dir, "events")
-    b = F.least(
-        F.greatest(F.floor(F.col("value") / 50).cast("int"), F.lit(0)),
-        F.lit(9),
+    # NULL bucket for non-finite values (counted as its own bucket)
+    # instead of an ANSI overflow on floor(Inf) -> int
+    b = F.when(
+        is_finite(F.col("value")),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 50).cast("int"), F.lit(0)),
+            F.lit(9),
+        ),
     )
     counts = ev.groupBy("event_type", b.alias("bucket")).agg(
         F.count(F.lit(1)).alias("c")
@@ -5338,10 +5400,12 @@ def events_hourly_variance_explained(spark: SparkSession, sf_dir: str) -> DataFr
         _wd(F.col("S"), 6) * _wd(F.col("S"), 6)
     ) / F.col("N").cast("double")
     ssw = _wd(F.col("Q"), 12) - F.col("ssb_raw")
+    # try_divide: a type whose values are all identical has SST=0 and no
+    # defined R^2 -> NULL
     return t.select(
         "event_type",
         F.col("N").alias("n_obs"),
-        (F.lit(1.0) - ssw / sst).alias("variance_explained"),
+        (F.lit(1.0) - F.try_divide(ssw, sst)).alias("variance_explained"),
     )
 
 
@@ -6525,9 +6589,11 @@ def emb_1nn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-int divisions."""
     from pyspark.sql.window import Window
 
-    from .functions.similarity import cosine
+    from .functions.similarity import cosine, valid_vectors
 
-    emb = load(spark, sf_dir, "embeddings")
+    # 1-NN by cosine is direction-based: drop zero-norm/NaN vectors so a
+    # NaN similarity can never outrank every real neighbor
+    emb = valid_vectors(load(spark, sf_dir, "embeddings"))
     probes = emb.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
