@@ -102,6 +102,41 @@ def valid_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def valid_with_norm(
+    df: DataFrame, vec_col: str = "embedding", norm_col: str = "_vnorm"
+) -> DataFrame:
+    """``valid_vectors`` with the guard's squared-norm fold REUSED as the
+    cosine denominator: emits ``norm_col = sqrt(sum x^2)`` alongside the
+    surviving rows, so downstream pair scoring divides by two precomputed
+    per-ROW norms instead of folding both norms per PAIR.
+
+    Why (r9 guard A/B, tools/guard_ab.py at sf0.1): the separate-pass
+    guard cost +10-19% on the similarity family while the no-guard
+    controls moved ±6% — the cost is real, so the validity fold is fused
+    into the scan projection here and the norm is hoisted above the
+    join, removing 2 of the 3 per-pair folds (dot + 2 norms -> dot).
+
+    Bit-parity: ``sqrt(n2)`` per row is the identical double ``norm``
+    computes per pair (same ``_to_double`` + sequential fold), and IEEE
+    multiplication is commutative, so every downstream cosine is
+    bit-identical to the unfused expression and oracle hashes are
+    unchanged.
+    """
+    n2 = vector_norm2(F.col(vec_col))
+    return (
+        df.withColumn("_n2", n2)
+        .filter(
+            F.col(vec_col).isNotNull()
+            & (F.size(F.col(vec_col)) > 0)
+            & ~F.isnan(F.col("_n2"))
+            & (F.col("_n2") > 0)
+            & (F.col("_n2") < F.lit(float("inf")))
+        )
+        .withColumn(norm_col, F.sqrt(F.col("_n2")))
+        .drop("_n2")
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -115,15 +150,19 @@ def cosine_topk(
     ``queries``: (query_id, embedding). Plan: broadcast queries x full scan
     -> per-(query, candidate) cosine -> row_number window -> k. Both
     engines compute bit-identical doubles (pinned fold order), so the raw
-    cosine is comparable; ties break on candidate id.
+    cosine is comparable; ties break on candidate id. Norms are computed
+    once per ROW (``valid_with_norm``, fused with the validity guard) and
+    reused across all pairs — per-pair work is the dot fold only.
     """
     from pyspark.sql.window import Window
 
-    q = valid_vectors(queries, vec_col).select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    q = valid_with_norm(queries, vec_col, "_qn").select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        "_qn",
     )
-    c = valid_vectors(embeddings, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    c = valid_with_norm(embeddings, vec_col, "_cn").select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "_cn"
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -131,7 +170,10 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_qv"), F.col("_cv")).alias("cosine_sim"),
+            F.try_divide(
+                dot(_to_double(F.col("_qv")), _to_double(F.col("_cv"))),
+                F.col("_qn") * F.col("_cn"),
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -240,14 +282,16 @@ def lsh_topk(
     """
     from pyspark.sql.window import Window
 
-    c = valid_vectors(embeddings, vec_col).select(
+    c = valid_with_norm(embeddings, vec_col, "_cn").select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
+        "_cn",
         lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
-    q = valid_vectors(queries, vec_col).select(
+    q = valid_with_norm(queries, vec_col, "_qn").select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        "_qn",
         lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     scored = (
@@ -256,7 +300,10 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("_qv"), F.col("_cv")).alias("cosine_sim"),
+            F.try_divide(
+                dot(_to_double(F.col("_qv")), _to_double(F.col("_cv"))),
+                F.col("_qn") * F.col("_cn"),
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -270,11 +317,22 @@ def lsh_topk(
 
 
 def _nearest_centroid_expr(
-    code: list[tuple[int, list[float]]], vec_col: str
+    code: list[tuple[int, list[float]]],
+    vec_col: str,
+    norm_col: str | None = None,
 ) -> Column:
     """Nearest-centroid id (by cosine, smallest id on ties) as a single
     column expression over a LITERAL codebook — a pure map, no join, no
-    aggregate, no exchange.
+    aggregate, no exchange. ``norm_col`` names a precomputed per-row
+    vector norm (``valid_with_norm``) to reuse instead of folding it
+    here — same double either way.
+
+    NULL gate (r9, ADVICE): if the BEST candidate's similarity is NULL —
+    every centroid cosine degraded, e.g. a wrong-dimension vector whose
+    ``zip_with`` dot is NULL against the whole codebook, or an all-
+    degenerate codebook — the assignment is NULL, not the smallest
+    centroid id the struct tie-break used to fall into. Callers treat
+    NULL as "unassignable" (join keys drop it; kmeans filters it).
 
     ``code`` is the collected codebook [(cid, components), ...] —
     bounded by the centroid count (a model artifact, like the Bloom
@@ -289,7 +347,7 @@ def _nearest_centroid_expr(
     re-evaluate per row: HOF aggregates are not constant-folded).
     """
     v = _to_double(F.col(vec_col))
-    nv = norm(v)
+    nv = F.col(norm_col) if norm_col is not None else norm(v)
     cands = []
     for cid, comps in code:
         cv = F.array(*[F.lit(x) for x in comps])
@@ -301,13 +359,27 @@ def _nearest_centroid_expr(
         # callers pre-filter zero-norm vectors, the NULL degrade is the
         # backstop (an all-NULL struct array still array_max's cleanly)
         s = F.try_divide(dot(v, cv), nv * F.lit(ncv))
+        # the NULL gate lives INSIDE each candidate struct: ``cid`` is
+        # NULL when that candidate's similarity is NULL, so the winner's
+        # cid is already gated and the result below reads array_max
+        # exactly ONCE. (Gating the final expression instead — when(
+        # best.s.isNotNull(), ...) — references the array_max twice, and
+        # Spark's subexpression elimination does not hoist conditional
+        # branches: the 16-centroid scoring array was evaluated twice
+        # per row, measured as a 2x assignment slowdown at sf0.1.)
+        # Struct ordering is unchanged: (s, neg_cid) decide the max —
+        # neg_cid is unique per candidate, so the trailing cid field is
+        # never consulted by the comparison.
         cands.append(
             F.struct(
                 s.alias("s"),
                 F.lit(-int(cid)).cast("bigint").alias("neg_cid"),
+                F.when(
+                    s.isNotNull(), F.lit(int(cid)).cast("bigint")
+                ).alias("cid"),
             )
         )
-    return -F.array_max(F.array(*cands))["neg_cid"]
+    return F.array_max(F.array(*cands))["cid"]
 
 
 def assign_ivf_lists(
@@ -317,6 +389,7 @@ def assign_ivf_lists(
     vec_col: str = "embedding",
     centroid_id_col: str = "cid",
     centroid_vec_col: str = "cv",
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Coarse quantization: nearest centroid per vector (by cosine,
     smallest centroid id on ties) -> inverted-list id.
@@ -338,10 +411,20 @@ def assign_ivf_lists(
     once and reused across centroids, which is the same double as
     recomputing it per pair.
     """
-    embeddings = valid_vectors(embeddings, vec_col)
+    # ``norm_col``: the embeddings already passed ``valid_with_norm`` and
+    # carry their norm — skip the second guard pass and reuse the fold.
+    if norm_col is None:
+        embeddings = valid_vectors(embeddings, vec_col)
+    # Degenerate (zero-norm) centroids STAY in the codebook (r9, ADVICE):
+    # their cosine is NULL (denominator 0 -> try_divide) so they can
+    # never win the array_max, which preserves the pre-r8 fan-out
+    # shape's behavior exactly — the zero-row path below is reserved for
+    # a truly empty codebook. Non-finite/NULL/empty centroids must still
+    # be dropped (``finite_vectors``): a NaN similarity sorts GREATEST
+    # and would hijack every assignment.
     code = [
         (int(r["_cid"]), [float(x) for x in r["_cv0"]])
-        for r in valid_vectors(centroids, centroid_vec_col)
+        for r in finite_vectors(centroids, centroid_vec_col)
         .select(
             F.col(centroid_id_col).alias("_cid"),
             F.col(centroid_vec_col).alias("_cv0"),
@@ -349,18 +432,19 @@ def assign_ivf_lists(
         .orderBy("_cid")
         .collect()
     ]
+    keep = [F.col(id_col), F.col(vec_col)] + (
+        [F.col(norm_col)] if norm_col is not None else []
+    )
     if not code:
         # empty codebook: no vector is assignable — zero rows, same as
         # the pre-r8 fan-out shape (empty crossJoin -> empty groupBy)
         return embeddings.select(
-            F.col(id_col),
-            F.col(vec_col),
+            *keep,
             F.lit(None).cast("bigint").alias("list_id"),
         ).where(F.lit(False))
     return embeddings.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _nearest_centroid_expr(code, vec_col).alias("list_id"),
+        *keep,
+        _nearest_centroid_expr(code, vec_col, norm_col).alias("list_id"),
     )
 
 
@@ -390,16 +474,23 @@ def ivf_topk(
     """
     from pyspark.sql.window import Window
 
-    embeddings = valid_vectors(embeddings, vec_col)
+    embeddings = valid_with_norm(embeddings, vec_col, "_en")
     centroids = embeddings.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
     )
 
-    lists = assign_ivf_lists(embeddings, centroids, id_col, vec_col)
+    # embeddings already carry their validity-fused norm — the list
+    # assignment reuses it (no second guard pass, no per-row norm fold)
+    # and passes it through for the re-rank below.
+    lists = assign_ivf_lists(
+        embeddings, centroids, id_col, vec_col, norm_col="_en"
+    )
 
     # Each query's n_probe nearest centroids (same fan-out/collapse shape).
-    q = valid_vectors(queries, vec_col).select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    q = valid_with_norm(queries, vec_col, "_qn").select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        "_qn",
     )
     probe_w = Window.partitionBy("query_id").orderBy(
         F.desc("_cs"), F.asc("_cid")
@@ -415,24 +506,33 @@ def ivf_topk(
         .select(
             "query_id",
             "_qv",
+            "_qn",
             "_cid",
-            cosine(F.col("_qv"), F.col("_cv0")).alias("_cs"),
+            F.try_divide(
+                dot(_to_double(F.col("_qv")), _to_double(F.col("_cv0"))),
+                F.col("_qn") * norm(_to_double(F.col("_cv0"))),
+            ).alias("_cs"),
         )
         .withColumn("_pr", F.row_number().over(probe_w))
         .filter(F.col("_pr") <= n_probe)
-        .select("query_id", "_qv", F.col("_cid").alias("list_id"))
+        .select("query_id", "_qv", "_qn", F.col("_cid").alias("list_id"))
     )
 
     # Candidates: vectors in any probed list. The query side is tiny ->
     # broadcast; the join key is list_id, so only probed lists are read
     # when the list assignment is materialized partitioned by list_id.
+    # Per-pair work is the dot fold only: both norms were computed once
+    # per row upstream (valid_with_norm / lists passthrough).
     scored = (
         lists.join(F.broadcast(probes), "list_id")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            cosine(F.col("_qv"), F.col(vec_col)).alias("cosine_sim"),
+            F.try_divide(
+                dot(_to_double(F.col("_qv")), _to_double(F.col(vec_col))),
+                F.col("_qn") * F.col("_en"),
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -458,10 +558,10 @@ def lsh_near_dup_pairs(
     the O(N^2) cross join with a self-join on the bucket key. Recall < 1
     (cross-bucket near-dups are missed, as in any single-table LSH);
     rotate to multi-table LSH for higher recall."""
-    embeddings = valid_vectors(embeddings, vec_col)
-    b = embeddings.select(
+    b = valid_with_norm(embeddings, vec_col, "_n").select(
         F.col(id_col),
         F.col(vec_col),
+        "_n",
         lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     a, c = b.alias("a"), b.alias("b")
@@ -473,12 +573,15 @@ def lsh_near_dup_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             F.col(f"a.{vec_col}").alias("_va"),
             F.col(f"b.{vec_col}").alias("_vb"),
+            F.col("a._n").alias("_na"),
+            F.col("b._n").alias("_nb"),
         )
     )
     # Arrow prefilter + pinned-fold emit, same epsilon-band contract as
     # multi_lsh_near_dup_pairs: values come from the sequential fold (so
     # the oracle hash matches), the interpreted HOF only runs on pairs
-    # the vectorized pass could not safely exclude.
+    # the vectorized pass could not safely exclude — and that fold is
+    # the dot only, the norms were computed once per row upstream.
     eps = 1e-9 * max(abs(threshold), 1.0)
     return (
         pairs.withColumn("_fast", cosine_fast("_va", "_vb"))
@@ -486,7 +589,10 @@ def lsh_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"),
+            F.try_divide(
+                dot(_to_double(F.col("_va")), _to_double(F.col("_vb"))),
+                F.col("_na") * F.col("_nb"),
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -596,10 +702,17 @@ def _assign_to_centroids(
     driver sync explicit; it also resets plan lineage each round (the
     previous broadcast fan-out + groupBy(id, vector) shape shuffled the
     FULL corpus per iteration with the vectors as grouping keys).
-    ``centroids``: (cid, cv array)."""
+    ``centroids``: (cid, cv array).
+
+    Degenerate (zero-norm) centroids stay in the codebook — their NULL
+    cosine never wins — matching the pre-r8 fan-out shape (r9, ADVICE);
+    only non-finite/NULL/empty centroids are dropped (a NaN similarity
+    would sort greatest and hijack the assignment). A vector whose BEST
+    similarity is NULL (wrong dimension, or every centroid degenerate)
+    gets cluster NULL; callers drop or isolate those rows."""
     code = [
         (int(r["cid"]), [float(x) for x in r["cv"]])
-        for r in valid_vectors(centroids, "cv")
+        for r in finite_vectors(centroids, "cv")
         .select("cid", "cv")
         .orderBy("cid")
         .collect()
@@ -684,7 +797,16 @@ def kmeans_assign(
             .select(F.col("cluster").alias("cid"), "cv")
         )
 
-    assigned = _assign_to_centroids(emb, centroids, id_col, vec_col)
+    def assign(cents: DataFrame) -> DataFrame:
+        # NULL assignments (wrong-dimension vectors vs the codebook) are
+        # dropped here so a dirty row can neither seed a NULL-cid
+        # centroid in update() nor appear in the returned clustering —
+        # the session's NULL-and-drop degrade, pinned by the dirty sweep.
+        return _assign_to_centroids(emb, cents, id_col, vec_col).filter(
+            F.col("cluster").isNotNull()
+        )
+
+    assigned = assign(centroids)
     for _ in range(iters - 1):
         new_centroids = update(assigned)
         # empty clusters vanish from `means`; keep their previous centroid
@@ -692,7 +814,7 @@ def kmeans_assign(
         centroids = new_centroids.unionByName(kept).localCheckpoint(
             eager=True
         )
-        assigned = _assign_to_centroids(emb, centroids, id_col, vec_col)
+        assigned = assign(centroids)
     return assigned.select(id_col, "cluster")
 
 
