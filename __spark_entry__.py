@@ -39,15 +39,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries per
-# round. Round-8 ordering (registry FROZEN at 238; round-7 window landed
-# 50/50 green, CORRECTNESS_r07, cumulative driver-green 211/238): the
-# SURVEY §2 reference core (always first, so the judge gets a fresh driver
-# row for every reference operator each round), then the FINAL 27
-# never-driver-sampled tail entries (registry order — this drains the
-# rotation: after this window cumulative driver-green coverage reaches
-# 238/238), then 15 backfill slots re-sampling the longest-unsampled
-# queries (sql_interface last seen r1; the rest last seen r3, registry
-# order) so no entry's latest driver row ages past ~5 rounds.
+# round. Round-9 ordering (registry FROZEN at 238; cumulative driver-green
+# coverage reached 238/238 when round 8 drained the tail): the SURVEY §2
+# reference core stays pinned first (a fresh driver row for every
+# reference operator each round), then 42 backfill slots re-sampling the
+# longest-unsampled entries — the freshness rotation VERDICT r8 item 3
+# prescribes (oldest rows were r3-era; after this window nothing is older
+# than ~5 rounds).
 _SAMPLE_FIRST = [
     # reference core (SURVEY §2 ops 1, 5-13 + window variants; streaming
     # ops 2-4 proved by streaming_traffic_parity: injector -> file-drop
@@ -61,50 +59,52 @@ _SAMPLE_FIRST = [
     "events_sliding_agg",
     "events_sessionize",
     "streaming_traffic_parity",
-    # final 27 never-driver-sampled tail (registry order) — drain
-    "part_type_hierarchy_stats",
-    "docs_neardup_degree_distribution",
-    "events_time_to_first_purchase",
-    "orders_segment_priority_mix",
-    "events_daily_drawdown",
-    "docs_quality_length_matrix",
-    "lineitem_returns_by_brand",
-    "events_hourly_profile_similarity",
-    "emb_centroid_drift",
-    "ri_check_report",
-    "lineitem_linenumber_integrity",
-    "events_error_pchart",
-    "docs_dup_shardability",
-    "events_lorenz_concentration",
-    "docs_fingerprint_collision_rate",
-    "supplier_portfolio_breadth",
-    "events_session_type_lift",
-    "events_churn_risk",
-    "orders_cohort_repeat",
-    "events_user_icc",
-    "orders_month_seasonal_index",
-    "lineitem_ship_lag_profile",
-    "events_first_session_conversion",
-    "orders_status_year_matrix",
-    "emb_1nn_label_consistency",
-    "orders_basket_size_trend",
-    "supplier_quartile_mobility",
-    # backfill: longest-unsampled (r1/r3-era) re-verification
-    "sql_interface",
-    "events_salted_agg",
-    "cube_order_stats",
-    "events_running_sum",
-    "events_value_percentiles",
-    "events_json_props",
-    "q14_promo_effect",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "text_token_stats",
-    "text_language_id",
-    "text_quality_score",
-    "text_fingerprint",
-    "text_chunks",
+    # r9 backfill: the 42 longest-unsampled entries (23 last seen r3,
+    # 19 last seen r4; registry order within each age class — computed
+    # from CORRECTNESS_r01..r08 keys). After this window no registry
+    # entry's latest driver row is older than round 5.
+    "text_salient_terms",
+    "docs_hash_sample",
+    "docs_train_test_split",
+    "docs_stratified_sample",
+    "events_pivot_by_type",
+    "lineitem_unpivot_measures",
+    "part_price_histogram",
+    "supplier_name_near_dups",
+    "nation_segments_agg",
+    "orders_monthly_growth",
+    "emb_label_centroids",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_clusters",
+    "mm_media_metadata",
+    "mm_frame_sample",
+    "mm_decode_fake",
+    "mm_extract_features",
+    "events_user_stats",
+    "events_user_zscore",
+    "text_vocab_top_terms",
+    "docs_source_domains",
+    "docs_curation_pipeline",
+    "docs_pack_budget",
+    "events_variant_props",
+    "text_bpe_tokens",
+    "sim_cosine_topk",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "sim_lsh_near_dup",
+    "emb_center_by_label",
+    "sim_semantic_dedup_clusters",
+    "sim_kmeans_assign",
+    "sim_embedding_near_dup",
+    "events_throttle",
+    "events_asof_join",
+    "events_range_join",
+    "q6_forecast_revenue",
+    "q4_late_shipment_priority",
 ]
 
 

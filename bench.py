@@ -138,6 +138,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     construct: dict[str, float] = {}
     cold: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for pass_idx in range(N_PASSES):
         for name in BENCH_QUERIES:
             if name not in qs:
@@ -179,6 +180,7 @@ def main() -> None:
                 dt = time.time() - r0
                 if pass_idx == 0 and i == 0:
                     cold[name] = round(dt, 3)
+                samples.setdefault(name, []).append(round(dt, 3))
                 best = min(best, dt)
             timings[name] = round(best, 3)
             # release persisted frames / scratch dirs at group boundaries:
@@ -191,6 +193,14 @@ def main() -> None:
                 spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+
+    def med(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return round(
+            s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2, 3
+        )
+
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -202,6 +212,28 @@ def main() -> None:
         "runs_per_query": N_RUNS,
         "passes": N_PASSES,
         "agg": "min",
+        # per-query spread across ALL N_RUNS x N_PASSES samples: min-agg
+        # hides tail regressions and made r8's +-20% per-query jitter
+        # unadjudicable (VERDICT r8 item 7) — `value` stays min for
+        # cross-round comparability, the spread makes noise visible.
+        "spread": {
+            n: {"min": min(xs), "med": med(xs), "max": max(xs)}
+            for n, xs in samples.items()
+        },
+        # methodology history (ADVICE r8, bench.py): execution-only
+        # `value`s are comparable across rounds WITHIN a version; when
+        # work moves between construction and execution, compare
+        # total_with_construct / cold_total instead.
+        #   v1 (r1-r4): single timed run per query.
+        #   v2 (r7):    N_RUNS back-to-back, min-agg, warm-up pass.
+        #   v3 (r8):    x N_PASSES ~8 min apart, element-wise min. NOTE:
+        #               r8 also moved sim_ivf_topk's centroid collect
+        #               from execution into construction (literal
+        #               codebook), so its r7->r8 `value` delta is partly
+        #               methodology — construct_sec carries it.
+        #   v4 (r9):    per-query min/med/max spread added; construction
+        #               cost itself reduced (SQL-string plan building).
+        "methodology_version": 4,
         "total_with_construct": round(total + sum(construct.values()), 3),
         "sf": sf,
     }
@@ -233,6 +265,7 @@ def main() -> None:
                 "runs_per_query": N_RUNS,
                 "passes": N_PASSES,
                 "agg": "min",
+                "methodology_version": 4,
                 "sf": sf,
                 "detail": detail_path.name,
             }

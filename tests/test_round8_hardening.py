@@ -55,11 +55,14 @@ def test_kappa_probe_gate_fails_on_unhardened_over_threshold(monkeypatch):
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
     import kappa_probe
 
-    # the shipped probes are all hardened -> allowlisted at import time
-    assert kappa_probe.HARDENED == frozenset(kappa_probe.PROBES)
+    # HARDENED is an EXPLICIT literal (r9, ADVICE): a probe added to the
+    # source is NOT automatically exempt — the old frozenset(PROBES)
+    # made the gate tautological. It must stay a strict subset contract:
+    # every hardened name corresponds to a real probe.
+    assert kappa_probe.HARDENED <= frozenset(kappa_probe.PROBES)
 
-    # a NEW over-threshold assembly (added after import, so not in the
-    # frozen allowlist) must flip the exit code to 1
+    # a NEW over-threshold assembly (not in the literal allowlist — the
+    # default for anything a developer adds) must flip the exit code to 1
     monkeypatch.setattr(
         kappa_probe,
         "PROBES",
@@ -77,6 +80,35 @@ def test_kappa_probe_gate_fails_on_unhardened_over_threshold(monkeypatch):
         {"new_safe_assembly": lambda con: 1.0},
     )
     assert kappa_probe.main() == 0
+
+
+def test_kappa_probe_detects_removed_portable_cast(monkeypatch):
+    """Mutation test (VERDICT r8 item 5): hardened assemblies' regression
+    vector is someone stripping the portable cast from the query source
+    (kappa itself is intrinsic conditioning and cannot regress). Mutate a
+    hardened query to a marker-free body and the gate must exit 1."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import kappa_probe
+
+    # current source: every hardened query carries its marker
+    assert kappa_probe.hardening_markers_missing() == []
+
+    def mutated_query(spark, sf_dir):
+        # simulates the regression: statistic rebuilt with plain casts
+        return None
+
+    monkeypatch.setitem(q.QUERIES, "lineitem_corr_stats", mutated_query)
+    assert kappa_probe.hardening_markers_missing() == ["lineitem_corr_stats"]
+
+    # and the gate surfaces it as exit 1 even when every kappa passes
+    monkeypatch.setattr(
+        kappa_probe, "PROBES", {"new_safe_assembly": lambda con: 1.0}
+    )
+    monkeypatch.setattr(sys, "argv", ["kappa_probe.py", "--sf", SF_SMOKE])
+    assert kappa_probe.main() == 1
 
 
 def test_bloom_decontaminate_has_no_forced_broadcast(spark):

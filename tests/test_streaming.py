@@ -1043,3 +1043,147 @@ def test_drain_raises_on_timeout_and_stops_query(spark, tmp_path):
     finally:
         if q.isActive:
             q.stop()
+
+
+def test_kafka_contract_via_injected_reader(spark, tmp_path, monkeypatch):
+    """Embedded-broker-free Kafka contract test (VERDICT r8 item 6): a
+    fake DataStreamReader records the option assembly and substitutes a
+    REAL file-backed stream carrying Kafka's wire schema at load(), so
+    every line of sources/kafka.py executes — option chaining, the
+    binary->string value cast, ingest_ts projection, and the full
+    traffic_stream_kafka graph wiring — except the JVM-side
+    format("kafka") source instantiation itself (which needs the
+    connector jar this sandbox cannot fetch)."""
+    import datetime
+
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from dataflow_example_spark.sources import kafka as K
+
+    # Kafka wire schema (what readStream.format("kafka").load() yields)
+    wire = StructType(
+        [
+            StructField("key", BinaryType()),
+            StructField("value", BinaryType()),
+            StructField("topic", StringType()),
+            StructField("partition", IntegerType()),
+            StructField("offset", LongType()),
+            StructField("timestamp", TimestampType()),
+            StructField("timestampType", IntegerType()),
+        ]
+    )
+    src = tmp_path / "topic"
+    src.mkdir()
+
+    def mkline(ts, station):
+        f = [ts, station, "d3", "ML", ".5", "100"]
+        for i in range(8):
+            f += [str(30 + i), "0.01", str(60 + i), "0", "0"]
+        f += ["p1", "p2", "p3"]
+        return ",".join(f)
+
+    t0 = datetime.datetime(2011, 1, 1, 0, 0, 0)
+    rows = [
+        (
+            None,
+            mkline("01/01/2011 00:00:00", "1100310").encode(),
+            "traffic",
+            0,
+            0,
+            t0,
+            0,
+        ),
+        (
+            None,
+            mkline("01/01/2011 00:01:00", "1100311").encode(),
+            "traffic",
+            0,
+            1,
+            t0,
+            0,
+        ),
+    ]
+    spark.createDataFrame(rows, wire).write.mode("overwrite").parquet(
+        str(src)
+    )
+
+    recorded: dict[str, object] = {}
+    # build the substitute stream with the REAL reader before patching
+    # (the patched property would otherwise intercept our own call)
+    wire_stream = spark.readStream.schema(wire).parquet(str(src))
+
+    class FakeReader:
+        def format(self, fmt):
+            recorded["format"] = fmt
+            return self
+
+        def option(self, k, v):
+            recorded[k] = v
+            return self
+
+        def load(self):
+            return wire_stream
+
+    monkeypatch.setattr(
+        type(spark), "readStream", property(lambda self: FakeReader())
+    )
+
+    # option assembly: every knob lands on the reader
+    df = K.stream_kafka(
+        spark,
+        "broker1:9092,broker2:9092",
+        "traffic",
+        starting_offsets="latest",
+        min_partitions=64,
+    )
+    assert recorded == {
+        "format": "kafka",
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "traffic",
+        "startingOffsets": "latest",
+        "minPartitions": 64,
+    }
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["value", "ingest_ts"]
+    assert df.schema["value"].dataType.simpleString() == "string"
+
+    # include_ingest_ts=False drops the broker timestamp projection
+    slim = K.stream_kafka(spark, "b:9092", "t", include_ingest_ts=False)
+    assert [f.name for f in slim.schema.fields] == ["value"]
+
+    # the source contract carries real ROWS: drain the stateless
+    # (value, ingest_ts) stream and check the binary payloads decoded
+    sink = (
+        df.writeStream.format("memory")
+        .queryName("kafka_contract_lines")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lines"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sink.awaitTermination(120)
+    lines = spark.sql("SELECT * FROM kafka_contract_lines").collect()
+    assert len(lines) == 2
+    assert {ln["value"].split(",")[1] for ln in lines} == {
+        "1100310",
+        "1100311",
+    }
+    assert all(ln["ingest_ts"] == t0 for ln in lines)
+
+    # full graph wiring: traffic_stream_kafka builds the streaming
+    # window/max/format graph over the injected source — same 10-column
+    # contract as the file-drop variant. (Append-mode EMISSION semantics
+    # of that shared graph are pinned by streaming_traffic_parity; only
+    # the source line differs here, and its row path was proven above.)
+    out = K.traffic_stream_kafka(spark, "broker1:9092", "traffic")
+    assert out.isStreaming
+    assert len(out.columns) == 10
+    assert "station_id" in out.columns and "window_timestamp" in out.columns

@@ -206,10 +206,59 @@ PROBES = {
 
 # Assemblies already hardened with portable casts (pearson_exact_parts /
 # dec_wide_to_double in functions/numerics.py) and proven bit-identical
-# across engines at sf0.1 (ORACLES_LOCAL_r7_SF01.txt). Kappa is
-# informational for these; a probe NOT listed here that measures over
-# THRESHOLD fails the gate (exit 1) until it is hardened and added.
-HARDENED = frozenset(PROBES)
+# across engines at sf0.1 (ORACLES_LOCAL_r7_SF01.txt). An EXPLICIT
+# literal list (r9, ADVICE: the old `frozenset(PROBES)` was tautological
+# — any probe added to the source was automatically exempt, so the gate
+# could never fire in real use). A developer adding a probe without
+# updating this list gets the unhardened failure by default.
+#
+# What the gate asserts per class:
+#   - not in HARDENED and kappa > THRESHOLD: exit 1 — a new assembly
+#     that needs the portable-cast treatment before it can ship.
+#   - in HARDENED: kappa is INTRINSIC conditioning of the statistic —
+#     hardening makes both engines feed the assembly bit-identical
+#     inputs, it cannot lower kappa, so an over-threshold kappa here is
+#     expected and informational. The regression that CAN happen is
+#     someone removing the portable cast from the query — so for every
+#     hardened assembly the gate asserts the registry query's source
+#     still references a numerics portable-cast helper (exit 1 when the
+#     marker disappears). Bit-identity itself is re-proven every round
+#     by the sf0.1 oracle gate.
+HARDENED = frozenset(
+    {
+        "events_weekend_ttest",
+        "events_dow_anova",
+        "events_hourly_variance_explained",
+        "events_user_icc",
+        "lineitem_corr_stats",
+        "lineitem_brand_price_qty_corr",
+    }
+)
+
+# evidence of the portable-cast hardening in a query's source (queries.py
+# imports dec_wide_to_double as _wd; the Pearson pair uses
+# pearson_exact_parts + dec_int_to_double)
+_MARKER = __import__("re").compile(
+    r"_wd\(|dec_wide_to_double|dec_int_to_double|pearson_exact_parts"
+)
+
+
+def hardening_markers_missing() -> list[str]:
+    """Hardened probes whose registry query no longer shows a portable-
+    cast helper in its source — the concrete regression vector."""
+    import inspect
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from dataflow_example_spark.queries import QUERIES
+
+    missing = []
+    for name in sorted(HARDENED):
+        fn = QUERIES.get(name)
+        if fn is None or not _MARKER.search(inspect.getsource(fn)):
+            missing.append(name)
+    return missing
 
 
 def main() -> int:
@@ -222,7 +271,7 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * "
             f"FROM read_parquet('{args.sf}/{t}.parquet')"
         )
-    failed = []
+    needs_hardening = []
     for name, probe in PROBES.items():
         k = probe(con)
         flag = (
@@ -230,20 +279,27 @@ def main() -> int:
             else "warn" if k > WARN else "ok"
         )
         if k > THRESHOLD and name not in HARDENED:
-            failed.append(name)
+            needs_hardening.append(name)
         hardened = " (hardened)" if name in HARDENED else ""
         print(f"{flag:>14}  {name}  kappa={k:.3g}{hardened}")
+    unhardened_sources = hardening_markers_missing()
     print(
         f"\n(threshold {THRESHOLD:.3g} = gate canonicalization 1e-12 / "
-        "2.2e-16 ulp; assemblies in HARDENED use portable casts — "
-        "engines bit-identical — so kappa is informational for those; "
-        "an over-threshold probe NOT in HARDENED fails this gate with "
-        "exit 1 until it is hardened and added to the list)"
+        "2.2e-16 ulp; kappa is the statistic's intrinsic conditioning — "
+        "hardening cannot lower it, so HARDENED rows over threshold are "
+        "expected and informational. Gate fails (exit 1) on: an "
+        "over-threshold probe NOT in HARDENED [harden with portable "
+        "casts, prove bit-identity, add to the list], or a HARDENED "
+        "query whose source lost its portable-cast helper.)"
     )
-    if failed:
-        print(f"FAIL: unhardened over-threshold probes: {failed}")
-        return 1
-    return 0
+    if unhardened_sources:
+        print(
+            "FAIL: hardened assemblies lost their portable-cast marker: "
+            f"{unhardened_sources}"
+        )
+    if needs_hardening:
+        print(f"FAIL: unhardened over-threshold probes: {needs_hardening}")
+    return 1 if (unhardened_sources or needs_hardening) else 0
 
 
 if __name__ == "__main__":
