@@ -412,9 +412,10 @@ def connected_components(
     edges: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
-    max_iters: int = 20,
+    max_iters: int = 64,
     checkpoint_dir: str | None = None,
     on_nonconverged: str = "raise",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pair edges -> (doc_id,
     cluster_id = min doc_id in component). The step that turns pairwise
@@ -440,7 +441,17 @@ def connected_components(
 
     If ``max_iters`` is exhausted before convergence the labels are WRONG
     (components split). ``on_nonconverged`` controls the response:
-    "raise" (default) / "warn" / "ignore".
+    "raise" (default) / "warn" / "ignore". Rounds needed ~ log2(component
+    diameter) + 1 (each round is one hop then one pointer jump); the
+    default 64 therefore covers any diameter a real corpus can produce
+    (2^60+) while converged graphs still exit after their log-diameter
+    rounds — measured on synthetic path graphs in
+    tools/scale_smoke_cc_chain.py (the r9 pathological-chain smoke: a
+    1M-edge single chain converges in 20 rounds, which the old default
+    of 20 could NOT accommodate with its +1 confirm round).
+
+    ``stats``, when a dict is passed, receives {"rounds": int,
+    "converged": bool} for smoke/observability tooling.
     """
     if on_nonconverged not in ("raise", "warn", "ignore"):
         raise ValueError(f"bad on_nonconverged: {on_nonconverged!r}")
@@ -469,7 +480,9 @@ def connected_components(
         ).select(F.col("src").alias("id"), "label")
     )
     converged = False
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
             .groupBy("src")
@@ -512,6 +525,9 @@ def connected_components(
         if changed == 0:
             converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     if not converged:
         msg = (
             f"connected_components did not converge in {max_iters} rounds; "
