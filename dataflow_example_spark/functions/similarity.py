@@ -70,19 +70,34 @@ def vector_norm2(vec: Column) -> Column:
     )
 
 
+def _all_finite(vec: Column) -> Column:
+    """Element-wise finiteness: no NULL/NaN/±Inf component. Equivalent to
+    'the squared-norm fold is finite' for ``array<float>`` inputs (the
+    engine's embedding type: 64 float32 squares sum to < 7.4e78, far from
+    double overflow) but evaluated as a short-circuiting ``exists`` with
+    no multiplies — and, critically, WITHOUT the fold expression, so
+    Catalyst's filter pushdown cannot clone an O(dim) fold into the scan
+    predicate three times (isnan / >0 / <inf each carried their own copy
+    in the old squared-norm-based guard; HOFs are CodegenFallback, so
+    interpreted and not CSE'd). Caveat for array<double> callers:
+    components >= ~1e154 keep their row (norm overflows to Inf ->
+    try_divide degrades that pair to 0/NULL) where the fold-based guard
+    dropped it — document at the call site if doubles ever flow in.
+    A NULL ELEMENT makes the exists predicate NULL -> NOT NULL is NULL
+    -> the row is dropped, matching the old fold's NULL propagation."""
+    return ~F.exists(
+        vec, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+
+
 def finite_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """NULL-and-drop for vectors no numeric kernel can process: NULL,
-    empty, or containing NaN/±Inf (detected as a non-finite squared
-    norm). Zero vectors are KEPT — they are representable and meaningful
-    to e.g. quantization and centroid math. Clean corpora pass through
-    unchanged (the predicate is a cheap fused scan filter)."""
-    n2 = vector_norm2(F.col(vec_col))
-    return df.filter(
-        F.col(vec_col).isNotNull()
-        & (F.size(F.col(vec_col)) > 0)
-        & ~F.isnan(n2)
-        & (n2 < F.lit(float("inf")))
-    )
+    empty, or containing NULL/NaN/±Inf components. Zero vectors are KEPT
+    — they are representable and meaningful to e.g. quantization and
+    centroid math. Clean corpora pass through unchanged (the predicate
+    is a cheap fused scan filter)."""
+    v = F.col(vec_col)
+    return df.filter(v.isNotNull() & (F.size(v) > 0) & _all_finite(v))
 
 
 def valid_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -91,14 +106,16 @@ def valid_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     buckets, nearest-centroid assignment), where a zero vector has no
     defined direction. Applied at each similarity entry point so dirty
     corpora degrade by dropping undefined rows instead of crashing the
-    job (tools/dirty_input_sweep.py pins this)."""
-    n2 = vector_norm2(F.col(vec_col))
+    job (tools/dirty_input_sweep.py pins this). The nonzero test is an
+    ``exists`` (first nonzero component wins — O(1) on real data), not
+    a squared-norm fold; -0.0 components count as zero (IEEE -0.0 ==
+    0.0), matching the old n2 > 0 check exactly."""
+    v = F.col(vec_col)
     return df.filter(
-        F.col(vec_col).isNotNull()
-        & (F.size(F.col(vec_col)) > 0)
-        & ~F.isnan(n2)
-        & (n2 > 0)
-        & (n2 < F.lit(float("inf")))
+        v.isNotNull()
+        & (F.size(v) > 0)
+        & _all_finite(v)
+        & F.exists(v, lambda x: x != 0)
     )
 
 
@@ -121,19 +138,16 @@ def valid_with_norm(
     multiplication is commutative, so every downstream cosine is
     bit-identical to the unfused expression and oracle hashes are
     unchanged.
+
+    The guard itself is the element-wise ``valid_vectors`` predicate
+    (exists/short-circuit, no fold) and the norm fold lives ONLY in the
+    projection — evaluated exactly once per surviving row. (The first
+    r9 shape filtered on a projected n2 column; Catalyst substituted the
+    alias and pushed the predicate below the projection, cloning the
+    O(dim) fold into the interpreted Filter three times.)
     """
-    n2 = vector_norm2(F.col(vec_col))
-    return (
-        df.withColumn("_n2", n2)
-        .filter(
-            F.col(vec_col).isNotNull()
-            & (F.size(F.col(vec_col)) > 0)
-            & ~F.isnan(F.col("_n2"))
-            & (F.col("_n2") > 0)
-            & (F.col("_n2") < F.lit(float("inf")))
-        )
-        .withColumn(norm_col, F.sqrt(F.col("_n2")))
-        .drop("_n2")
+    return valid_vectors(df, vec_col).withColumn(
+        norm_col, F.sqrt(vector_norm2(F.col(vec_col)))
     )
 
 
