@@ -210,10 +210,37 @@ def hyperplane(plane_id: int, dim: int) -> list[float]:
     ]
 
 
-def lsh_bucket(vec: Column, n_planes: int, dim: int, plane_offset: int = 0) -> Column:
+def lsh_bucket(
+    vec: Column | str, n_planes: int, dim: int, plane_offset: int = 0
+) -> Column:
     """Sign-random-projection bucket id: bit p = (vec . plane_{offset+p}) >= 0.
     ``plane_offset`` selects a disjoint plane set per LSH table (multi-table
-    LSH uses offsets 0, n_planes, 2*n_planes, ...)."""
+    LSH uses offsets 0, n_planes, 2*n_planes, ...).
+
+    Pass the column NAME (str) on hot constructors: the whole
+    n_planes x dim expression then assembles as one JVM-parsed SQL
+    string (same py4j-cost reasoning as ``_nearest_centroid_expr`` —
+    the Column-object form makes a py4j round trip per literal). The
+    Column path stays for ad-hoc/expression callers; both parse to the
+    identical tree (IF vs CASE WHEN differ only in surface syntax for
+    a two-branch conditional; repr(float)+'D' round-trips each plane
+    component exactly)."""
+    if isinstance(vec, str):
+        v = f"transform(`{vec}`, x -> CAST(x AS DOUBLE))"
+        terms = ["CAST(0 AS BIGINT)"]
+        for p in range(n_planes):
+            plane = "array(" + ",".join(
+                f"{x!r}D" for x in hyperplane(plane_offset + p, dim)
+            ) + ")"
+            dot_s = (
+                f"aggregate(zip_with({v}, {plane}, (x, y) -> x * y), "
+                f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+            terms.append(
+                f"IF({dot_s} >= CAST(0 AS DOUBLE), "
+                f"CAST({2 ** p} AS BIGINT), CAST(0 AS BIGINT))"
+            )
+        return F.expr("(" + " + ".join(terms) + ")")
     v = _to_double(vec)
     acc = F.lit(0).cast("bigint")
     for p in range(n_planes):
@@ -300,13 +327,13 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         "_cn",
-        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        lsh_bucket(vec_col, n_planes, dim).alias("bucket"),
     )
     q = valid_with_norm(queries, vec_col, "_qn").select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         "_qn",
-        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        lsh_bucket(vec_col, n_planes, dim).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -591,7 +618,7 @@ def lsh_near_dup_pairs(
         F.col(id_col),
         F.col(vec_col),
         "_n",
-        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+        lsh_bucket(vec_col, n_planes, dim).alias("bucket"),
     )
     a, c = b.alias("a"), b.alias("b")
     pairs = (
@@ -662,7 +689,7 @@ def multi_lsh_near_dup_pairs(
                 vec_col, n_planes, dim, plane_offset=t * n_planes
             )
         return lsh_bucket(
-            F.col(vec_col), n_planes, dim, plane_offset=t * n_planes
+            vec_col, n_planes, dim, plane_offset=t * n_planes
         )
 
     embeddings = valid_vectors(embeddings, vec_col)
