@@ -308,21 +308,23 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFram
     the sign of sum over tokens of (+1 if bit j of hash32(token) else -1)."""
     toks = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
     hashed = toks.select("doc_id", _hash32(F.col("tok")).alias("h"))
+    # string-built aggregates/assembly, same py4j-cost reasoning as
+    # minhash_signatures (bits x (shiftright+and+case) Column objects
+    # were hundreds of driver round trips; the parsed trees are
+    # identical: IF vs two-branch CASE WHEN is surface syntax only)
     bit_sums = hashed.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"s{j}")
+            F.expr(
+                f"sum(IF((shiftright(h, {j}) & 1) = 1, 1, -1)) AS s{j}"
+            )
             for j in range(bits)
         ]
     )
-    sig = sum(
-        F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+    sig = " + ".join(
+        f"IF(s{j} > 0, CAST({2 ** j} AS BIGINT), CAST(0 AS BIGINT))"
         for j in range(bits)
     )
-    return bit_sums.select("doc_id", sig.alias("simhash"))
+    return bit_sums.selectExpr("doc_id", f"({sig}) AS simhash")
 
 
 def simhash_pairs(
