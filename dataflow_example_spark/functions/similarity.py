@@ -70,6 +70,21 @@ def vector_norm2(vec: Column) -> Column:
     )
 
 
+def _dlit(x: float) -> str:
+    """Render a Python float as a SQL DOUBLE literal. ``repr`` round-trips
+    finite doubles exactly (same value as ``F.lit(float)``), but renders
+    non-finite floats as ``inf``/``nan`` which the SQL parser rejects as
+    ``infD``/``nanD`` — those fall back to a CAST-from-string literal the
+    parser accepts (r10, ADVICE: a centroid whose Python-side sum of
+    squares overflows must degrade at runtime like the old ``F.lit(inf)``
+    path did, not raise AnalysisException at plan build)."""
+    if math.isfinite(x):
+        return f"{x!r}D"
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    return f"CAST('{'Infinity' if x > 0 else '-Infinity'}' AS DOUBLE)"
+
+
 def _all_finite(vec: Column) -> Column:
     """Element-wise finiteness: no NULL/NaN/±Inf component. Equivalent to
     'the squared-norm fold is finite' for ``array<float>`` inputs (the
@@ -109,7 +124,16 @@ def valid_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     job (tools/dirty_input_sweep.py pins this). The nonzero test is an
     ``exists`` (first nonzero component wins — O(1) on real data), not
     a squared-norm fold; -0.0 components count as zero (IEEE -0.0 ==
-    0.0), matching the old n2 > 0 check exactly."""
+    0.0). Exact-equivalent to the old ``n2 > 0`` check for the engine's
+    ``array<float>`` type (float32 squares can't underflow a double
+    accumulator to 0 nor overflow it). For ``array<double>`` callers it
+    diverges in BOTH directions: components >= ~1e154 keep their row
+    where the fold overflowed to Inf (see ``_all_finite``), and a
+    vector of tiny (< ~1.5e-162) components whose squared-norm
+    underflows to exactly 0 is now KEPT with ``norm_col = 0.0`` — its
+    cosines degrade to NULL via ``try_divide`` and sort last
+    (``desc NULLS LAST``) instead of the row being dropped, so NULL
+    similarity rows can appear below real ones in top-k output."""
     v = F.col(vec_col)
     return df.filter(
         v.isNotNull()
@@ -221,10 +245,15 @@ def lsh_bucket(
     n_planes x dim expression then assembles as one JVM-parsed SQL
     string (same py4j-cost reasoning as ``_nearest_centroid_expr`` —
     the Column-object form makes a py4j round trip per literal). The
-    Column path stays for ad-hoc/expression callers; both parse to the
-    identical tree (IF vs CASE WHEN differ only in surface syntax for
-    a two-branch conditional; repr(float)+'D' round-trips each plane
-    component exactly)."""
+    Column path stays for ad-hoc/expression callers; the two forms are
+    VALUE-equal (pinned by
+    ``test_lsh_bucket_string_and_column_forms_agree``;
+    repr(float)+'D' round-trips each plane component exactly) but NOT
+    tree-identical: SQL ``IF`` parses to Catalyst ``If`` while
+    ``F.when().otherwise()`` builds ``CaseWhen``, so canonicalized-plan
+    equality (exchange/cache reuse) does not hold across mixed forms —
+    both sides of a bucket join must use the SAME form (both shipped
+    join paths use the string form)."""
     if isinstance(vec, str):
         v = f"transform(`{vec}`, x -> CAST(x AS DOUBLE))"
         terms = ["CAST(0 AS BIGINT)"]
@@ -404,36 +433,63 @@ def _nearest_centroid_expr(
         )
     cands = []
     for cid, comps in code:
-        cv = "array(" + ",".join(f"{x!r}D" for x in comps) + ")"
+        cv = "array(" + ",".join(_dlit(x) for x in comps) + ")"
         acc = 0.0
         for x in comps:
             acc = acc + x * x
         ncv = math.sqrt(acc)
+        # the NULL gate lives INSIDE each candidate struct: ``cid`` is
+        # NULL when that candidate's similarity ``s`` is NULL, so the
+        # winner's cid is already gated and the result below reads
+        # array_max exactly ONCE. (Gating the final expression instead —
+        # when(best.s.isNotNull(), ...) — references the array_max
+        # twice, and Spark's subexpression elimination does not hoist
+        # conditional branches: the 16-centroid scoring array was
+        # evaluated twice per row, measured as a 2x assignment slowdown
+        # at sf0.1.) Struct ordering: (s, neg_cid) decide the max —
+        # neg_cid is unique per candidate, so the trailing cid field is
+        # never consulted by the comparison.
+        #
+        # The gate itself is an O(1) predicate (r10, ADVICE): the r9
+        # shape wrote IF({s} IS NOT NULL, ...), re-running the O(dim)
+        # dot fold a second time per (row, candidate) — Spark excludes
+        # expressions containing NamedLambdaVariable from subexpression
+        # elimination (EquivalentExpressions.supportedExpression,
+        # SPARK-35410 era) and HOF aggregates are CodegenFallback, so
+        # the "codegen CSE evaluates it once" note was wrong. The
+        # replacement is exactly value-equivalent: for a nonzero-norm
+        # centroid, s IS NULL <=> the dot is NULL (size mismatch pads a
+        # NULL through zip_with; NULL vector/components make nv NULL)
+        # or the denominator is 0 (nv = 0). Spark SQL orders NaN > 0 as
+        # TRUE (NaN sorts greatest than any number), so NaN-component
+        # vectors keep a non-NULL cid exactly as their non-NULL NaN s
+        # kept it before.
+        if ncv == 0.0 or not math.isfinite(ncv):
+            # Degenerate (zero-norm) centroid: its denominator term is
+            # 0, so s is NULL for every row — emit both fields as
+            # literal NULLs and skip the dot fold entirely (value-
+            # identical, one less O(dim) fold per row). A non-finite
+            # ncv (component-square overflow on an array<double>
+            # codebook) degrades down the same never-wins path instead
+            # of rendering an unparseable 'infD' literal (r10, ADVICE).
+            cands.append(
+                f"named_struct('s', CAST(NULL AS DOUBLE), "
+                f"'neg_cid', CAST({-int(cid)} AS BIGINT), "
+                f"'cid', CAST(NULL AS BIGINT))"
+            )
+            continue
         # same structure as cosine(): try_divide(dot, norm(v) * norm(c));
         # callers pre-filter zero-norm vectors, the NULL degrade is the
         # backstop (an all-NULL struct array still array_max's cleanly)
         s = (
             f"try_divide(aggregate(zip_with({v}, {cv}, (x, y) -> x * y), "
-            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), {nv} * {ncv!r}D)"
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), {nv} * {_dlit(ncv)})"
         )
-        # the NULL gate lives INSIDE each candidate struct: ``cid`` is
-        # NULL when that candidate's similarity is NULL, so the winner's
-        # cid is already gated and the result below reads array_max
-        # exactly ONCE. (Gating the final expression instead — when(
-        # best.s.isNotNull(), ...) — references the array_max twice, and
-        # Spark's subexpression elimination does not hoist conditional
-        # branches: the 16-centroid scoring array was evaluated twice
-        # per row, measured as a 2x assignment slowdown at sf0.1.)
-        # Struct ordering is unchanged: (s, neg_cid) decide the max —
-        # neg_cid is unique per candidate, so the trailing cid field is
-        # never consulted by the comparison. The repeated {s} text in
-        # the IF costs only parse bytes: both occurrences are eager, so
-        # codegen CSE evaluates the similarity once per candidate.
         cands.append(
             f"named_struct('s', {s}, "
             f"'neg_cid', CAST({-int(cid)} AS BIGINT), "
-            f"'cid', IF({s} IS NOT NULL, CAST({int(cid)} AS BIGINT), "
-            f"CAST(NULL AS BIGINT)))"
+            f"'cid', IF(size(`{vec_col}`) = {len(comps)} AND {nv} > 0, "
+            f"CAST({int(cid)} AS BIGINT), CAST(NULL AS BIGINT)))"
         )
     return F.expr(f"array_max(array({','.join(cands)})).cid")
 
@@ -469,8 +525,20 @@ def assign_ivf_lists(
     """
     # ``norm_col``: the embeddings already passed ``valid_with_norm`` and
     # carry their norm — skip the second guard pass and reuse the fold.
+    # Without one, guard and project the norm HERE (one fold per row in
+    # its own projection — CollapseProject keeps a multiply-referenced
+    # non-cheap alias in its own Project) so the assignment expression's
+    # per-candidate gate and denominator are plain column reads, never
+    # per-candidate re-folds. Same double as the inline fold
+    # (``valid_with_norm`` bit-parity note), so hashes are unchanged.
+    out_cols = [F.col(id_col), F.col(vec_col)] + (
+        [F.col(norm_col)] if norm_col is not None else []
+    )
     if norm_col is None:
-        embeddings = valid_vectors(embeddings, vec_col)
+        norm_col = "_acn"
+        embeddings = valid_vectors(embeddings, vec_col).withColumn(
+            norm_col, F.sqrt(vector_norm2(F.col(vec_col)))
+        )
     # Degenerate (zero-norm) centroids STAY in the codebook (r9, ADVICE):
     # their cosine is NULL (denominator 0 -> try_divide) so they can
     # never win the array_max, which preserves the pre-r8 fan-out
@@ -488,18 +556,15 @@ def assign_ivf_lists(
         .orderBy("_cid")
         .collect()
     ]
-    keep = [F.col(id_col), F.col(vec_col)] + (
-        [F.col(norm_col)] if norm_col is not None else []
-    )
     if not code:
         # empty codebook: no vector is assignable — zero rows, same as
         # the pre-r8 fan-out shape (empty crossJoin -> empty groupBy)
         return embeddings.select(
-            *keep,
+            *out_cols,
             F.lit(None).cast("bigint").alias("list_id"),
         ).where(F.lit(False))
     return embeddings.select(
-        *keep,
+        *out_cols,
         _nearest_centroid_expr(code, vec_col, norm_col).alias("list_id"),
     )
 
@@ -780,10 +845,15 @@ def _assign_to_centroids(
             F.col(vec_col),
             F.lit(None).cast("bigint").alias("cluster"),
         ).where(F.lit(False))
-    return embeddings.select(
+    # Project the row norm once (no filter — unassignable rows keep
+    # their NULL cluster, per the docstring) so the assignment's gate
+    # and denominator read a column instead of re-folding per candidate.
+    return embeddings.withColumn(
+        "_acn", F.sqrt(vector_norm2(F.col(vec_col)))
+    ).select(
         F.col(id_col),
         F.col(vec_col),
-        _nearest_centroid_expr(code, vec_col).alias("cluster"),
+        _nearest_centroid_expr(code, vec_col, "_acn").alias("cluster"),
     )
 
 
