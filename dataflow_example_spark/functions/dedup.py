@@ -242,9 +242,19 @@ def minhash_lsh_pairs(
     k: int = 3,
     text_col: str = "text",
     bucket_cap: int | None = None,
+    scores: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one full minhash band,
     with the estimated similarity = fraction of equal minhash components.
+
+    ``scores=False`` returns just the distinct (doc_a, doc_b) candidate
+    set — the identical pairs, minus the ``est_jaccard`` column and the
+    two signature re-joins that compute it. Consumers that only need
+    edges (connected components) use this: Catalyst cannot prune an
+    inner join away even when its columns go unused, so the score joins
+    would otherwise execute inside the CC loop's eager edge
+    materialization (r10 construct-cost work). With a single signature
+    reader left, the signatures cache is skipped too.
 
     Scale path: band buckets bound the comparison set; the band join
     shuffles on (band_id, band values) — high-cardinality keys, AQE
@@ -262,7 +272,12 @@ def minhash_lsh_pairs(
     inner join on the SAME (band_id, band values) key as the pair join,
     so it co-partitions with the shuffle it protects.
     """
-    sig = minhash_signatures(docs, n_hashes, k, text_col).cache()
+    sig = minhash_signatures(docs, n_hashes, k, text_col)
+    if scores:
+        # two readers (band rows + the score re-joins) share the
+        # signature computation; with scores=False bands are the only
+        # reader and a cache would be pure write overhead
+        sig = sig.cache()
     bands = _band_rows(sig, n_hashes, band_size)
     band_cols = ["band_id"] + [f"b{r}" for r in range(band_size)]
     if bucket_cap is not None:
@@ -282,6 +297,8 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+    if not scores:
+        return cand
     # string-built projections, same py4j-cost reasoning as
     # minhash_signatures (the 2 x n_hashes aliases plus the n_hashes-term
     # equality sum were another ~0.5 s of driver-side plan construction)
@@ -418,10 +435,19 @@ def connected_components(
     checkpoint_dir: str | None = None,
     on_nonconverged: str = "raise",
     stats: dict | None = None,
+    dedupe_edges: bool = True,
 ) -> DataFrame:
     """Connected components over near-dup pair edges -> (doc_id,
     cluster_id = min doc_id in component). The step that turns pairwise
     near-dup evidence into dedup groups.
+
+    ``dedupe_edges=False`` skips the symmetrized edge list's distinct —
+    duplicate edges never change any min-label (MIN is idempotent), only
+    the per-round join fan-out, so a caller whose edges are distinct
+    (a, b) pairs with a < b (every pair generator in this module) saves
+    the distinct's shuffle from the eager edge materialization; leave it
+    True for edge lists of unknown multiplicity, where one upfront
+    dedup amortizes over every round.
 
     Iterative min-label propagation with pointer jumping: each round
     every node adopts the smallest label among itself and its neighbors
@@ -465,18 +491,30 @@ def connected_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    sym = _persist(
-        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .distinct()
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
+    if dedupe_edges:
+        sym = sym.distinct()
+    sym = _persist(sym)
     # init folds the FIRST one-hop step in: label(u) = min(u, neighbors)
     # — the same single shuffle the old id->id init paid for its
     # distinct, but it starts one propagation round ahead, which on
     # shallow graphs (the common dedup case: near-dup clusters of 2-5
     # docs) removes an entire loop iteration (r9 construction-cost work:
     # each round is 2-3 jobs of driver-visible latency).
-    labels = _persist(
+    #
+    # NOT persisted (r10): init labels are consumed only by round 1,
+    # whose own persist materializes everything downstream of them — a
+    # separate eager checkpoint here was a whole extra driver-blocking
+    # job per construct. Round 1's plan references the init agg twice
+    # (neighbor_min join + hop base), so it recomputes one extra
+    # map-side agg over the checkpointed ``sym`` inside that single job
+    # — bounded, round-1-only work traded for a job barrier; rounds 2+
+    # build on the persisted round output as before.
+    labels = (
         sym.groupBy("src").agg(
             F.least(F.col("src"), F.min("dst")).alias("label")
         ).select(F.col("src").alias("id"), "label")

@@ -260,14 +260,23 @@ def sentence_udtf():
 
 
 def fingerprint(
-    docs: DataFrame, text_col: str = "text", prefix_tokens: int | None = None
+    docs: DataFrame,
+    text_col: str = "text",
+    prefix_tokens: int | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Content fingerprints: md5 of the normalized token stream (hex), plus
     a 32-bit numeric fingerprint (first 8 hex digits) for compact
     join/bucket keys. ``prefix_tokens`` fingerprints only the first N
     normalized tokens — the standard coarse key for eval-leakage /
     decontamination checks, where near-dups share openings but diverge
-    later."""
+    later.
+
+    ``extra_cols`` passes source columns through the projection — the
+    fingerprint is a row-wise map, so callers needing e.g. ``source``
+    alongside it must NOT compute it narrow and join back on doc_id
+    (that join shuffles the full corpus twice for columns the same scan
+    already held; r10 removed exactly that shape from four queries)."""
     toks = tokens(F.col(text_col))
     if prefix_tokens is not None:
         toks = F.slice(toks, 1, prefix_tokens)
@@ -275,6 +284,7 @@ def fingerprint(
     fp = F.md5(norm)
     return docs.select(
         "doc_id",
+        *extra_cols,
         fp.alias("fingerprint_md5"),
         F.conv(F.substring(fp, 1, 8), 16, 10).cast("bigint").alias("fingerprint32"),
     )

@@ -656,7 +656,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard verifies). The corpus-wide self-join baseline
     (D.jaccard_pairs) stays test-only."""
     docs = load(spark, sf_dir, "documents")
-    cand = D.minhash_lsh_pairs(docs)
+    cand = D.minhash_lsh_pairs(docs, scores=False)
     return D.jaccard_on_candidates(docs, cand, k=3, threshold=0.2)
 
 
@@ -680,8 +680,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: MinHash-LSH pair edges -> connected components
     (iterative min-label propagation; cluster_id = min doc_id). The step
     that turns pairwise near-dup evidence into drop-lists."""
-    pairs = D.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
-    return D.connected_components(pairs)
+    pairs = D.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), scores=False
+    )
+    return D.connected_components(pairs, dedupe_edges=False)
 
 
 # --------------------------------------------- multimodal columns (north star)
@@ -971,7 +973,7 @@ def sim_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=4,
         dim=64,
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
-    return D.connected_components(pairs).select(
+    return D.connected_components(pairs, dedupe_edges=False).select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
     )
 
@@ -1770,16 +1772,16 @@ def docs_split_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composes the leak-proof hash split with the md5 prefix fingerprint;
     one shuffle on the 16-byte fingerprint key, train side pre-aggregated
     to (fingerprint, count, min_doc) before the join so the probe side
-    never fans out."""
+    never fans out. Fingerprint and split are BOTH row-wise maps over
+    the same scan, so they compose as one projection — the old shape
+    computed them as two scans joined back on doc_id, a full-corpus
+    shuffle that bought nothing (r10)."""
     from .functions.sampling import train_test_split
     from .functions.text import fingerprint
 
     docs = load(spark, sf_dir, "documents")
-    fp = fingerprint(docs, prefix_tokens=12).join(
-        train_test_split(docs, "doc_id", test_fraction=0.2).select(
-            "doc_id", "split"
-        ),
-        "doc_id",
+    fp = train_test_split(
+        fingerprint(docs, prefix_tokens=12), "doc_id", test_fraction=0.2
     )
     train = (
         fp.filter(F.col("split") == "train")
@@ -2320,7 +2322,9 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair edges as ``dedup_clusters`` — the O(log n)-round scale path for
     adversarial chain graphs (crawl dup-chains); identical output
     contract (cluster_id = min doc_id), identical oracle."""
-    pairs = D.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), scores=False
+    )
     return D.connected_components_star(pairs)
 
 
@@ -2423,7 +2427,7 @@ def docs_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same bounded candidate-scoped plan as dedup_jaccard_pairs; the two
     divisions are the only double ops."""
     docs = load(spark, sf_dir, "documents")
-    cand = D.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    cand = D.minhash_lsh_pairs(docs, scores=False)
     sh = D.shingles(docs).cache()
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -2648,7 +2652,8 @@ def docs_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass actually ships."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
     clusters = D.connected_components(
-        D.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+        D.minhash_lsh_pairs(load(spark, sf_dir, "documents"), scores=False),
+        dedupe_edges=False,
     )
     joined = docs.join(clusters, "doc_id", "left")
     return joined.select(
@@ -2961,7 +2966,8 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     much the corpus shrinks under dedup; two tiny aggregates over the CC
     output."""
     clusters = D.connected_components(
-        D.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+        D.minhash_lsh_pairs(load(spark, sf_dir, "documents"), scores=False),
+        dedupe_edges=False,
     )
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
@@ -3420,11 +3426,11 @@ def docs_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import fingerprint
 
     docs = load(spark, sf_dir, "documents")
-    fp = fingerprint(docs, prefix_tokens=12).join(
-        train_test_split(docs, "doc_id", test_fraction=0.2).select(
-            "doc_id", "split"
-        ),
-        "doc_id",
+    # fingerprint and split are row-wise maps over one scan — composed
+    # as a single projection, not computed separately and joined back
+    # on doc_id (that shape shuffled the full corpus twice; r10).
+    fp = train_test_split(
+        fingerprint(docs, prefix_tokens=12), "doc_id", test_fraction=0.2
     )
     eval_fp = fp.filter(F.col("split") == "test")
     words = bloom_build(eval_fp, "fingerprint_md5")
@@ -4348,9 +4354,10 @@ def docs_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import fingerprint
 
     docs = load(spark, sf_dir, "documents")
+    # ``source`` rides the fingerprint projection (row-wise map), not a
+    # join-back on doc_id (r10) — the distinct is the only wide shuffle.
     fp = (
-        fingerprint(docs, prefix_tokens=12)
-        .join(docs.select("doc_id", "source"), "doc_id")
+        fingerprint(docs, prefix_tokens=12, extra_cols=("source",))
         .select("fingerprint_md5", "source")
         .distinct()
     )
@@ -5805,7 +5812,7 @@ def docs_neardup_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFr
     from .functions.dedup import minhash_lsh_pairs
 
     docs = load(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    pairs = minhash_lsh_pairs(docs, scores=False)
     degree = (
         pairs.select(F.col("doc_a").alias("doc"))
         .unionAll(pairs.select(F.col("doc_b").alias("doc")))
@@ -6161,13 +6168,12 @@ def docs_dup_shardability(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB dedup can run per-source shards with a tiny cross-shard
     reconciliation pass; if common, it needs the global shuffle. One
     fingerprint groupBy carrying a distinct-source count, then a
-    two-row rollup."""
+    two-row rollup. ``source`` rides the fingerprint projection itself
+    (row-wise map) instead of a join-back on doc_id (r10)."""
     from .functions.text import fingerprint
 
     docs = load(spark, sf_dir, "documents")
-    fp = fingerprint(docs, prefix_tokens=12).join(
-        docs.select("doc_id", "source"), "doc_id"
-    )
+    fp = fingerprint(docs, prefix_tokens=12, extra_cols=("source",))
     groups = (
         fp.groupBy("fingerprint_md5")
         .agg(
