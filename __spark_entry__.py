@@ -39,13 +39,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries per
-# round. Round-9 ordering (registry FROZEN at 238; cumulative driver-green
-# coverage reached 238/238 when round 8 drained the tail): the SURVEY §2
-# reference core stays pinned first (a fresh driver row for every
-# reference operator each round), then 42 backfill slots re-sampling the
-# longest-unsampled entries — the freshness rotation VERDICT r8 item 3
-# prescribes (oldest rows were r3-era; after this window nothing is older
-# than ~5 rounds).
+# round. Round-10 ordering (registry FROZEN at 238; cumulatively
+# driver-green since r8): the SURVEY §2 reference core stays pinned first
+# (a fresh driver row for every reference operator each round), then 42
+# backfill slots re-sampling the longest-unsampled entries — the
+# freshness rotation VERDICT r8 item 3 / r9 item 3 prescribe (oldest
+# rows were r4-era; after this window nothing is older than round 6).
 _SAMPLE_FIRST = [
     # reference core (SURVEY §2 ops 1, 5-13 + window variants; streaming
     # ops 2-4 proved by streaming_traffic_parity: injector -> file-drop
@@ -59,52 +58,52 @@ _SAMPLE_FIRST = [
     "events_sliding_agg",
     "events_sessionize",
     "streaming_traffic_parity",
-    # r9 backfill: the 42 longest-unsampled entries (23 last seen r3,
-    # 19 last seen r4; registry order within each age class — computed
-    # from CORRECTNESS_r01..r08 keys). After this window no registry
-    # entry's latest driver row is older than round 5.
-    "text_salient_terms",
-    "docs_hash_sample",
-    "docs_train_test_split",
-    "docs_stratified_sample",
-    "events_pivot_by_type",
-    "lineitem_unpivot_measures",
-    "part_price_histogram",
-    "supplier_name_near_dups",
-    "nation_segments_agg",
-    "orders_monthly_growth",
-    "emb_label_centroids",
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "dedup_jaccard_pairs",
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "dedup_clusters",
-    "mm_media_metadata",
-    "mm_frame_sample",
-    "mm_decode_fake",
-    "mm_extract_features",
-    "events_user_stats",
-    "events_user_zscore",
-    "text_vocab_top_terms",
-    "docs_source_domains",
-    "docs_curation_pipeline",
-    "docs_pack_budget",
-    "events_variant_props",
-    "text_bpe_tokens",
-    "sim_cosine_topk",
-    "sim_lsh_topk",
-    "sim_ivf_topk",
-    "sim_lsh_near_dup",
-    "emb_center_by_label",
-    "sim_semantic_dedup_clusters",
-    "sim_kmeans_assign",
-    "sim_embedding_near_dup",
-    "events_throttle",
-    "events_asof_join",
-    "events_range_join",
-    "q6_forecast_revenue",
-    "q4_late_shipment_priority",
+    # r10 rotation: the 42 longest-unsampled entries (23 last seen r4,
+    # 19 last seen r5; registry order within each age class — computed
+    # from CORRECTNESS_r01..r09 keys). After this window no registry
+    # entry's latest driver row is older than round 6.
+    "q7_volume_shipping",
+    "q13_customer_order_distribution",
+    "q16_parts_never_ordered",
+    "q22_idle_rich_customers",
+    "q18_large_volume_customers",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q8_market_share",
+    "distinct_order_priorities",
+    "set_ops_customer_cohorts",
+    "events_sessionize_dynamic",
+    "events_top_types_sketch",
+    "events_funnel",
+    "grouping_sets_revenue",
+    "events_lead_lag_ntile",
+    "rollup_revenue",
+    "top_customers_per_nation",
+    "events_column_profile",
+    "orders_month_gapfill",
+    "lineitem_corr_stats",
+    "docs_split_decontamination",
+    "text_repetition_filter",
+    "text_pii_redact",
+    "docs_mix_weights",
+    "text_unigram_logprob",
+    "docs_token_budget_plan",
+    "events_winsorize",
+    "docs_source_vocab_overlap",
+    "docs_cap_per_source",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q20_promo_part_suppliers",
+    "q21_late_suppliers",
+    "streaming_dedup_parity",
+    "dedup_clusters_star",
+    "dedup_minhash_lsh_capped",
+    "docs_pack_bins",
+    "events_session_funnel_windowed",
 ]
 
 
