@@ -59,11 +59,20 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def language_id(
+    docs: DataFrame,
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """n-gram/stopword language heuristic: most stopword hits wins;
-    alphabetical language order breaks ties; 'und' when no hits."""
+    alphabetical language order breaks ties; 'und' when no hits.
+
+    ``extra_cols`` passes source columns through — the heuristic is a
+    row-wise map, so callers needing e.g. the labeled ``lang`` beside
+    the prediction must not join back on doc_id (a full-corpus shuffle
+    for a column the same scan already held; see ``fingerprint``)."""
     toks = tokens(F.col(text_col))
-    t = docs.select("doc_id", toks.alias("_t"))
+    t = docs.select("doc_id", *extra_cols, toks.alias("_t"))
     hits = {lang: _stopword_hits(F.col("_t"), lang) for lang in STOPWORDS}
     best = F.greatest(*hits.values())
     pred = F.when(best == 0, F.lit("und"))
@@ -71,19 +80,29 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         pred = pred.when(hits[lang] == best, F.lit(lang))
     return t.select(
         "doc_id",
+        *extra_cols,
         *[hits[lang].cast("bigint").alias(f"hits_{lang}") for lang in sorted(STOPWORDS)],
         pred.alias("lang_pred"),
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Heuristic quality scoring: stopword ratio, punctuation ratio, digit
     ratio, length saturation — combined with dyadic weights so the score is
-    a deterministic double."""
+    a deterministic double.
+
+    ``extra_cols`` passes source columns through — the score is a
+    row-wise map, so callers needing e.g. ``lang``/``n_chars`` beside it
+    must not join back on doc_id (see ``fingerprint``)."""
     c = F.col(text_col)
     toks = tokens(c)
     t = docs.select(
         "doc_id",
+        *extra_cols,
         F.length(c).alias("_len"),
         F.size(toks).alias("_nt"),
         _stopword_hits(toks, "en").alias("_stop"),
@@ -102,6 +121,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return t.select(
         "doc_id",
+        *extra_cols,
         stop_ratio.alias("stopword_ratio"),
         punct_ratio.alias("punct_ratio"),
         digit_ratio.alias("digit_ratio"),
