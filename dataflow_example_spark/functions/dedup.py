@@ -459,7 +459,11 @@ def connected_components(
     control flow over lazy plans with a convergence check, the standard
     Spark pattern for iterative algorithms (same shape as GraphFrames'
     CC). Checkpoints truncate the growing lineage so round N doesn't
-    recompute rounds 1..N-1.
+    recompute rounds 1..N-1. From the second materialization on, TWO
+    hop+jump steps run per checkpoint (r10): deep graphs halve their
+    job/checkpoint count while shallow graphs — which converge at the
+    first, single-step materialization — pay nothing; ``max_iters`` and
+    ``stats["rounds"]`` count steps, not materializations.
 
     Fault tolerance: when ``checkpoint_dir`` is set, rounds use reliable
     ``checkpoint()`` against it (survives executor loss — required for
@@ -519,45 +523,76 @@ def connected_components(
             F.least(F.col("src"), F.min("dst")).alias("label")
         ).select(F.col("src").alias("id"), "label")
     )
-    converged = False
-    rounds = 0
-    for _ in range(max_iters):
-        rounds += 1
+    def _hop_jump(cur: DataFrame, h: int) -> DataFrame:
+        """One (hop, pointer-jump) step as a lazy plan: every node adopts
+        the min label over {self} ∪ neighbors, then shortcuts through its
+        label's label. ``_prev`` (the materialization-start label) rides
+        the plan untouched so the convergence flag below needs no extra
+        join. ``h`` uniquifies self-join aliases when steps are chained
+        inside one plan."""
         neighbor_min = (
-            sym.join(labels, sym.dst == labels.id)
+            sym.join(cur, sym.dst == cur.id)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        hop = labels.join(
-            neighbor_min, labels.id == neighbor_min.src, "left"
+        hop = cur.join(
+            neighbor_min, cur.id == neighbor_min.src, "left"
         ).select(
             "id",
-            F.col("label").alias("_prev"),
+            "_prev",
             F.least(
                 F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
             ).alias("label"),
         )
         # pointer jumping: label'(u) = label(label(u)). Every label value
         # is itself a node id, so one self-join halves the remaining
-        # pointer-chain depth — with the one-hop step above, total rounds
-        # are O(log diameter) instead of O(diameter).
-        l1, l2 = hop.alias("l1"), hop.alias("l2")
+        # pointer-chain depth — with the one-hop init, total rounds are
+        # O(log diameter) instead of O(diameter).
+        l1, l2 = hop.alias(f"l1_{h}"), hop.alias(f"l2_{h}")
         jumped = F.least(
-            F.col("l1.label"),
-            F.coalesce(F.col("l2.label"), F.col("l1.label")),
+            F.col(f"l1_{h}.label"),
+            F.coalesce(F.col(f"l2_{h}.label"), F.col(f"l1_{h}.label")),
         )
-        # _chg rides the persisted frame (round-start label threaded
-        # through the hop as _prev), so the convergence check below is a
-        # limit-1 scan of already-checkpointed data — the old shape
-        # re-joined new labels against old labels, a full extra
+        return l1.join(
+            l2, F.col(f"l1_{h}.label") == F.col(f"l2_{h}.id"), "left"
+        ).select(
+            F.col(f"l1_{h}.id").alias("id"),
+            F.col(f"l1_{h}._prev").alias("_prev"),
+            jumped.alias("label"),
+        )
+
+    converged = False
+    rounds = 0
+    while rounds < max_iters:
+        # Two hop+jump steps per materialization from the SECOND
+        # materialization on (VERDICT r9): each eager checkpoint + its
+        # convergence count is a fixed ~1 s of driver-visible latency,
+        # so on deep graphs (the CC-chain smoke's pathological case)
+        # batching halves the job count while each job does the two
+        # steps' work in one lineage. The FIRST materialization stays
+        # single-step: shallow near-dup graphs (the common corpus —
+        # clusters of 2-5 docs) converge there, and a batched first
+        # round would make them pay a whole no-op step. Convergence
+        # detection is unaffected: ``_chg`` compares to the
+        # materialization-start label, so a batch is "no change" only
+        # if BOTH steps changed nothing — and a converged graph is a
+        # fixed point of the step, so batching cannot mask convergence.
+        n_steps = 1 if rounds == 0 else min(2, max_iters - rounds)
+        cur = labels.select("id", F.col("label").alias("_prev"), "label")
+        for h in range(n_steps):
+            cur = _hop_jump(cur, h)
+        rounds += n_steps
+        # _chg rides the persisted frame (materialization-start label
+        # threaded through the steps as _prev), so the convergence check
+        # below is a limit-1 scan of already-checkpointed data — the old
+        # shape re-joined new labels against old labels, a full extra
         # join+shuffle job per round that dominated dedup_clusters'
         # driver-side construction time.
         new_labels = _persist(
-            l1.join(l2, F.col("l1.label") == F.col("l2.id"), "left")
-            .select(
-                F.col("l1.id").alias("id"),
-                jumped.alias("label"),
-                (jumped != F.col("l1._prev")).alias("_chg"),
+            cur.select(
+                "id",
+                "label",
+                (F.col("label") != F.col("_prev")).alias("_chg"),
             )
         )
         changed = new_labels.filter(F.col("_chg")).limit(1).count()
