@@ -39,12 +39,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries per
-# round. Round-10 ordering (registry FROZEN at 238; cumulatively
+# round. Round-11 ordering (registry FROZEN at 238; cumulatively
 # driver-green since r8): the SURVEY §2 reference core stays pinned first
 # (a fresh driver row for every reference operator each round), then 42
 # backfill slots re-sampling the longest-unsampled entries — the
-# freshness rotation VERDICT r8 item 3 / r9 item 3 prescribe (oldest
-# rows were r4-era; after this window nothing is older than round 6).
+# freshness rotation VERDICT r8/r9/r10 prescribe. The r10 window took 42
+# of the 62 r4/r5-era entries, leaving 20 whose latest driver row was
+# still round 5 (VERDICT r10 "What's wrong"); those 20 lead this window,
+# followed by the 22 oldest r6-era entries (registry order within each
+# age class — recomputed from CORRECTNESS_r01..r10 keys). After this
+# window the oldest remaining driver evidence is round 6 (20 entries),
+# fully refreshed by the r12 rotation.
 _SAMPLE_FIRST = [
     # reference core (SURVEY §2 ops 1, 5-13 + window variants; streaming
     # ops 2-4 proved by streaming_traffic_parity: injector -> file-drop
@@ -58,52 +63,51 @@ _SAMPLE_FIRST = [
     "events_sliding_agg",
     "events_sessionize",
     "streaming_traffic_parity",
-    # r10 rotation: the 42 longest-unsampled entries (23 last seen r4,
-    # 19 last seen r5; registry order within each age class — computed
-    # from CORRECTNESS_r01..r09 keys). After this window no registry
-    # entry's latest driver row is older than round 6.
-    "q7_volume_shipping",
-    "q13_customer_order_distribution",
-    "q16_parts_never_ordered",
-    "q22_idle_rich_customers",
-    "q18_large_volume_customers",
-    "q10_returned_items",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q8_market_share",
-    "distinct_order_priorities",
-    "set_ops_customer_cohorts",
-    "events_sessionize_dynamic",
-    "events_top_types_sketch",
-    "events_funnel",
-    "grouping_sets_revenue",
-    "events_lead_lag_ntile",
-    "rollup_revenue",
-    "top_customers_per_nation",
-    "events_column_profile",
-    "orders_month_gapfill",
-    "lineitem_corr_stats",
-    "docs_split_decontamination",
-    "text_repetition_filter",
-    "text_pii_redact",
-    "docs_mix_weights",
-    "text_unigram_logprob",
-    "docs_token_budget_plan",
-    "events_winsorize",
-    "docs_source_vocab_overlap",
-    "docs_cap_per_source",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q20_promo_part_suppliers",
-    "q21_late_suppliers",
-    "streaming_dedup_parity",
-    "dedup_clusters_star",
-    "dedup_minhash_lsh_capped",
-    "docs_pack_bins",
-    "events_session_funnel_windowed",
+    # r11 rotation, part 1: the 20 entries whose latest driver row is
+    # round 5 (the freshness gap VERDICT r10 flags).
+    "docs_minhash_containment",
+    "events_interval_overlap_count",
+    "docs_quality_gate_report",
+    "emb_pq_codes",
+    "docs_shingle_novelty",
+    "sim_pq_adc_topk",
+    "events_scd2_intervals",
+    "text_bigram_logprob",
+    "docs_dedup_survivorship",
+    "orders_rfm_segments",
+    "events_hourly_seasonality",
+    "events_resample_ffill",
+    "docs_importance_resample",
+    "part_price_equidepth",
+    "events_mad_outliers",
+    "events_cohort_retention",
+    "events_markov_transitions",
+    "orders_abc_pareto",
+    "dedup_cluster_stats",
+    "events_funnel_step_latency",
+    # r11 rotation, part 2: the 22 oldest r6-era entries.
+    "events_approx_distinct",
+    "events_approx_percentiles",
+    "emb_quantize_int8",
+    "emb_random_projection",
+    "docs_incremental_dedup",
+    "events_nearest_join",
+    "streaming_sliding_parity",
+    "streaming_join_parity",
+    "events_ewma",
+    "text_substring_dup",
+    "docs_cluster_balanced_sample",
+    "events_point_in_time_join",
+    "events_rolling_active_users",
+    "events_psi_drift",
+    "emb_norm_outliers",
+    "docs_bloom_decontaminate",
+    "events_zorder_layout",
+    "orders_join_skew_report",
+    "docs_ngram_dup_rate",
+    "events_arrival_lateness",
+    "streaming_session_parity",
+    "events_salted_distinct_users",
 ]
 
 
