@@ -7,8 +7,10 @@ for every query) is written to BENCH_DETAIL.json beside this file — the
 driver captures only a ~2KB stdout tail, which the full dict exceeded.
 `value` is the steady-state total (min of N_RUNS x N_PASSES executions
 per query, runs back-to-back within a pass, passes ~8 min apart);
-`cold_total` sums each query's first timed execution (the rounds-1-4
-single-run methodology) so both cold and warm numbers are visible.
+`cold_total` sums each query's first-execution time, where each
+per-query cold number is the min over COLD_PASSES fresh-JVM passes
+(methodology v5) so both cold and warm numbers resist one-off host
+contention.
 
 Each query is fully materialized with the noop writer (all partitions
 computed, nothing collected to the driver), so timings measure the engine,
@@ -90,6 +92,17 @@ BENCH_QUERIES = [
 # timed executions per query; the reported number is the minimum
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
+# fresh-JVM cold passes; cold_sec is the per-query MIN across them.
+# v4 summed single samples, so one transient host-contention window
+# landing on one query owned cold_total for the round (r10: an 8.2 s
+# flagship sample in a window whose spread-max on identical code was
+# 32.3 s). The main process's own pass-1 is one fresh-JVM cold sample
+# (process start -> warm-up -> first sf0.1 execution); COLD_PASSES-1
+# additional child processes re-run just that sequence in fresh JVMs,
+# and cold_sec/construct_sec min-aggregate element-wise — the same
+# noise defense `value` has had since v2.
+COLD_PASSES = int(os.environ.get("SPARK_GRAFT_COLD_PASSES", "2"))
+
 # full sweeps over the query list; per-query results are element-wise
 # min across passes. Within a pass a query's N_RUNS executions are
 # back-to-back (so repeat runs reuse the query's own persists — the r7
@@ -102,12 +115,11 @@ N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 N_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
-
+def _setup(sf_dir: str):
+    """Shared session + warm-up sequence for the parent and cold-child
+    processes (identical so their cold samples are comparable)."""
     import __spark_entry__ as entrymod
+    from dataflow_example_spark.functions.cachereg import cleanup
     from dataflow_example_spark.session import get_spark
 
     spark = get_spark(app_name="dataflow-example-spark-bench")
@@ -119,8 +131,6 @@ def main() -> None:
         and os.path.isdir(warmup_dir)
         and os.path.realpath(warmup_dir) != os.path.realpath(sf_dir)
     )
-    from dataflow_example_spark.functions.cachereg import cleanup
-
     if do_warmup:
         for name in BENCH_QUERIES:
             if name in qs:
@@ -134,6 +144,88 @@ def main() -> None:
         # kind of session-state accumulation)
         cleanup()
         spark.catalog.clearCache()
+    return spark, qs, cleanup
+
+
+def _group_cleanup(name: str, spark, cleanup) -> None:
+    """Release persisted frames / scratch dirs at group boundaries."""
+    group = next((g for g in BENCH_GROUPS if name in g), [name])
+    if name == group[-1]:
+        cleanup()
+        spark.catalog.clearCache()
+
+
+def _cold_child(sf_dir: str, out_path: str) -> None:
+    """One fresh-JVM cold pass: warm-up, then per query time construction
+    and a single execution (every stage runs, plan-level persists
+    materialize). Results go to a FILE — child stdout is Spark noise."""
+    spark, qs, cleanup = _setup(sf_dir)
+    cold: dict[str, float] = {}
+    construct: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        t1 = time.time()
+        construct[name] = round(t1 - t0, 3)
+        df.write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.time() - t1, 3)
+        _group_cleanup(name, spark, cleanup)
+    Path(out_path).write_text(
+        json.dumps({"cold": cold, "construct": construct})
+    )
+
+
+def _extra_cold_passes(sf_dir: str, k: int) -> list[dict]:
+    """Run k additional cold passes, each in a fresh child process/JVM,
+    sequentially (a concurrent child would contend with nothing here —
+    the parent is done timing — but sequential keeps samples clean)."""
+    import subprocess
+    import tempfile
+
+    results = []
+    for i in range(k):
+        with tempfile.NamedTemporaryFile(
+            mode="r", suffix=".json", delete=False
+        ) as tf:
+            out_path = tf.name
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_COLD_CHILD"] = "1"
+        env["SPARK_GRAFT_COLD_OUT"] = out_path
+        proc = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve())],
+            env=env,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        try:
+            if proc.returncode == 0:
+                results.append(json.loads(Path(out_path).read_text()))
+            else:
+                print(
+                    f"warning: cold child {i} exited {proc.returncode}; "
+                    "min-aggregating over the remaining samples",
+                    file=sys.stderr,
+                )
+        finally:
+            try:
+                os.unlink(out_path)
+            except OSError:
+                pass
+    return results
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    if os.environ.get("SPARK_GRAFT_BENCH_COLD_CHILD"):
+        _cold_child(sf_dir, os.environ["SPARK_GRAFT_COLD_OUT"])
+        return
+
+    spark, qs, cleanup = _setup(sf_dir)
 
     timings: dict[str, float] = {}
     construct: dict[str, float] = {}
@@ -183,16 +275,29 @@ def main() -> None:
                 samples.setdefault(name, []).append(round(dt, 3))
                 best = min(best, dt)
             timings[name] = round(best, 3)
-            # release persisted frames / scratch dirs at group boundaries:
             # repeat runs within a query and queries within a group share
             # caches (the traffic pair's lane_info parse), but caches
             # never accumulate across groups or passes
-            group = next((g for g in BENCH_GROUPS if name in g), [name])
-            if name == group[-1]:
-                cleanup()
-                spark.catalog.clearCache()
+            _group_cleanup(name, spark, cleanup)
 
     total = round(sum(timings.values()), 3)
+
+    # v5 cold methodology: the parent's pass-1 cold/construct above is one
+    # fresh-JVM sample; run COLD_PASSES-1 more in fresh child JVMs and
+    # min-aggregate element-wise, so a single transient contention window
+    # cannot own cold_total (it never could own `value`, which has been
+    # min-of-N since v2).
+    cold_samples: dict[str, list[float]] = {n: [v] for n, v in cold.items()}
+    construct_samples: dict[str, list[float]] = {
+        n: [v] for n, v in construct.items()
+    }
+    for child in _extra_cold_passes(sf_dir, COLD_PASSES - 1):
+        for n, v in child.get("cold", {}).items():
+            cold_samples.setdefault(n, []).append(v)
+        for n, v in child.get("construct", {}).items():
+            construct_samples.setdefault(n, []).append(v)
+    cold = {n: min(xs) for n, xs in cold_samples.items()}
+    construct = {n: min(xs) for n, xs in construct_samples.items()}
 
     def med(xs: list[float]) -> float:
         s = sorted(xs)
@@ -211,6 +316,7 @@ def main() -> None:
         "cold_total": round(sum(cold.values()), 3),
         "runs_per_query": N_RUNS,
         "passes": N_PASSES,
+        "cold_passes": COLD_PASSES,
         "agg": "min",
         # per-query spread across ALL N_RUNS x N_PASSES samples: min-agg
         # hides tail regressions and made r8's +-20% per-query jitter
@@ -220,6 +326,10 @@ def main() -> None:
             n: {"min": min(xs), "med": med(xs), "max": max(xs)}
             for n, xs in samples.items()
         },
+        # raw fresh-JVM cold/construct samples per query (one entry per
+        # cold pass), so the min-agg's effect stays auditable
+        "cold_samples": cold_samples,
+        "construct_samples": construct_samples,
         # methodology history (ADVICE r8, bench.py): execution-only
         # `value`s are comparable across rounds WITHIN a version; when
         # work moves between construction and execution, compare
@@ -233,7 +343,12 @@ def main() -> None:
         #               methodology — construct_sec carries it.
         #   v4 (r9):    per-query min/med/max spread added; construction
         #               cost itself reduced (SQL-string plan building).
-        "methodology_version": 4,
+        #   v5 (r11):   cold_sec/construct_sec are element-wise min over
+        #               COLD_PASSES fresh-JVM passes (v4 summed single
+        #               samples, letting one stolen sample own
+        #               cold_total; VERDICT r10 item 2). `value` is
+        #               unchanged and stays v2-comparable.
+        "methodology_version": 5,
         "total_with_construct": round(total + sum(construct.values()), 3),
         "sf": sf,
     }
@@ -264,8 +379,9 @@ def main() -> None:
                 "cold_total": detail["cold_total"],
                 "runs_per_query": N_RUNS,
                 "passes": N_PASSES,
+                "cold_passes": COLD_PASSES,
                 "agg": "min",
-                "methodology_version": 4,
+                "methodology_version": 5,
                 "sf": sf,
                 "detail": detail_path.name,
             }
