@@ -23,6 +23,17 @@ from .text import tokens
 N_MINHASHES = 16
 BAND_SIZE = 4  # 4 bands x 4 rows
 
+# connected_components(batch_steps="auto") batches two label-propagation
+# steps per checkpoint only when the symmetrized edge list has at least
+# this many rows (= 2x undirected edge count). Measured bounds on
+# local[32] (interleaved min-of-3, r11): batching LOSES ~40% at 200k
+# symmetrized rows and WINS 2.6x at 2M; the threshold sits at the
+# measured-bounds midpoint. On a real cluster the crossover moves with
+# per-materialization overhead (scheduler + reliable-checkpoint write):
+# higher barrier cost -> batch earlier (lower this), faster barriers ->
+# raise it.
+_BATCH_STEPS_MIN_EDGES = 1_000_000
+
 
 def _hash32(c: Column) -> Column:
     """Portable 32-bit hash: first 8 hex digits of md5, as bigint.
@@ -436,6 +447,7 @@ def connected_components(
     on_nonconverged: str = "raise",
     stats: dict | None = None,
     dedupe_edges: bool = True,
+    batch_steps: int | str = "auto",
 ) -> DataFrame:
     """Connected components over near-dup pair edges -> (doc_id,
     cluster_id = min doc_id in component). The step that turns pairwise
@@ -459,11 +471,26 @@ def connected_components(
     control flow over lazy plans with a convergence check, the standard
     Spark pattern for iterative algorithms (same shape as GraphFrames'
     CC). Checkpoints truncate the growing lineage so round N doesn't
-    recompute rounds 1..N-1. From the second materialization on, TWO
-    hop+jump steps run per checkpoint (r10): deep graphs halve their
-    job/checkpoint count while shallow graphs — which converge at the
-    first, single-step materialization — pay nothing; ``max_iters`` and
-    ``stats["rounds"]`` count steps, not materializations.
+    recompute rounds 1..N-1.
+
+    ``batch_steps`` controls how many hop+jump steps run per
+    checkpoint from the second materialization on (the first stays
+    single-step so shallow graphs — the common dedup corpus, clusters
+    of 2-5 docs — exit without paying a no-op step). Batching trades
+    compute for barriers: chaining a second step in one lineage
+    re-evaluates the first step's subtree through the self-joins
+    (~1.5x one step's join work) but halves the eager-checkpoint
+    count. The r11 interleaved A/B on pathological chains found the
+    trade only pays when per-materialization overhead dominates the
+    step compute: a 1M-edge chain runs 2.6x faster batched (SCALE.md
+    r10) while a 100k-edge chain runs ~40 % SLOWER (12.5 s single vs
+    17.8 s batched, min-of-3 interleaved; a lazy persist of the
+    intermediate step was worse still — cache fill cost more than the
+    recompute it saved). The default "auto" therefore batches only
+    when the symmetrized edge list is large (>= _BATCH_STEPS_MIN_EDGES,
+    a one-job count of the already-checkpointed edges); pass 1 or 2 to
+    force a mode. ``max_iters`` and ``stats["rounds"]`` count steps,
+    not materializations.
 
     Fault tolerance: when ``checkpoint_dir`` is set, rounds use reliable
     ``checkpoint()`` against it (survives executor loss — required for
@@ -480,13 +507,26 @@ def connected_components(
     rounds — measured on synthetic path graphs in
     tools/scale_smoke_cc_chain.py (the r9 pathological-chain smoke: a
     1M-edge single chain converges in 20 rounds, which the old default
-    of 20 could NOT accommodate with its +1 confirm round).
+    of 20 could NOT accommodate with its +1 confirm round). Callers
+    setting a tight ``max_iters`` with batching in play should budget
+    one extra STEP of headroom: convergence is observed at batch
+    boundaries (``_chg`` compares batch-start to batch-end), so a graph
+    reaching its fixed point on the first step of a two-step batch
+    spends that batch's second (no-op) step plus one confirming batch
+    before the zero-change exit — correct labels throughout, but up to
+    one more counted step than the single-step loop would use.
 
     ``stats``, when a dict is passed, receives {"rounds": int,
     "converged": bool} for smoke/observability tooling.
     """
     if on_nonconverged not in ("raise", "warn", "ignore"):
         raise ValueError(f"bad on_nonconverged: {on_nonconverged!r}")
+    if batch_steps != "auto" and (
+        not isinstance(batch_steps, int)
+        or isinstance(batch_steps, bool)
+        or batch_steps < 1
+    ):
+        raise ValueError(f"bad batch_steps: {batch_steps!r}")
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
@@ -577,7 +617,18 @@ def connected_components(
         # materialization-start label, so a batch is "no change" only
         # if BOTH steps changed nothing — and a converged graph is a
         # fixed point of the step, so batching cannot mask convergence.
-        n_steps = 1 if rounds == 0 else min(2, max_iters - rounds)
+        if rounds > 0 and batch_steps == "auto":
+            # resolved lazily: shallow graphs (the common corpus) have
+            # converged before this point and never pay the count job;
+            # sym is checkpointed so the count is a fast cache scan
+            batch_steps = (
+                2 if sym.count() >= _BATCH_STEPS_MIN_EDGES else 1
+            )
+        n_steps = (
+            1
+            if rounds == 0 or batch_steps == "auto"
+            else min(batch_steps, max_iters - rounds)
+        )
         cur = labels.select("id", F.col("label").alias("_prev"), "label")
         for h in range(n_steps):
             cur = _hop_jump(cur, h)
