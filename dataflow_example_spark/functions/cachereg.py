@@ -30,6 +30,18 @@ from pyspark.sql import DataFrame
 
 _PERSISTED: list[DataFrame] = []
 _SCRATCH: list[str] = []
+_ON_CLEANUP: list = []
+
+
+def on_cleanup(fn) -> None:
+    """Register a callback invoked at the END of every ``cleanup()``
+    (after persisted frames are released). For memo invalidation:
+    a module that caches a DataFrame OBJECT keyed to a persist (the
+    flagship pair's shared lane-info plan in queries.py) must drop the
+    memo when the persist is released, or later callers would silently
+    run on an unpersisted frame. Callbacks are permanent — register
+    once at module import, make the callback idempotent."""
+    _ON_CLEANUP.append(fn)
 
 
 def register_persisted(df: DataFrame) -> DataFrame:
@@ -58,6 +70,11 @@ def cleanup() -> None:
     while _SCRATCH:
         path = _SCRATCH.pop()
         shutil.rmtree(path, ignore_errors=True)
+    for fn in _ON_CLEANUP:
+        try:
+            fn()
+        except Exception:
+            pass
 
 
 atexit.register(cleanup)

@@ -23,9 +23,15 @@ from .functions.numerics import dec_wide_to_double as _wd
 from .functions import ranking as RK
 from .functions import similarity as S
 from .functions import text as T
-from .operators.traffic import extract_flow_info, traffic_pipeline
+from .operators.traffic import (
+    extract_flow_info,
+    filter_header_and_empties,
+    format_maxes,
+    max_lane_flow,
+)
 from .operators.windows import sessionize, sliding_agg, tumbling_agg
 from .sources.memory import create_strings
+from .functions.cachereg import on_cleanup as cachereg_on_cleanup
 from .functions.cachereg import scratch_dir
 from .streaming import drain
 from .synth import synth_traffic_lines
@@ -81,14 +87,49 @@ def traffic_lane_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_flow_info(synth_traffic_lines(spark, sf_dir))
 
 
+# The flagship pair shares one parsed+persisted lane-info frame per
+# (session, sf_dir). Spark's cache manager already deduplicated the DATA
+# (plan-equality lookup — both queries' persists resolved to one
+# InMemoryRelation), but each query still re-BUILT and re-ANALYZED the
+# ~400-expression parse subtree, which dominated the pair's construct
+# time (r10 driver: 1.261 s + 0.906 s; VERDICT r10 item 5). The memo is
+# dropped by cachereg.cleanup() together with the persist it wraps, so
+# harnesses that release caches between queries (check_oracles) rebuild
+# from scratch and see the exact per-query plan they always did.
+_LANE_INFO_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_lane_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LANE_INFO_MEMO:
+        from .functions.cachereg import register_persisted
+
+        lane_info = extract_flow_info(
+            filter_header_and_empties(synth_traffic_lines(spark, sf_dir))
+        )
+        _LANE_INFO_MEMO[key] = register_persisted(lane_info.persist())
+    return _LANE_INFO_MEMO[key]
+
+
+def _clear_lane_info_memo() -> None:
+    _LANE_INFO_MEMO.clear()
+
+
+cachereg_on_cleanup(_clear_lane_info_memo)
+
+
 @query("traffic_max_lane_flow")
 def traffic_max_lane_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: the reference's full analytics graph (TrafficMaxLaneFlow
     .java:371-396) — parse -> 60min/1min sliding windows -> per-(window,
-    station) max-by -> 10-column projection."""
-    return traffic_pipeline(
-        synth_traffic_lines(spark, sf_dir),
-        TrafficConfig(cache_lane_info=True),
+    station) max-by -> 10-column projection. Same graph traffic_pipeline
+    builds with cache_lane_info=True; the parse stage comes from the
+    pair-shared memo above."""
+    return format_maxes(
+        max_lane_flow(
+            _shared_lane_info(spark, sf_dir),
+            TrafficConfig(cache_lane_info=True),
+        )
     )
 
 
@@ -100,7 +141,7 @@ def traffic_max_lane_flow_tumbling(spark: SparkSession, sf_dir: str) -> DataFram
     cfg = TrafficConfig(
         window_duration_minutes=60, window_slide_minutes=60, cache_lane_info=True
     )
-    return traffic_pipeline(synth_traffic_lines(spark, sf_dir), cfg)
+    return format_maxes(max_lane_flow(_shared_lane_info(spark, sf_dir), cfg))
 
 
 # ------------------------------------------------------------------ windows
