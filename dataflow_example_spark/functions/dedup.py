@@ -284,10 +284,14 @@ def minhash_lsh_pairs(
     so it co-partitions with the shuffle it protects.
     """
     sig = minhash_signatures(docs, n_hashes, k, text_col)
-    if scores:
-        # two readers (band rows + the score re-joins) share the
-        # signature computation; with scores=False bands are the only
-        # reader and a cache would be pure write overhead
+    if scores or bucket_cap is not None:
+        # the signature scan (tokenize -> shingles -> n_hashes mins) has
+        # two readers in either of these modes — the score re-joins
+        # when ``scores``, or the bucket-count aggregate + pair join
+        # both reading ``bands`` when ``bucket_cap`` is set (r11,
+        # ADVICE: scores=False + bucket_cap silently ran the scan
+        # twice). With neither knob, bands is the only reader and a
+        # cache would be pure write overhead.
         sig = sig.cache()
     bands = _band_rows(sig, n_hashes, band_size)
     band_cols = ["band_id"] + [f"b{r}" for r in range(band_size)]

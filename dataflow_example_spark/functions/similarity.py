@@ -389,13 +389,17 @@ def lsh_topk(
 def _nearest_centroid_expr(
     code: list[tuple[int, list[float]]],
     vec_col: str,
-    norm_col: str | None = None,
+    norm_col: str,
 ) -> Column:
     """Nearest-centroid id (by cosine, smallest id on ties) as a single
     column expression over a LITERAL codebook — a pure map, no join, no
-    aggregate, no exchange. ``norm_col`` names a precomputed per-row
-    vector norm (``valid_with_norm``) to reuse instead of folding it
-    here — same double either way.
+    aggregate, no exchange. ``norm_col`` (REQUIRED, r11) names a
+    precomputed per-row vector norm (``valid_with_norm``): the
+    expression references the norm once per candidate in the cid gate,
+    so an inline norm fold here would re-run O(dim) work per (row,
+    candidate) — the exact re-fold cost the r10 O(1)-gate change
+    removed (ADVICE r10). Callers project the norm first, as
+    ``assign_ivf_lists`` / ``_assign_to_centroids`` do.
 
     NULL gate (r9, ADVICE): if the BEST candidate's similarity is NULL —
     every centroid cosine degraded, e.g. a wrong-dimension vector whose
@@ -424,13 +428,7 @@ def _nearest_centroid_expr(
     # is identical: repr(float) round-trips doubles exactly and the 'D'
     # suffix makes each literal a DOUBLE, matching F.lit(float).
     v = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
-    if norm_col is not None:
-        nv = f"`{norm_col}`"
-    else:
-        nv = (
-            f"SQRT(aggregate(transform({v}, x -> x * x), "
-            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
-        )
+    nv = f"`{norm_col}`"
     cands = []
     for cid, comps in code:
         cv = "array(" + ",".join(_dlit(x) for x in comps) + ")"
@@ -460,7 +458,11 @@ def _nearest_centroid_expr(
         # replacement is exactly value-equivalent: for a nonzero-norm
         # centroid, s IS NULL <=> the dot is NULL (size mismatch pads a
         # NULL through zip_with; NULL vector/components make nv NULL)
-        # or the denominator is 0 (nv = 0). Spark SQL orders NaN > 0 as
+        # or the try_divide denominator nv * ncv is 0. The gate tests
+        # that same product (r11, ADVICE): gating on nv > 0 alone
+        # diverged in one array<double>-only edge — nv and ncv both
+        # ~<1e-154 underflow the product to 0.0, making s NULL while
+        # nv > 0 kept a non-NULL cid. Spark SQL orders NaN > 0 as
         # TRUE (NaN sorts greatest than any number), so NaN-component
         # vectors keep a non-NULL cid exactly as their non-NULL NaN s
         # kept it before.
@@ -488,7 +490,8 @@ def _nearest_centroid_expr(
         cands.append(
             f"named_struct('s', {s}, "
             f"'neg_cid', CAST({-int(cid)} AS BIGINT), "
-            f"'cid', IF(size(`{vec_col}`) = {len(comps)} AND {nv} > 0, "
+            f"'cid', IF(size(`{vec_col}`) = {len(comps)} "
+            f"AND {nv} * {_dlit(ncv)} > 0, "
             f"CAST({int(cid)} AS BIGINT), CAST(NULL AS BIGINT)))"
         )
     return F.expr(f"array_max(array({','.join(cands)})).cid")

@@ -77,6 +77,12 @@ def test_cc_dedupe_edges_is_cost_only(spark):
 _CODE = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0])]
 
 
+_NORM_SQL = (
+    "SQRT(aggregate(transform(transform(embedding, x -> CAST(x AS "
+    "DOUBLE)), x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+)
+
+
 def _assign(spark, expr_col):
     emb = spark.createDataFrame(
         [
@@ -89,6 +95,9 @@ def _assign(spark, expr_col):
         ],
         "vec_id bigint, embedding array<double>",
     )
+    # norm_col is required (r11): project the same norm fold the
+    # shipped callers (valid_with_norm) provide
+    emb = emb.withColumn("_n", F.expr(_NORM_SQL))
     return {
         r["vec_id"]: r["cid"]
         for r in emb.select("vec_id", expr_col.alias("cid")).collect()
@@ -121,14 +130,14 @@ def _r9_gate_expr(code, vec_col):
 
 
 def test_o1_gate_matches_r9_gate_on_dirty_classes(spark):
-    got_new = _assign(spark, _nearest_centroid_expr(_CODE, "embedding"))
+    got_new = _assign(spark, _nearest_centroid_expr(_CODE, "embedding", "_n"))
     got_old = _assign(spark, _r9_gate_expr(_CODE, "embedding"))
     assert got_new == got_old
     assert got_new == {1: 0, 2: None, 3: None, 4: None, 5: None, 6: 0}
 
 
 def test_gate_expr_has_single_dot_fold_per_candidate():
-    expr = str(_nearest_centroid_expr(_CODE, "v"))
+    expr = str(_nearest_centroid_expr(_CODE, "v", "_n"))
     # one zip_with per NON-degenerate candidate (cid 2 is zero-norm ->
     # literal NULLs, no fold); the r9 gate form carried two copies each
     assert expr.count("zip_with") == 2
@@ -137,7 +146,7 @@ def test_gate_expr_has_single_dot_fold_per_candidate():
 
 def test_overflowing_centroid_builds_and_never_wins(spark):
     code = [(0, [1e200, 1e200]), (1, [1.0, 0.0])]
-    got = _assign(spark, _nearest_centroid_expr(code, "embedding"))
+    got = _assign(spark, _nearest_centroid_expr(code, "embedding", "_n"))
     assert got[1] == 1  # the overflowed centroid degraded, never won
     assert _dlit(float("inf")) == "CAST('Infinity' AS DOUBLE)"
     assert _dlit(float("-inf")) == "CAST('-Infinity' AS DOUBLE)"

@@ -98,7 +98,7 @@ def test_nearest_centroid_expr_single_array_max():
     )
 
     expr = str(
-        _nearest_centroid_expr([(0, [1.0, 0.0]), (1, [0.0, 1.0])], "v")
+        _nearest_centroid_expr([(0, [1.0, 0.0]), (1, [0.0, 1.0])], "v", "_n")
     )
     assert expr.count("array_max") == 1
 
