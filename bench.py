@@ -100,8 +100,12 @@ N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 # (process start -> warm-up -> first sf0.1 execution); COLD_PASSES-1
 # additional child processes re-run just that sequence in fresh JVMs,
 # and cold_sec/construct_sec min-aggregate element-wise — the same
-# noise defense `value` has had since v2.
-COLD_PASSES = int(os.environ.get("SPARK_GRAFT_COLD_PASSES", "2"))
+# noise defense `value` has had since v2. Default 3 (r11): the r11 v5
+# shakedown's min-of-2 still reported a 9.8 s flagship cold against a
+# ~7 s quiet-trial capability — steal windows on this host run for
+# minutes, long enough to poison two back-to-back cold children, so a
+# third spaced sample materially improves the min.
+COLD_PASSES = int(os.environ.get("SPARK_GRAFT_COLD_PASSES", "3"))
 
 # full sweeps over the query list; per-query results are element-wise
 # min across passes. Within a pass a query's N_RUNS executions are
