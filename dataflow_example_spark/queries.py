@@ -35,7 +35,7 @@ from .functions.cachereg import on_cleanup as cachereg_on_cleanup
 from .functions.cachereg import scratch_dir
 from .streaming import drain
 from .synth import synth_traffic_lines
-from .tables import load
+from .tables import dim_bcast, load
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
@@ -297,7 +297,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast(DEC)
     rev = dec("l_extendedprice") * (one - dec("l_discount"))
     promo = F.when(F.col("p_type").startswith("PROMO"), rev)  # null else
-    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    joined = l.join(dim_bcast(p, sf_dir, "part"), l.l_partkey == p.p_partkey)
     return joined.agg(
         (
             F.lit(100.0)
@@ -359,7 +359,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(dim_bcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(revenue.alias("_rev"))
         .select(
@@ -385,8 +385,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast(DEC)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(dim_bcast(s, sf_dir, "supplier"), l.l_suppkey == s.s_suppkey)
+        .join(dim_bcast(c, sf_dir, "customer"), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -1217,8 +1217,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(dim_bcast(s, sf_dir, "supplier"), l.l_suppkey == s.s_suppkey)
+        .join(dim_bcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("_sk"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("_ck"))
         .filter(pair)
@@ -1315,7 +1315,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey, "inner")
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(dim_bcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -1342,7 +1342,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast(DEC)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(dim_bcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
@@ -1380,7 +1380,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_r = revenue.agg(F.max("_r").alias("_mr"))
     return (
         revenue.join(F.broadcast(max_r), revenue._r == max_r._mr)
-        .join(F.broadcast(s), revenue.l_suppkey == s.s_suppkey)
+        .join(dim_bcast(s, sf_dir, "supplier"), revenue.l_suppkey == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -1407,7 +1407,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(dim_bcast(p, sf_dir, "part"), l.l_partkey == p.p_partkey)
         .join(avg_q.withColumnRenamed("l_partkey", "_pk"),
               l.l_partkey == F.col("_pk"))
         .filter(dec("l_quantity") < F.lit(0.2).cast(DEC) * F.col("_avg_q"))
@@ -1436,7 +1436,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_size") <= szhi)
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(dim_bcast(p, sf_dir, "part"), l.l_partkey == p.p_partkey)
         .filter(block("BRAND_1", 1, 11, 5) | block("BRAND_2", 10, 20, 10)
                 | block("BRAND_3", 20, 30, 15))
         .agg(
@@ -1469,8 +1469,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = F.when(F.col("supp_nation") == "NATION_1", vol)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(dim_bcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
+        .join(dim_bcast(s, sf_dir, "supplier"), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("_sk"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("_ck"))
         .join(F.broadcast(r), F.col("_rk") == r.r_regionkey)
@@ -2120,8 +2120,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     eu = (
-        supply.join(F.broadcast(p), supply.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), supply.l_suppkey == s.s_suppkey)
+        supply.join(dim_bcast(p, sf_dir, "part"), supply.l_partkey == p.p_partkey)
+        .join(dim_bcast(s, sf_dir, "supplier"), supply.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -2162,8 +2162,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * dec("l_quantity")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(dim_bcast(p, sf_dir, "part"), l.l_partkey == p.p_partkey)
+        .join(dim_bcast(s, sf_dir, "supplier"), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -2186,7 +2186,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
     )
-    scoped = l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey).join(
+    scoped = l.join(dim_bcast(s, sf_dir, "supplier"), l.l_suppkey == s.s_suppkey).join(
         F.broadcast(n), s.s_nationkey == n.n_nationkey
     )
     value = scoped.groupBy("l_partkey").agg(
@@ -2248,7 +2248,7 @@ def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     heavy = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(dim_bcast(p, sf_dir, "part"), l.l_partkey == p.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(dec("l_quantity")).alias("_q"))
         .filter(F.col("_q") > F.lit(50).cast(DEC))
@@ -2306,7 +2306,7 @@ def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         waiting.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(dim_bcast(s, sf_dir, "supplier"), F.col("l_suppkey") == s.s_suppkey)
         .select("s_name", "numwait")
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
@@ -4194,9 +4194,9 @@ def suppliers_full_nation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier")
     brand = part.filter(F.col("p_brand") == "Brand#13").select("p_partkey")
     shipped = (
-        li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
+        li.join(dim_bcast(brand, sf_dir, "part"), li.l_partkey == brand.p_partkey)
         .join(
-            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            dim_bcast(supp.select("s_suppkey", "s_nationkey"), sf_dir, "supplier"),
             li.l_suppkey == F.col("s_suppkey"),
         )
         .select("s_nationkey", "s_suppkey", "l_partkey")
@@ -4755,7 +4755,7 @@ def lineitem_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     rev = (
         li.join(
-            F.broadcast(part.select("p_partkey", "p_brand")),
+            dim_bcast(part.select("p_partkey", "p_brand"), sf_dir, "part"),
             li.l_partkey == F.col("p_partkey"),
         )
         .groupBy("p_brand", "l_suppkey")
@@ -5668,7 +5668,7 @@ def lineitem_brand_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     j = li.join(
-        F.broadcast(part.select("p_partkey", "p_brand")),
+        dim_bcast(part.select("p_partkey", "p_brand"), sf_dir, "part"),
         li.l_partkey == F.col("p_partkey"),
     )
     x = dec("l_quantity")
@@ -5920,7 +5920,7 @@ def orders_segment_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
     j = orders.join(
-        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        dim_bcast(cust.select("c_custkey", "c_mktsegment"), sf_dir, "customer"),
         orders.o_custkey == F.col("c_custkey"),
     )
     cells = j.groupBy("c_mktsegment", "o_orderpriority").agg(
@@ -6004,7 +6004,7 @@ def lineitem_returns_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     ret = (F.col("l_returnflag") == "R").cast("bigint")
     return (
         li.join(
-            F.broadcast(part.select("p_partkey", "p_brand")),
+            dim_bcast(part.select("p_partkey", "p_brand"), sf_dir, "part"),
             li.l_partkey == F.col("p_partkey"),
         )
         .groupBy("p_brand")

@@ -48,3 +48,50 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             return df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
+
+
+# Explicit F.broadcast on an SF-SCALING table (customer/supplier/part —
+# TPC-H sizes them proportional to scale factor, unlike the constant
+# region/nation) is a 100 TB hazard: the hint overrides every planner
+# size check, so a table that is 300 KB at sf0.1 but ~1.5 TB at
+# warehouse scale (customer at SF~100k) would be built as an
+# executor-resident hash relation and OOM the build. `dim_bcast` gates
+# the hint on the table's actual on-disk size: at or under the
+# threshold the emitted plan is byte-identical to the always-hint plan
+# (verified against captured plans at sf0.01 when this landed); over
+# it — or when the size cannot be determined (non-local storage) — the
+# join is left to cost-based planning plus AQE's runtime join-strategy
+# conversion, which still broadcasts when post-filter stats turn out
+# small and otherwise shuffles. The default mirrors the SCALE.md
+# cluster recipe's bumped autoBroadcastJoinThreshold (128 MB of
+# parquet; the in-memory relation is larger after decompression, which
+# is why the recipe pairs it with big executors).
+DIM_BCAST_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_DIM_BCAST_MAX", str(128 * 1024 * 1024))
+)
+
+
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of a table's parquet (file or directory), -1 when
+    it cannot be determined locally (remote/object-store paths)."""
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return -1
+
+
+def dim_bcast(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Size-gated broadcast hint for joins against an SF-scaling
+    dimension table (or a projection/filter of one — the whole table's
+    size is the conservative proxy for any subset of it)."""
+    size = table_bytes(sf_dir, name)
+    if 0 <= size <= DIM_BCAST_MAX_BYTES:
+        return F.broadcast(df)
+    return df
