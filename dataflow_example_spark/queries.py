@@ -1302,8 +1302,10 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING-filtered aggregate used as an IN-subquery
     (= semi join on the aggregated key set). The heavy lineitem aggregate
-    happens once; its surviving key set is small -> broadcast semi join
-    back onto orders."""
+    happens once; the surviving key set is data-dependent (usually tiny,
+    but it scales with SF), so the join back onto orders carries no
+    forced hint — AQE sees the aggregate stage's actual output size and
+    broadcasts at runtime exactly when it is small (r11)."""
     l = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
@@ -1314,7 +1316,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", F.col("_q").cast("double").alias("total_qty"))
     )
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey, "inner")
+        o.join(big, o.o_orderkey == big.l_orderkey, "inner")
         .join(dim_bcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
@@ -2130,7 +2132,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         eu.join(
-            F.broadcast(min_cost),
+            min_cost,
             (eu.p_partkey == F.col("_mk"))
             & (eu.supply_cost == F.col("_mc")),
         )
@@ -3711,9 +3713,10 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     term): the classic salience ranking a curation pipeline uses for
     topic tagging. Term frequencies and document frequencies are exact
     integers; N/df is an exact-int double division so ln() sees
-    identical inputs in both engines. Two grouped aggregates plus one
-    broadcast of the (term, df) vocabulary join — df state is bounded
-    by vocabulary size, not corpus size."""
+    identical inputs in both engines. Two grouped aggregates plus the
+    (term, df) vocabulary join — unhinted (r11): vocabulary grows with
+    the corpus (Heaps' law), so AQE decides broadcast-vs-shuffle from
+    the df aggregate's runtime size instead of a forced hint."""
     docs = load(spark, sf_dir, "documents")
     from .functions.text import tokens
     from pyspark.sql.window import Window
@@ -3735,7 +3738,7 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("score"), F.asc("term")
     )
     return (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "term", "tf", score.alias("score"))
         .withColumn("rnk", F.row_number().over(w))
