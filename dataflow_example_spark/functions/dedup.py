@@ -41,6 +41,18 @@ def _hash32(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
 
 
+def _hash60(c: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex digits of md5, as bigint
+    (15 hex digits = 60 bits, safely inside int64). Exists for simhash
+    signatures wider than 32 bits: a signature bit j can only vary if
+    the TOKEN hash has a bit j, so the token hash must be at least as
+    wide as the signature (r11 — bits=60 over _hash32 made bits 32-59
+    constant zero for every doc, collapsing the wide bands into a
+    handful of giant buckets: 59.6M -> 1.57B band-join candidates on
+    the 10x smoke corpus, measured)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact duplicate groups: hash-groupBy on md5(text). Returns one row
     per distinct content with the min doc_id as representative."""
@@ -337,9 +349,20 @@ def minhash_lsh_pairs(
 
 def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFrame:
     """Per-doc SimHash over the token multiset: bit j of the signature is
-    the sign of sum over tokens of (+1 if bit j of hash32(token) else -1)."""
+    the sign of sum over tokens of (+1 if bit j of hash(token) else -1).
+
+    ``bits`` up to 32 uses the 32-bit token hash (the oracle-matched
+    default path, byte-stable since r2); 33..60 switches to the 60-bit
+    token hash so every signature bit actually varies (see _hash60).
+    Wider signatures buy wider bands in ``simhash_pairs`` — band bucket
+    space 2^ceil(bits/(h+1)) — the knob that matters when random band
+    collisions, not true duplicates, dominate the candidate volume.
+    Capped at 60: the signature assembles into a signed BIGINT."""
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in 1..60, got {bits}")
+    tok_hash = _hash32 if bits <= 32 else _hash60
     toks = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
-    hashed = toks.select("doc_id", _hash32(F.col("tok")).alias("h"))
+    hashed = toks.select("doc_id", tok_hash(F.col("tok")).alias("h"))
     # string-built aggregates/assembly, same py4j-cost reasoning as
     # minhash_signatures (bits x (shiftright+and+case) Column objects
     # were hundreds of driver round trips; the parsed trees are

@@ -437,3 +437,62 @@ def test_substring_dup_pairs_alignment_and_dedup(spark):
     # within-doc repetition cannot inflate: doc3 vs itself is excluded
     # by a < b, and counts are over DISTINCT shingle values
     assert got[(1, 5)] == got[(1, 2)]
+
+
+def test_simhash_wide_bits_high_bits_vary(spark):
+    """bits > 32 must use the 60-bit token hash so bits 32+ of the
+    signature actually vary across docs (r11: the old 32-bit token hash
+    left them constant zero, collapsing wide bands into giant buckets
+    — 59.6M -> 1.57B band-join candidates on the 10x smoke corpus)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_example_spark.functions.dedup import simhash
+
+    d = docs(
+        spark,
+        [(i, f"word{i} token{i * 7} item{i * 13} thing{i * 29}") for i in range(40)],
+    )
+    sig = simhash(d, bits=60)
+    distinct_high = (
+        sig.select(F.shiftright(F.col("simhash"), 32).alias("hi"))
+        .distinct()
+        .count()
+    )
+    assert distinct_high > 1, "signature bits 32-59 are constant"
+
+
+def test_simhash_wide_banded_equals_allpairs(spark):
+    """Recall-1 pigeonhole equality must hold at the widened signature
+    too (same contract as the 32-bit test, bits=60)."""
+    from dataflow_example_spark.functions.dedup import simhash_pairs_allpairs
+
+    d = docs(
+        spark,
+        [
+            (i, f"alpha beta gamma delta epsilon {w}")
+            for i, w in enumerate(
+                ["zeta", "zeta", "eta", "theta iota", "kappa", "zeta eta"]
+            )
+        ],
+    )
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs(d, max_hamming=3, bits=60).collect()
+    }
+    allpairs = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs_allpairs(d, max_hamming=3, bits=60).collect()
+    }
+    assert banded == allpairs
+    assert banded
+
+
+def test_simhash_bits_validation(spark):
+    import pytest as _pytest
+
+    from dataflow_example_spark.functions.dedup import simhash
+
+    d = docs(spark, [(1, "alpha")])
+    for bad in (0, -4, 61, 64, 128):
+        with _pytest.raises(ValueError, match="bits"):
+            simhash(d, bits=bad)
