@@ -63,51 +63,54 @@ _SAMPLE_FIRST = [
     "events_sliding_agg",
     "events_sessionize",
     "streaming_traffic_parity",
-    # r11 rotation, part 1: the 20 entries whose latest driver row is
-    # round 5 (the freshness gap VERDICT r10 flags).
-    "docs_minhash_containment",
-    "events_interval_overlap_count",
-    "docs_quality_gate_report",
-    "emb_pq_codes",
-    "docs_shingle_novelty",
-    "sim_pq_adc_topk",
-    "events_scd2_intervals",
-    "text_bigram_logprob",
-    "docs_dedup_survivorship",
-    "orders_rfm_segments",
-    "events_hourly_seasonality",
-    "events_resample_ffill",
-    "docs_importance_resample",
-    "part_price_equidepth",
-    "events_mad_outliers",
-    "events_cohort_retention",
-    "events_markov_transitions",
-    "orders_abc_pareto",
-    "dedup_cluster_stats",
-    "events_funnel_step_latency",
-    # r11 rotation, part 2: the 22 oldest r6-era entries.
-    "events_approx_distinct",
-    "events_approx_percentiles",
-    "emb_quantize_int8",
-    "emb_random_projection",
-    "docs_incremental_dedup",
-    "events_nearest_join",
-    "streaming_sliding_parity",
-    "streaming_join_parity",
-    "events_ewma",
-    "text_substring_dup",
-    "docs_cluster_balanced_sample",
-    "events_point_in_time_join",
-    "events_rolling_active_users",
-    "events_psi_drift",
-    "emb_norm_outliers",
-    "docs_bloom_decontaminate",
-    "events_zorder_layout",
-    "orders_join_skew_report",
-    "docs_ngram_dup_rate",
-    "events_arrival_lateness",
-    "streaming_session_parity",
-    "events_salted_distinct_users",
+    # r12 rotation, part 1: the 20 entries whose latest driver row is
+    # round 6 (COVERAGE.md "r12 rotation handoff" / VERDICT r11 item 1).
+    "docs_cross_source_dup_matrix",
+    "docs_tfidf_top_terms",
+    "events_attribution_first_touch",
+    "events_chi2_independence",
+    "events_daily_autocorr",
+    "events_daily_value_quantiles",
+    "events_dq_checks",
+    "events_feature_hash",
+    "events_gap_duration_stats",
+    "events_latest_per_user",
+    "events_snapshot_diff",
+    "events_user_streaks",
+    "lineitem_basket_pairs",
+    "orders_customer_gini",
+    "orders_revenue_yoy_growth",
+    "orders_running_total",
+    "orders_top_percentile",
+    "streaming_enrich_parity",
+    "suppliers_full_nation_parts",
+    "text_readability",
+    # r12 rotation, part 2: the 22 oldest r7-era entries. All 42 r7-era
+    # entries are exact ties (each has exactly one driver row, in r7), so
+    # the first 22 alphabetically lead; the remaining 20 are the r13
+    # handoff (see COVERAGE.md).
+    "dedup_minhash_error_eval",
+    "docs_char_trigram_profile",
+    "docs_dedup_savings",
+    "docs_dedup_threshold_sweep",
+    "docs_dq_by_source",
+    "docs_hash_partition_balance",
+    "docs_jsonl_ingest",
+    "docs_lang_diversity",
+    "docs_langid_confusion",
+    "docs_vocab_growth",
+    "emb_dim_variance",
+    "emb_label_separability",
+    "emb_quantization_report",
+    "events_attribution_latency",
+    "events_bot_users",
+    "events_bounce_rate",
+    "events_burst_detection",
+    "events_dow_anova",
+    "events_hourly_variance_explained",
+    "events_k_anonymity",
+    "events_kpi_summary",
+    "events_model_score",
 ]
 
 

@@ -1358,3 +1358,78 @@ def random_projection(
         .agg((folded / F.lit(float(root))).alias("value"))
         .select("vec_id", F.col("_k").alias("dim"), "value")
     )
+
+
+def label_consistency_1nn(
+    emb: DataFrame,
+    panel_n: int = 200,
+    salt: str = "1nn-panel",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-quality via 1-NN consistency over a FIXED-size probe panel.
+
+    The panel is the ``panel_n`` vectors with the smallest md5 hash
+    buckets (``sampling.hash_bucket``, ``id_col`` tie-break) — a pure
+    function of the id, so the panel is reproducible across runs,
+    partitionings, and engines, and its size is O(1) in corpus scale.
+    Spark compiles ``orderBy().limit()`` to TakeOrderedAndProject
+    (per-partition top-N, driver merge of N/partition — no global
+    sort), so the broadcast side is bounded at any SF; the exact scan
+    is panel_n x corpus (VERDICT r11 finding 1: the previous
+    ``vec_id % 10`` panel was 10% of the corpus — an unbounded
+    broadcast and a 0.1*N^2 intermediate). Ties break by neighbor id;
+    shares are exact-int divisions. Output: one row per label with
+    (n_probes, n_label_match, consistency).
+    """
+    from pyspark.sql.window import Window
+
+    from .sampling import hash_bucket
+
+    # 1-NN by cosine is direction-based: drop zero-norm/NaN vectors so a
+    # NaN similarity can never outrank every real neighbor
+    emb = valid_vectors(emb, vec_col)
+    probes = (
+        emb.withColumn("_hb", hash_bucket(F.col(id_col), salt))
+        .orderBy("_hb", id_col)
+        .limit(panel_n)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col(label_col).alias("q_label"),
+        )
+    )
+    cand = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("n_label"),
+    )
+    scored = cand.crossJoin(F.broadcast(probes)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    nn = (
+        scored.select(
+            "query_id",
+            "q_label",
+            "neighbor_id",
+            "n_label",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+    )
+    return nn.groupBy("q_label").agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(
+            (F.col("n_label") == F.col("q_label")).cast("bigint")
+        ).alias("n_label_match"),
+        (
+            F.sum((F.col("n_label") == F.col("q_label")).cast("bigint"))
+            .cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("consistency"),
+    )

@@ -4866,7 +4866,9 @@ WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),
 probes AS (
     SELECT vec_id AS query_id, v AS qv, label AS q_label
-    FROM e WHERE vec_id % 10 = 0
+    FROM e
+    ORDER BY {_bucket_sql("1nn-panel", key="vec_id")}, vec_id
+    LIMIT 200
 ),
 nn AS (
     SELECT query_id, q_label, n_label FROM (

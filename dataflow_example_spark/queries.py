@@ -4135,8 +4135,13 @@ def lineitem_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     together in >= 2 orders, scored by lift = N * n_ab / (n_a * n_b).
     The self-join is keyed on the order, so fan-out is bounded by order
     size squared (~7^2), never by part popularity — the safe basket
-    shape at any scale. Marginals broadcast; counts exact; lift is one
-    exact-int double expression."""
+    shape at any scale. The per-part marginals have part-dimension
+    cardinality (they scale with SF), so their broadcast is size-gated
+    on the part table via ``dim_bcast`` rather than forced (ADVICE r11:
+    a forced hint here is the same warehouse-scale OOM class dim_bcast
+    exists to remove); over the gate, AQE still converts when
+    runtime stats turn out small. Counts exact; lift is one exact-int
+    double expression."""
     li = load(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     a = items.alias("a")
@@ -4162,13 +4167,21 @@ def lineitem_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.join(
-            F.broadcast(marg.withColumnRenamed("part", "part_a")
-                        .withColumnRenamed("n_part", "n_a")),
+            dim_bcast(
+                marg.withColumnRenamed("part", "part_a")
+                .withColumnRenamed("n_part", "n_a"),
+                sf_dir,
+                "part",
+            ),
             "part_a",
         )
         .join(
-            F.broadcast(marg.withColumnRenamed("part", "part_b")
-                        .withColumnRenamed("n_part", "n_b")),
+            dim_bcast(
+                marg.withColumnRenamed("part", "part_b")
+                .withColumnRenamed("n_part", "n_b"),
+                sf_dir,
+                "part",
+            ),
             "part_b",
         )
         .crossJoin(F.broadcast(tot))
@@ -6650,56 +6663,24 @@ def orders_status_year_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("emb_1nn_label_consistency")
 def emb_1nn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-quality via 1-NN consistency: for a deterministic probe
-    panel (vec_id % 10 == 0), does each probe's cosine nearest
+    panel (the 200 vectors with the smallest md5 hash buckets — a FIXED
+    panel size at any corpus scale), does each probe's cosine nearest
     neighbor share its label? High agreement certifies the labels
     respect the embedding geometry before anyone trains a probe head.
-    The probe panel bounds the exact scan (panel x corpus, the
-    cosine_topk shape); ties break by neighbor id; shares are
-    exact-int divisions."""
-    from pyspark.sql.window import Window
-
-    from .functions.similarity import cosine, valid_vectors
-
-    # 1-NN by cosine is direction-based: drop zero-norm/NaN vectors so a
-    # NaN similarity can never outrank every real neighbor
-    emb = valid_vectors(load(spark, sf_dir, "embeddings"))
-    probes = emb.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        F.col("label").alias("q_label"),
-    )
-    cand = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("cv"),
-        F.col("label").alias("n_label"),
-    )
-    scored = cand.crossJoin(F.broadcast(probes)).filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
-    )
-    nn = (
-        scored.select(
-            "query_id",
-            "q_label",
-            "neighbor_id",
-            "n_label",
-            cosine(F.col("qv"), F.col("cv")).alias("cos"),
-        )
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-    )
-    return nn.groupBy("q_label").agg(
-        F.count(F.lit(1)).alias("n_probes"),
-        F.sum(
-            (F.col("n_label") == F.col("q_label")).cast("bigint")
-        ).alias("n_label_match"),
-        (
-            F.sum((F.col("n_label") == F.col("q_label")).cast("bigint"))
-            .cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("consistency"),
+    The capped panel bounds the exact scan at 200 x corpus rows and
+    keeps the broadcast side O(1) in SF (VERDICT r11 finding 1 — the
+    old vec_id % 10 panel was 10% of the corpus, an unbounded broadcast
+    and a 0.1*N^2 intermediate). Panel membership is a pure function of
+    vec_id (hash_bucket, then vec_id tie-break), so it is reproducible
+    across runs, partitionings, and engines; the DuckDB oracle computes
+    the identical panel. Spark compiles orderBy().limit() to
+    TakeOrderedAndProject: per-partition top-200, driver merge of
+    200/partition — no global sort. Ties break by neighbor id; shares
+    are exact-int divisions. Shared implementation:
+    functions/similarity.py label_consistency_1nn (also exercised by
+    tools/scale_smoke_ann.py on the 10x/100x/1000x amplified corpus)."""
+    return S.label_consistency_1nn(
+        load(spark, sf_dir, "embeddings"), panel_n=200
     )
 
 

@@ -87,11 +87,28 @@ def table_bytes(sf_dir: str, name: str) -> int:
         return -1
 
 
-def dim_bcast(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+def dim_bcast(
+    df: DataFrame,
+    sf_dir: str,
+    name: str,
+    size_hint_bytes: int | None = None,
+) -> DataFrame:
     """Size-gated broadcast hint for joins against an SF-scaling
     dimension table (or a projection/filter of one — the whole table's
-    size is the conservative proxy for any subset of it)."""
+    size is the conservative proxy for any subset of it).
+
+    ``size_hint_bytes``: callers passing a heavily FILTERED projection
+    (e.g. one brand's partkeys) may supply their own estimate of the
+    subset's bytes; the gate then uses min(table size, hint), so a tiny
+    filtered dim keeps its guaranteed-broadcast plan even when the whole
+    table sits over the threshold (ADVICE r11: near the threshold the
+    conservative whole-table proxy otherwise hands the join to AQE's
+    runtime conversion). The hint only ever LOWERS the gated size — it
+    cannot force a broadcast past the threshold on its own if the
+    caller's estimate exceeds it."""
     size = table_bytes(sf_dir, name)
+    if size_hint_bytes is not None and size_hint_bytes >= 0:
+        size = size_hint_bytes if size < 0 else min(size, size_hint_bytes)
     if 0 <= size <= DIM_BCAST_MAX_BYTES:
         return F.broadcast(df)
     return df

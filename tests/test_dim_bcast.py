@@ -49,3 +49,24 @@ def test_gating_never_changes_values(spark, monkeypatch):
     unhinted = sorted(map(tuple, QUERIES["q5_local_supplier_volume"](spark, SF).collect()))
     assert hinted == unhinted
     assert len(hinted) > 0
+
+def test_size_hint_restores_broadcast_for_filtered_subset(spark, monkeypatch):
+    """A caller-supplied subset estimate re-enables the hint when the
+    whole-table proxy is over the threshold (ADVICE r11), but can only
+    LOWER the gated size — a huge hint never forces a broadcast."""
+    c = load(spark, SF, "customer")
+    sub = c.filter(c.c_mktsegment == "BUILDING").select("c_custkey")
+    monkeypatch.setattr(tables, "DIM_BCAST_MAX_BYTES", 0)
+    # whole-table proxy over threshold -> no hint...
+    assert dim_bcast(sub, SF, "customer") is sub
+    # ...unless the caller certifies the filtered subset is tiny
+    hinted = dim_bcast(sub, SF, "customer", size_hint_bytes=0)
+    assert hinted is not sub
+    # a hint ABOVE the threshold doesn't force anything
+    assert dim_bcast(sub, SF, "customer", size_hint_bytes=10**12) is sub
+    monkeypatch.undo()
+    # unknown table size + trusted small hint -> hint applies
+    assert (
+        dim_bcast(sub, "/nonexistent/dir", "customer", size_hint_bytes=1024)
+        is not sub
+    )

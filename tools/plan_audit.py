@@ -585,6 +585,14 @@ def main() -> None:
                 print(f"FAIL  {name}{tag}: " + "; ".join(fails))
             else:
                 print(f"ok    {name}{tag}")
+    # Final section: the static broadcast-hint rule (VERDICT r11 finding
+    # 1) — no F.broadcast of a filter-only derivation of an SF-scaling
+    # table anywhere in the registry. Counts as one audit row.
+    import broadcast_audit
+
+    audits += 1
+    if broadcast_audit.main() != 0:
+        failed += 1
     print(f"\n{audits - failed}/{audits} plans pass")
     sys.exit(1 if failed else 0)
 

@@ -62,7 +62,9 @@ def amplified_emb(spark, sf_dir: str, factor: int):
     component perturbation (position- and copy-dependent, bounded
     +-0.05) so copies are near but not identical — list sizes stay
     realistic instead of every copy landing in one centroid's list."""
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
     # one crossJoin with range(factor), not a factor-way union: the plan
     # size stays O(1) in the amplification (1000 union legs would spend
     # minutes in analysis before a row moves)
@@ -80,6 +82,7 @@ def amplified_emb(spark, sf_dir: str, factor: int):
     ).select(
         (F.col("vec_id") + F.col("_copy") * 10_000_000).alias("vec_id"),
         pert.alias("embedding"),
+        "label",
     )
     return big.repartition(spark.sparkContext.defaultParallelism).persist()
 
@@ -147,6 +150,21 @@ def main() -> None:
         assert n_pq == nq * K, (factor, "pq", n_pq)
         pq.unpersist()
 
+        # 1-NN label consistency (the r12 fix for VERDICT r11 finding 1):
+        # the probe panel must stay EXACTLY panel_n rows at every
+        # amplification — the broadcast side is O(1) in corpus scale —
+        # and the exact scan is panel_n x N (~linear in N at fixed
+        # panel_n). sum(n_probes) == panel_n is the invariant the old
+        # vec_id % 10 panel (10% of corpus) violated.
+        t0 = time.time()
+        nn = S.label_consistency_1nn(emb, panel_n=200).persist()
+        nn_rows = nn.collect()
+        row["onenn_s"] = round(time.time() - t0, 1)
+        n_probes = sum(r["n_probes"] for r in nn_rows)
+        assert n_probes == 200, (factor, "1nn panel", n_probes)
+        assert all(0.0 <= r["consistency"] <= 1.0 for r in nn_rows)
+        nn.unpersist()
+
         # kmeans_assign runs its iterative centroid updates EAGERLY during
         # construction (localCheckpoint per round) — time construction +
         # execution together or the number only covers the final scan
@@ -165,15 +183,15 @@ def main() -> None:
         print(json.dumps(row))
 
     print("\n| factor | rows | cosine_topk | ivf_topk (recall) | "
-          "pq_adc_topk | kmeans |")
-    print("|---|---|---|---|---|---|")
+          "pq_adc_topk | 1nn_panel | kmeans |")
+    print("|---|---|---|---|---|---|---|")
     for r in results:
         cos = f"{r['cosine_topk_s']}s" if "cosine_topk_s" in r else "—"
         rec = f" ({r['ivf_recall']})" if "ivf_recall" in r else ""
         print(
             f"| {r['factor']}x | {r['rows']} | {cos} "
             f"| {r['ivf_topk_s']}s{rec} | {r['pq_adc_topk_s']}s "
-            f"| {r['kmeans_s']}s |"
+            f"| {r['onenn_s']}s | {r['kmeans_s']}s |"
         )
     print("\nOK")
     spark.stop()

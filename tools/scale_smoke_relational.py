@@ -83,7 +83,13 @@ def amplify(spark, dest: str, factor: int, src: str = SRC) -> float:
             # fixed tables ride along unchanged so dest is a complete
             # sf_dir any registry query can run against
             src_path = Path(src) / f"{name}.parquet"
-            shutil.copy(src_path, Path(dest) / f"{name}.parquet")
+            # a table may ship as one parquet file OR a directory of part
+            # files (mirror table_bytes' isdir branch — ADVICE r11:
+            # shutil.copy raises IsADirectoryError on the latter)
+            if src_path.is_dir():
+                shutil.copytree(src_path, Path(dest) / f"{name}.parquet")
+            else:
+                shutil.copy(src_path, Path(dest) / f"{name}.parquet")
             continue
         base = load(spark, src, name)
         copies = []
