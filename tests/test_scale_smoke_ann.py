@@ -26,7 +26,10 @@ def test_amplified_emb_invariants(spark):
 
     from dataflow_example_spark.tables import load
 
-    base = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    # r12: amplified_emb also carries label (the 1-NN consistency case)
+    base = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
     n = base.count()
     big = amplified_emb(spark, SF_DIR, 3)
     try:
