@@ -173,7 +173,15 @@ def importance_resample(
     over-represented sources are thinned, under-represented ones pass
     through whole. Group sizes are a tiny broadcast aggregate; the
     filter itself stays a stateless map-side decision, so membership
-    survives repartitioning and reprocessing."""
+    survives repartitioning and reprocessing.
+
+    Scale contract: ``group_col`` must be a bounded-cardinality
+    grouping (source / lang / event_type — the mixture-control shape),
+    NOT an entity key that scales with the corpus; the per-group rates
+    frame is force-broadcast because its row count equals the group
+    count. An SF-scaling group_col here would be the same hazard class
+    tools/broadcast_audit.py bans in the registry (registry callers all
+    pass constant-cardinality groups: lang / source)."""
     sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
     totals = sizes.agg(
         F.sum("_gn").alias("_tot"), F.count(F.lit(1)).alias("_k")
