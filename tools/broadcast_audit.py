@@ -170,7 +170,13 @@ def audit_file(path: Path) -> list[str]:
 
 
 def main() -> int:
-    fails = audit_file(REPO / "dataflow_example_spark" / "queries.py")
+    # Whole package, not just the registry: library modules mostly take
+    # frames as parameters (parameters are untainted — see docstring),
+    # but any INTERNAL load()-derived broadcast added later is caught.
+    fails: list[str] = []
+    pkg = REPO / "dataflow_example_spark"
+    for path in sorted(pkg.rglob("*.py")):
+        fails += audit_file(path)
     for f in fails:
         print(f"FAIL  {f}")
     n = len(fails)
