@@ -1,0 +1,206 @@
+"""In-process message-bus source via the Spark 4 Python DataSource API
+(SURVEY.md §2 op 2 — the message-bus variant that IS verifiable in this
+container, unlike the Kafka adapter whose connector jar cannot be
+fetched here).
+
+The reference's unbounded source is Pub/Sub (TrafficMaxLaneFlow.java:
+375-379) fed by an injector (PubsubFileInjector.java:37-55). The
+engine's primary stand-in is the file-drop directory; this module adds
+a second, semantically closer stand-in: a tiny append-only segment
+broker with REAL source-managed offsets, so the Structured Streaming
+offset/commit lifecycle (initialOffset -> latestOffset -> partitions ->
+read -> commit, checkpointed exactly-once restart) is exercised by an
+actual custom source rather than Spark's built-in file source.
+
+Broker layout: ``<broker_dir>/seg-<12-digit-n>.txt``, one UTF-8 line
+per message, each line ``<publish_epoch_us>\\t<payload>``. Segments are
+immutable once visible — the publisher writes to a temp name and
+``os.rename``s in (atomic on POSIX), so a reader never sees a partial
+segment. Offsets are ``{"segment": k}`` = "segments with index < k are
+consumed"; a (start, end) range maps to one InputPartition per segment,
+and ``read`` is deterministic for a fixed range — which is what makes
+checkpoint replays idempotent (the exactly-once upgrade over the
+reference's at-least-once injector, same claim as the file-drop path).
+
+Publish time is recorded by the PUBLISHER (the Pub/Sub publish-time
+analog, TrafficMaxLaneFlow.java:378-379) and surfaced as ``ingest_ts``,
+so streaming event-time semantics match the reference's
+no-timestamp-attribute configuration; ``TrafficConfig.
+streaming_honor_payload_timestamp`` opts into payload time exactly as
+with the other sources.
+
+Scale notes (100 TB): one task per segment — source parallelism is the
+segment count per micro-batch, the same knob as Kafka topic partitions;
+rows cross into the JVM through the Python DataSource's Arrow batch
+channel. This adapter is for correctness-bearing replay and modest
+topics; a production deployment swaps in the Kafka adapter
+(sources/kafka.py) with the connector jar on the classpath.
+
+Trigger caveat (measured, r12): ``Trigger.AvailableNow`` over a Python
+DataSource falls back to single-batch semantics — the whole offset
+range lands in ONE micro-batch and no no-data batch follows, so a
+WATERMARKED APPEND aggregation downstream never sees its watermark
+advance and emits nothing (neither within the run nor across a
+checkpoint restart, where per-batch event-time stats are gone). Use a
+``processingTime`` trigger for stateful append consumers of this
+source (the engine then runs the no-data batch that advances the
+watermark and flushes closed windows — tests/test_pybus.py pins this),
+or availableNow for stateless passthrough drains. The file-drop source
+(sources/text.py) does not have this limitation and remains the
+replay/backfill path for watermarked drains.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+SEG_PREFIX = "seg-"
+SEG_DIGITS = 12
+SCHEMA = "value string, ingest_ts timestamp"
+
+
+def _segment_indices(broker_dir: str) -> list[int]:
+    try:
+        names = os.listdir(broker_dir)
+    except FileNotFoundError:
+        return []
+    out = []
+    for n in names:
+        if n.startswith(SEG_PREFIX) and n.endswith(".txt"):
+            try:
+                out.append(int(n[len(SEG_PREFIX):-4]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _segment_path(broker_dir: str, idx: int) -> str:
+    return os.path.join(broker_dir, f"{SEG_PREFIX}{idx:0{SEG_DIGITS}d}.txt")
+
+
+def publish(
+    lines: list[str],
+    broker_dir: str,
+    publish_ts: datetime.datetime | None = None,
+) -> int:
+    """Atomically publish one segment of messages; returns its index.
+
+    ``publish_ts`` defaults to now (UTC) — pass a fixed value in tests
+    for deterministic event time. Stamped per segment, mirroring the
+    injector's publish call (PubsubFileInjector.java:37-40)."""
+    os.makedirs(broker_dir, exist_ok=True)
+    ts = publish_ts or datetime.datetime.now(datetime.timezone.utc)
+    epoch_us = int(ts.timestamp() * 1_000_000)
+    existing = _segment_indices(broker_dir)
+    idx = (existing[-1] + 1) if existing else 0
+    fd, tmp = tempfile.mkstemp(dir=broker_dir, prefix="_inflight_")
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
+        for ln in lines:
+            f.write(f"{epoch_us}\t{ln}\n")
+    os.rename(tmp, _segment_path(broker_dir, idx))
+    return idx
+
+
+def inject_file(
+    spark: SparkSession,
+    input_path: str,
+    broker_dir: str,
+    chunks: int = 4,
+    publish_ts: datetime.datetime | None = None,
+) -> int:
+    """Replay a text file into the broker as ``chunks`` segments,
+    filtering headers/empties exactly like the reference injector
+    (PubsubFileInjector.java:45-55 — the same predicate the file-drop
+    injector uses). Returns the number of lines published."""
+    from .injector import filter_header_and_empties
+
+    rows = filter_header_and_empties(spark.read.text(input_path)).collect()
+    lines = [r["value"] for r in rows]
+    if not lines:
+        return 0
+    per = max(1, (len(lines) + chunks - 1) // chunks)
+    for i in range(0, len(lines), per):
+        publish(lines[i : i + per], broker_dir, publish_ts=publish_ts)
+    return len(lines)
+
+
+class _SegmentPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _PyBusStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("pybus requires .option('path', <broker_dir>)")
+
+    def initialOffset(self) -> dict:
+        return {"segment": 0}
+
+    def latestOffset(self) -> dict:
+        segs = _segment_indices(self._dir)
+        return {"segment": (segs[-1] + 1) if segs else 0}
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            _SegmentPartition(_segment_path(self._dir, i))
+            for i in range(start["segment"], end["segment"])
+        ]
+
+    def read(self, partition: _SegmentPartition):
+        with open(partition.path, encoding="utf-8") as f:
+            for raw in f:
+                raw = raw.rstrip("\n")
+                if not raw:
+                    continue
+                epoch_us, _, payload = raw.partition("\t")
+                ts = datetime.datetime.fromtimestamp(
+                    int(epoch_us) / 1_000_000, tz=datetime.timezone.utc
+                ).replace(tzinfo=None)
+                yield (payload, ts)
+
+    def commit(self, end: dict) -> None:
+        # segments are immutable and replayable; nothing to ack/delete
+        pass
+
+
+class PyBusDataSource(DataSource):
+    """spark.readStream.format("pybus").option("path", broker_dir)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pybus"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def streamReader(self, schema) -> _PyBusStreamReader:
+        return _PyBusStreamReader(self.options)
+
+
+def register(spark: SparkSession) -> None:
+    """Idempotent registration of the pybus format on this session."""
+    spark.dataSource.register(PyBusDataSource)
+
+
+def stream_pybus(
+    spark: SparkSession,
+    broker_dir: str,
+    include_ingest_ts: bool = True,
+) -> DataFrame:
+    """Unbounded broker source -> the engine's text-line contract
+    (value [, ingest_ts]) — drop-in for ``sources.text.stream_text`` /
+    ``sources.kafka.stream_kafka`` upstream of ``traffic_pipeline``."""
+    register(spark)
+    df = spark.readStream.format("pybus").option("path", broker_dir).load()
+    return df if include_ingest_ts else df.select("value")

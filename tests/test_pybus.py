@@ -1,0 +1,169 @@
+"""sources/pybus.py — the Python DataSource message-bus stand-in for the
+reference's Pub/Sub source (SURVEY.md §2 op 2; TrafficMaxLaneFlow.java:
+375-379). Unlike the Kafka adapter (jar not fetchable in this
+container), this source runs here, so the full Structured Streaming
+source lifecycle — initialOffset/latestOffset/partitions/read/commit,
+checkpointed exactly-once restart — gets real coverage, plus end-to-end
+parity of the traffic pipeline drained through it."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pyspark.sql.functions as F
+
+from dataflow_example_spark.config import TrafficConfig
+from dataflow_example_spark.operators.traffic import (
+    extract_flow_info,
+    traffic_pipeline,
+)
+from dataflow_example_spark.sources import pybus
+from dataflow_example_spark.sources.text import read_text
+from dataflow_example_spark.streaming import drain
+
+UTC = datetime.timezone.utc
+
+
+def _drain_to_parquet(spark, broker, out, ck, transform=None):
+    df = pybus.stream_pybus(spark, broker)
+    if transform is not None:
+        df = transform(df)
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain(q, 180)
+
+
+def test_contract_and_publish_time(spark, tmp_path):
+    broker = str(tmp_path / "broker")
+    pybus.publish(
+        ["a,1", "b,2"], broker,
+        publish_ts=datetime.datetime(2020, 1, 1, tzinfo=UTC),
+    )
+    df = pybus.stream_pybus(spark, broker)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["value", "ingest_ts"]
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain_to_parquet(spark, broker, out, ck)
+    rows = {r["value"]: r["ingest_ts"] for r in spark.read.parquet(out).collect()}
+    # publish time surfaces as ingest_ts (session TZ pinned UTC)
+    assert rows == {
+        "a,1": datetime.datetime(2020, 1, 1),
+        "b,2": datetime.datetime(2020, 1, 1),
+    }
+
+
+def test_exactly_once_checkpoint_restart(spark, tmp_path):
+    """A second availableNow drain over the same checkpoint consumes ONLY
+    segments published after the first — offsets resume, nothing is
+    reprocessed (the exactly-once upgrade over the reference's
+    at-least-once injector, PubsubFileInjector.java:37-40)."""
+    broker = str(tmp_path / "broker")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    pybus.publish(["one"], broker, publish_ts=datetime.datetime(2020, 1, 1, tzinfo=UTC))
+    pybus.publish(["two"], broker, publish_ts=datetime.datetime(2020, 1, 2, tzinfo=UTC))
+    _drain_to_parquet(spark, broker, out, ck)
+    assert sorted(r["value"] for r in spark.read.parquet(out).collect()) == ["one", "two"]
+
+    pybus.publish(["three"], broker, publish_ts=datetime.datetime(2020, 1, 3, tzinfo=UTC))
+    _drain_to_parquet(spark, broker, out, ck)
+    got = sorted(r["value"] for r in spark.read.parquet(out).collect())
+    assert got == ["one", "three", "two"]  # exactly once each
+
+
+def test_injector_filters_headers_and_empties(spark, tmp_path):
+    src = tmp_path / "in.csv"
+    src.write_text("Timestamp,Station\n\nreal,line,1\n\nreal,line,2\n")
+    broker = str(tmp_path / "broker")
+    n = pybus.inject_file(spark, str(src), broker, chunks=2)
+    assert n == 2
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain_to_parquet(spark, broker, out, ck)
+    vals = sorted(r["value"] for r in spark.read.parquet(out).collect())
+    assert vals == ["real,line,1", "real,line,2"]
+
+
+def _lane(flow, occ, speed):
+    return [str(flow), str(occ), str(speed), "x", "x"]
+
+
+def _line(ts, station, lanes):
+    f = [ts, station, "5", "N", "x", "x", "x", "120", "x", "x", "x"]
+    for lane in lanes:
+        f += lane
+    return ",".join(f)
+
+
+def test_traffic_parity_through_pybus(spark, tmp_path):
+    """The reference graph drained through the Python-DataSource bus
+    equals the batch run of the same lines restricted to watermark-closed
+    windows — the same unified-model contract the file-drop parity test
+    pins, now through a source with real offset management.
+
+    Uses a processingTime trigger: availableNow over a Python DataSource
+    is single-batch (no no-data batch), so a watermarked append agg
+    would never flush — the documented pybus trigger caveat."""
+    import time
+
+    lines = ["Timestamp,header,row"]
+    for minute in range(3):
+        for st in ("S001", "S002"):
+            lanes = [_lane(10 * i + minute, 0.25, 60.5) for i in range(1, 9)]
+            lines.append(_line(f"01/02/2010 10:0{minute}:00", st, lanes))
+    src = tmp_path / "traffic.csv"
+    src.write_text("\n".join(lines) + "\n")
+
+    broker = str(tmp_path / "broker")
+    assert pybus.inject_file(spark, str(src), broker, chunks=2) == 6
+
+    cfg = TrafficConfig(
+        streaming=True,
+        streaming_honor_payload_timestamp=True,
+        watermark_delay="0 seconds",
+        window_duration_minutes=2,
+        window_slide_minutes=1,
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    df = traffic_pipeline(
+        pybus.stream_pybus(spark, broker), cfg, ingest_ts_col="ingest_ts"
+    )
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    # poll until the no-data batch has flushed the closed windows, then
+    # require one stable re-read so we compare a settled sink
+    deadline = time.time() + 120
+    n = prev = 0
+    while time.time() < deadline:
+        try:
+            n = spark.read.parquet(out).count()
+        except Exception:
+            n = 0
+        if n > 0 and n == prev:
+            break
+        prev = n
+        time.sleep(2)
+    q.stop()
+    stream_rows = {tuple(r) for r in spark.read.parquet(out).collect()}
+
+    batch_cfg = TrafficConfig(window_duration_minutes=2, window_slide_minutes=1)
+    batch = traffic_pipeline(read_text(spark, str(src)), batch_cfg)
+    lane_info = extract_flow_info(read_text(spark, str(src)))
+    max_event_ts = lane_info.agg(F.max("event_ts")).collect()[0][0]
+    closed = batch.filter(F.col("window_timestamp") <= F.lit(max_event_ts))
+    batch_rows = {tuple(r) for r in closed.collect()}
+
+    assert stream_rows
+    assert stream_rows == batch_rows
