@@ -120,7 +120,15 @@ def inject_file(
     """Replay a text file into the broker as ``chunks`` segments,
     filtering headers/empties exactly like the reference injector
     (PubsubFileInjector.java:45-55 — the same predicate the file-drop
-    injector uses). Returns the number of lines published."""
+    injector uses). Returns the number of lines published.
+
+    Scale contract: this is the TEST/replay harness twin of the
+    reference's injector — it collects the file to the driver to stamp
+    and segment it, so it is for fixture-sized replays only (the same
+    scope as PubsubFileInjector, which also streams one file through
+    one process). Production publishing happens from producers writing
+    segments directly via ``publish``; bulk backfills at scale use the
+    file-drop source, which never leaves the executors."""
     from .injector import filter_header_and_empties
 
     rows = filter_header_and_empties(spark.read.text(input_path)).collect()
