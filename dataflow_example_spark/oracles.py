@@ -4862,8 +4862,18 @@ FROM cells JOIN tot USING (year)
 
 
 ORACLES["emb_1nn_label_consistency"] = f"""
+-- e mirrors Spark's valid_vectors guard: unlike the other similarity
+-- oracles (where an invalid vector only perturbs its own pair rows,
+-- and the clean-fixture convention suffices), the LIMIT-200 panel
+-- boundary is divergence-sensitive — one invalid vector inside the
+-- smallest-bucket set would shift panel membership for every row.
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings),
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) > 0
+             AND NOT EXISTS (SELECT 1 FROM unnest(embedding) AS t(x)
+                             WHERE x IS NULL OR isnan(x) OR isinf(x))
+             AND EXISTS (SELECT 1 FROM unnest(embedding) AS t(x)
+                         WHERE x <> 0)),
 probes AS (
     SELECT vec_id AS query_id, v AS qv, label AS q_label
     FROM e

@@ -96,18 +96,43 @@ def publish(
 
     ``publish_ts`` defaults to now (UTC) — pass a fixed value in tests
     for deterministic event time. Stamped per segment, mirroring the
-    injector's publish call (PubsubFileInjector.java:37-40)."""
+    injector's publish call (PubsubFileInjector.java:37-40).
+
+    Message contract: payloads are LINES — embedded newlines would
+    re-frame the segment and poison every replay of it (segments are
+    immutable and re-read from the checkpoint), so they are rejected
+    HERE, at the producer, where the error is actionable.
+
+    Concurrency: the segment index is claimed with ``os.link`` (atomic,
+    fails with FileExistsError if the index is taken) rather than
+    ``os.rename`` (which silently REPLACES — two producers racing on
+    the same index would lose a whole segment of messages). Losers
+    retry on the next index, so concurrent producers interleave
+    losslessly."""
+    for ln in lines:
+        if "\n" in ln or "\r" in ln:
+            raise ValueError(
+                "pybus payloads are line-framed; embedded newlines would "
+                "corrupt the segment (escape or split the message first)"
+            )
     os.makedirs(broker_dir, exist_ok=True)
     ts = publish_ts or datetime.datetime.now(datetime.timezone.utc)
     epoch_us = int(ts.timestamp() * 1_000_000)
-    existing = _segment_indices(broker_dir)
-    idx = (existing[-1] + 1) if existing else 0
     fd, tmp = tempfile.mkstemp(dir=broker_dir, prefix="_inflight_")
-    with os.fdopen(fd, "w", encoding="utf-8") as f:
-        for ln in lines:
-            f.write(f"{epoch_us}\t{ln}\n")
-    os.rename(tmp, _segment_path(broker_dir, idx))
-    return idx
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            for ln in lines:
+                f.write(f"{epoch_us}\t{ln}\n")
+        existing = _segment_indices(broker_dir)
+        idx = (existing[-1] + 1) if existing else 0
+        while True:
+            try:
+                os.link(tmp, _segment_path(broker_dir, idx))
+                return idx
+            except FileExistsError:
+                idx += 1  # another producer claimed it; take the next
+    finally:
+        os.unlink(tmp)
 
 
 def inject_file(
@@ -166,15 +191,24 @@ class _PyBusStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: _SegmentPartition):
-        with open(partition.path, encoding="utf-8") as f:
+        with open(partition.path, encoding="utf-8", errors="replace") as f:
             for raw in f:
                 raw = raw.rstrip("\n")
                 if not raw:
                     continue
                 epoch_us, _, payload = raw.partition("\t")
-                ts = datetime.datetime.fromtimestamp(
-                    int(epoch_us) / 1_000_000, tz=datetime.timezone.utc
-                ).replace(tzinfo=None)
+                try:
+                    ts = datetime.datetime.fromtimestamp(
+                        int(epoch_us) / 1_000_000, tz=datetime.timezone.utc
+                    ).replace(tzinfo=None)
+                except (ValueError, OverflowError, OSError):
+                    # A hand-corrupted segment line must degrade like every
+                    # other unparseable input (the engine's NULL-and-drop
+                    # contract), NOT become a poison pill that crashes every
+                    # replay of this immutable segment from the checkpoint.
+                    # publish() rejects newline payloads, so this is
+                    # unreachable for producer-written data.
+                    continue
                 yield (payload, ts)
 
     def commit(self, end: dict) -> None:

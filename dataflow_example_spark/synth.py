@@ -93,3 +93,33 @@ def synth_traffic_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   lines once (InMemoryRelation is a pushdown/collapse barrier), which
     #   is also what the real pipeline does: read CSV bytes from storage.
     return lines.repartition(spark.sparkContext.defaultParallelism).persist()
+
+
+def pems_line(
+    ts_str: str,
+    station: str,
+    flow: int,
+    occ: float = 0.01,
+    speed: float = 65.0,
+    total_flow: int | None = None,
+    n_fields: int = 49,
+) -> str:
+    """One driver-side valid PeMS line at the parser's exact layout
+    (FIXTURES.md §1: ts at 0, station at 1, freeway at 2, direction at
+    3, total_flow at 7, lane-i triples at 6+5i / 7+5i / 8+5i). The ONE
+    shared fixture builder for tools/tests that need hand-crafted valid
+    lines (tools/dirty_stream_sweep.py, tests/test_pybus.py) — a single
+    encoding of the field contract, so a layout change breaks loudly in
+    one place instead of silently turning a hand-rolled copy into lines
+    the parser drops."""
+    fields = ["x"] * max(n_fields, 49)
+    fields[0] = ts_str
+    fields[1] = station
+    fields[2] = "1"
+    fields[3] = "N"
+    fields[7] = str(total_flow if total_flow is not None else flow)
+    for i in range(1, 9):
+        fields[6 + 5 * i] = str(flow)
+        fields[7 + 5 * i] = repr(float(occ))
+        fields[8 + 5 * i] = repr(float(speed))
+    return ",".join(fields)

@@ -104,3 +104,20 @@ def test_taint_flows_through_join_and_wrappers(tmp_path):
 def test_registry_is_clean():
     repo = Path(__file__).resolve().parent.parent
     assert audit_file(repo / "dataflow_example_spark" / "queries.py") == []
+
+
+def test_nested_def_reported_once_for_inner(tmp_path):
+    # nested defs get their own pass with a fresh env; the outer pass
+    # must not descend (pre-fix this reported the violation twice)
+    fails = _audit(
+        """
+        def outer(spark, sf_dir):
+            def inner():
+                emb = load(spark, sf_dir, "embeddings")
+                probes = emb.filter(x)
+                return c.crossJoin(F.broadcast(probes))
+            return inner
+        """,
+        tmp_path,
+    )
+    assert len(fails) == 1 and "(inner)" in fails[0]

@@ -90,17 +90,6 @@ def test_injector_filters_headers_and_empties(spark, tmp_path):
     assert vals == ["real,line,1", "real,line,2"]
 
 
-def _lane(flow, occ, speed):
-    return [str(flow), str(occ), str(speed), "x", "x"]
-
-
-def _line(ts, station, lanes):
-    f = [ts, station, "5", "N", "x", "x", "x", "120", "x", "x", "x"]
-    for lane in lanes:
-        f += lane
-    return ",".join(f)
-
-
 def test_traffic_parity_through_pybus(spark, tmp_path):
     """The reference graph drained through the Python-DataSource bus
     equals the batch run of the same lines restricted to watermark-closed
@@ -112,11 +101,17 @@ def test_traffic_parity_through_pybus(spark, tmp_path):
     would never flush — the documented pybus trigger caveat."""
     import time
 
+    from dataflow_example_spark.synth import pems_line
+
     lines = ["Timestamp,header,row"]
     for minute in range(3):
         for st in ("S001", "S002"):
-            lanes = [_lane(10 * i + minute, 0.25, 60.5) for i in range(1, 9)]
-            lines.append(_line(f"01/02/2010 10:0{minute}:00", st, lanes))
+            lines.append(
+                pems_line(
+                    f"01/02/2010 10:0{minute}:00", st,
+                    flow=10 + minute, occ=0.25, speed=60.5, total_flow=120,
+                )
+            )
     src = tmp_path / "traffic.csv"
     src.write_text("\n".join(lines) + "\n")
 
@@ -167,3 +162,65 @@ def test_traffic_parity_through_pybus(spark, tmp_path):
 
     assert stream_rows
     assert stream_rows == batch_rows
+
+
+def test_publish_rejects_newline_payloads(tmp_path):
+    """Line-framing contract: an embedded newline would re-frame the
+    immutable segment and poison every checkpoint replay of it — reject
+    at the producer, where the error is actionable."""
+    import pytest
+
+    with pytest.raises(ValueError, match="line-framed"):
+        pybus.publish(["a\nb"], str(tmp_path / "broker"))
+    with pytest.raises(ValueError, match="line-framed"):
+        pybus.publish(["a\rb"], str(tmp_path / "broker"))
+
+
+def test_concurrent_publishers_never_lose_a_segment(tmp_path):
+    """The index claim is os.link (atomic; FileExistsError on a taken
+    index -> retry next), not os.rename (silent replace): racing
+    producers interleave losslessly."""
+    import threading
+
+    broker = str(tmp_path / "broker")
+    errors = []
+
+    def worker(k):
+        try:
+            for j in range(10):
+                pybus.publish([f"w{k}-m{j}"], broker)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(k,)) for k in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    # every one of the 40 segments survived with its message intact
+    idxs = pybus._segment_indices(broker)
+    assert len(idxs) == 40 and idxs == list(range(40))
+    msgs = set()
+    for i in idxs:
+        with open(pybus._segment_path(broker, i), encoding="utf-8") as f:
+            for line in f:
+                msgs.add(line.rstrip("\n").split("\t", 1)[1])
+    assert msgs == {f"w{k}-m{j}" for k in range(4) for j in range(10)}
+
+
+def test_read_skips_hand_corrupted_segment_lines(spark, tmp_path):
+    """A corrupted segment line degrades NULL-and-drop instead of
+    becoming a poison pill that crashes every replay."""
+    import os
+
+    broker = str(tmp_path / "broker")
+    pybus.publish(["good,1"], broker,
+                  publish_ts=datetime.datetime(2020, 1, 1, tzinfo=UTC))
+    # hand-corrupt: append a line with a non-numeric timestamp field
+    with open(os.path.join(broker, "seg-000000000000.txt"), "a") as f:
+        f.write("not-a-ts\tjunk\n")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain_to_parquet(spark, broker, out, ck)
+    vals = [r["value"] for r in spark.read.parquet(out).collect()]
+    assert vals == ["good,1"]

@@ -151,6 +151,16 @@ class _Tainter(ast.NodeVisitor):
                     self.violations.append((node.lineno, t))
         self.generic_visit(node)
 
+    # Nested defs get their OWN _Tainter pass via ast.walk in audit_file
+    # (with a fresh env — parameters are untainted by design); the outer
+    # pass must not also descend, or each inner violation is reported
+    # twice and inner names are evaluated against the outer env.
+    def visit_FunctionDef(self, node: ast.FunctionDef) -> None:
+        pass
+
+    def visit_AsyncFunctionDef(self, node: ast.AsyncFunctionDef) -> None:
+        pass
+
 
 def audit_file(path: Path) -> list[str]:
     tree = ast.parse(path.read_text())

@@ -144,21 +144,8 @@ def section_ingest_adversarial(spark) -> list[str]:
     max_ts = max(ts_of(ln) for ln in clean)
     oldest = min(clean, key=ts_of)
 
-    def pems_line(ts_str: str, station: str, flow: int) -> str:
-        """A valid 49-field PeMS line at the parser's exact layout
-        (FIXTURES.md §1: ts at 0, station at 1, lane-i triples at
-        6+5i / 7+5i / 8+5i)."""
-        fields = ["x"] * 49
-        fields[0] = ts_str
-        fields[1] = station
-        fields[2] = "1"
-        fields[3] = "N"
-        fields[7] = str(flow)
-        for i in range(1, 9):
-            fields[6 + 5 * i] = str(flow)
-            fields[7 + 5 * i] = "0.01"
-            fields[8 + 5 * i] = "65.0"
-        return ",".join(fields)
+    # the ONE shared valid-line builder (synth.pems_line) — no local copy
+    from dataflow_example_spark.synth import pems_line
 
     _write_lines(os.path.join(topic, "00_clean.txt"), clean)
     _write_lines(os.path.join(topic, "01_malformed.txt"), MALFORMED)
