@@ -39,17 +39,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries per
-# round. Round-11 ordering (registry FROZEN at 238; cumulatively
+# round. Round-13 ordering (registry FROZEN at 238; cumulatively
 # driver-green since r8): the SURVEY §2 reference core stays pinned first
 # (a fresh driver row for every reference operator each round), then 42
 # backfill slots re-sampling the longest-unsampled entries — the
-# freshness rotation VERDICT r8/r9/r10 prescribe. The r10 window took 42
-# of the 62 r4/r5-era entries, leaving 20 whose latest driver row was
-# still round 5 (VERDICT r10 "What's wrong"); those 20 lead this window,
-# followed by the 22 oldest r6-era entries (registry order within each
-# age class — recomputed from CORRECTNESS_r01..r10 keys). After this
-# window the oldest remaining driver evidence is round 6 (20 entries),
-# fully refreshed by the r12 rotation.
+# freshness rotation VERDICT r8..r12 prescribe. The r12 window refreshed
+# the 20 r6-stale entries plus the 22 alphabetically-first r7-era
+# entries; this window takes the remaining 20 r7-era entries plus the 22
+# oldest r8-era entries (registry order within each age class —
+# recomputed from CORRECTNESS_r01..r12 keys). After this window the
+# oldest remaining driver evidence is round 8 (20 entries), the r14
+# handoff.
 _SAMPLE_FIRST = [
     # reference core (SURVEY §2 ops 1, 5-13 + window variants; streaming
     # ops 2-4 proved by streaming_traffic_parity: injector -> file-drop
@@ -63,54 +63,53 @@ _SAMPLE_FIRST = [
     "events_sliding_agg",
     "events_sessionize",
     "streaming_traffic_parity",
-    # r12 rotation, part 1: the 20 entries whose latest driver row is
-    # round 6 (COVERAGE.md "r12 rotation handoff" / VERDICT r11 item 1).
-    "docs_cross_source_dup_matrix",
-    "docs_tfidf_top_terms",
-    "events_attribution_first_touch",
-    "events_chi2_independence",
-    "events_daily_autocorr",
-    "events_daily_value_quantiles",
-    "events_dq_checks",
-    "events_feature_hash",
-    "events_gap_duration_stats",
-    "events_latest_per_user",
-    "events_snapshot_diff",
-    "events_user_streaks",
-    "lineitem_basket_pairs",
-    "orders_customer_gini",
-    "orders_revenue_yoy_growth",
-    "orders_running_total",
-    "orders_top_percentile",
-    "streaming_enrich_parity",
-    "suppliers_full_nation_parts",
-    "text_readability",
-    # r12 rotation, part 2: the 22 oldest r7-era entries. All 42 r7-era
-    # entries are exact ties (each has exactly one driver row, in r7), so
-    # the first 22 alphabetically lead; the remaining 20 are the r13
-    # handoff (see COVERAGE.md).
-    "dedup_minhash_error_eval",
-    "docs_char_trigram_profile",
-    "docs_dedup_savings",
-    "docs_dedup_threshold_sweep",
-    "docs_dq_by_source",
-    "docs_hash_partition_balance",
-    "docs_jsonl_ingest",
-    "docs_lang_diversity",
-    "docs_langid_confusion",
-    "docs_vocab_growth",
-    "emb_dim_variance",
-    "emb_label_separability",
-    "emb_quantization_report",
-    "events_attribution_latency",
-    "events_bot_users",
-    "events_bounce_rate",
-    "events_burst_detection",
-    "events_dow_anova",
-    "events_hourly_variance_explained",
-    "events_k_anonymity",
-    "events_kpi_summary",
-    "events_model_score",
+    # r13 rotation, part 1: the 20 r7-era entries whose only driver row
+    # is round 7 (COVERAGE.md "r13 rotation handoff" / VERDICT r12 item 1).
+    "events_multi_distinct_profile",
+    "events_peak_concurrent_sessions",
+    "events_sequence_violations",
+    "events_session_duration_histogram",
+    "events_top_minutes_with_ties",
+    "events_trailing_hour_sum",
+    "events_transition_entropy",
+    "events_type_entropy",
+    "events_user_lifecycle",
+    "events_user_powerlaw_alpha",
+    "events_value_benford",
+    "events_weekend_ttest",
+    "lineitem_brand_price_qty_corr",
+    "lineitem_supplier_hhi",
+    "orders_customer_lifetime",
+    "orders_reorder_consistency",
+    "orders_size_distribution",
+    "sim_lsh_recall_eval",
+    "supplier_acctbal_boxstats",
+    "tables_row_counts",
+    # r13 rotation, part 2: the 22 oldest r8-era entries (registry order
+    # within the age class, recomputed from CORRECTNESS_r01..r12 keys).
+    # The remaining 20 r8-era entries are the r14 handoff (COVERAGE.md).
+    "events_salted_agg",
+    "cube_order_stats",
+    "events_running_sum",
+    "events_value_percentiles",
+    "events_json_props",
+    "q14_promo_effect",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "text_token_stats",
+    "text_language_id",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_chunks",
+    "sql_interface",
+    "part_type_hierarchy_stats",
+    "docs_neardup_degree_distribution",
+    "events_time_to_first_purchase",
+    "orders_segment_priority_mix",
+    "events_daily_drawdown",
+    "docs_quality_length_matrix",
+    "lineitem_returns_by_brand",
 ]
 
 
