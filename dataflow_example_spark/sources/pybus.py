@@ -14,13 +14,22 @@ actual custom source rather than Spark's built-in file source.
 
 Broker layout: ``<broker_dir>/seg-<12-digit-n>.txt``, one UTF-8 line
 per message, each line ``<publish_epoch_us>\\t<payload>``. Segments are
-immutable once visible — the publisher writes to a temp name and
-``os.rename``s in (atomic on POSIX), so a reader never sees a partial
-segment. Offsets are ``{"segment": k}`` = "segments with index < k are
-consumed"; a (start, end) range maps to one InputPartition per segment,
-and ``read`` is deterministic for a fixed range — which is what makes
-checkpoint replays idempotent (the exactly-once upgrade over the
-reference's at-least-once injector, same claim as the file-drop path).
+immutable once visible — the publisher writes to a temp name and claims
+the index with ``os.link`` (atomic on POSIX), so a reader never sees a
+partial segment. Offsets are ``{"segment": k}`` = "segments with index
+< k are consumed"; a (start, end) range maps to one InputPartition per
+segment, and ``read`` is deterministic for a fixed range — which is
+what makes checkpoint replays idempotent (the exactly-once upgrade over
+the reference's at-least-once injector, same claim as the file-drop
+path).
+
+Retention contract: segments must outlive every checkpoint that may
+replay them. A segment missing from a committed range (manual cleanup,
+retention, or a crashed producer's index gap) reads as EMPTY with an
+executor-log warning — the NULL-and-drop degradation, chosen over
+fail-loud because a checkpoint replays the same range forever and a
+missing immutable segment can never reappear (pinned by
+tests/test_pybus.py's deleted-segment test).
 
 Publish time is recorded by the PUBLISHER (the Pub/Sub publish-time
 analog, TrafficMaxLaneFlow.java:378-379) and surfaced as ``ingest_ts``,
@@ -67,6 +76,10 @@ SEG_PREFIX = "seg-"
 SEG_DIGITS = 12
 SCHEMA = "value string, ingest_ts timestamp"
 
+# per-process publisher cache: broker dir (realpath) -> next index to try.
+# Purely an optimization — correctness still rests on the os.link claim.
+_NEXT_INDEX: dict[str, int] = {}
+
 
 def _segment_indices(broker_dir: str) -> list[int]:
     try:
@@ -108,7 +121,15 @@ def publish(
     ``os.rename`` (which silently REPLACES — two producers racing on
     the same index would lose a whole segment of messages). Losers
     retry on the next index, so concurrent producers interleave
-    losslessly."""
+    losslessly. This requires a filesystem with hard-link support
+    (any POSIX local fs / tmpfs; NOT some network/FUSE mounts) — on
+    such a mount every publish raises OSError, loudly, never silently.
+
+    Cost: the first publish from a process lists the broker directory
+    once; after that the last claimed index is cached per process, so a
+    publisher's steady state is O(1) directory operations per segment
+    (re-listing only after a burst of FileExistsError losses to a
+    faster producer) rather than a full listdir per call."""
     for ln in lines:
         if "\n" in ln or "\r" in ln:
             raise ValueError(
@@ -123,14 +144,26 @@ def publish(
         with os.fdopen(fd, "w", encoding="utf-8") as f:
             for ln in lines:
                 f.write(f"{epoch_us}\t{ln}\n")
-        existing = _segment_indices(broker_dir)
-        idx = (existing[-1] + 1) if existing else 0
+        key = os.path.realpath(broker_dir)
+        idx = _NEXT_INDEX.get(key)
+        if idx is None:
+            existing = _segment_indices(broker_dir)
+            idx = (existing[-1] + 1) if existing else 0
+        misses = 0
         while True:
             try:
                 os.link(tmp, _segment_path(broker_dir, idx))
+                _NEXT_INDEX[key] = idx + 1
                 return idx
             except FileExistsError:
                 idx += 1  # another producer claimed it; take the next
+                misses += 1
+                if misses % 8 == 0:
+                    # a faster producer is far ahead: one re-list jumps
+                    # past the contested range instead of probing linearly
+                    existing = _segment_indices(broker_dir)
+                    if existing:
+                        idx = max(idx, existing[-1] + 1)
     finally:
         os.unlink(tmp)
 
@@ -191,7 +224,31 @@ class _PyBusStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: _SegmentPartition):
-        with open(partition.path, encoding="utf-8", errors="replace") as f:
+        try:
+            f = open(partition.path, encoding="utf-8", errors="replace")
+        except FileNotFoundError:
+            # A committed offset range names a segment that no longer
+            # exists (manual cleanup / retention ran inside the range, or
+            # a crashed producer left an index gap). Crashing here would
+            # be a poison pill: the checkpoint replays the SAME range on
+            # every restart, so the stream could never progress again.
+            # Degrade instead, exactly like the NULL-and-drop contract for
+            # corrupted lines: the segment reads as empty, deterministically
+            # on every replay (a deleted segment cannot reappear), and the
+            # loss is observable in executor logs. Producers who need
+            # lossless replay must retain segments for the checkpoint
+            # lifetime — see the broker-layout notes in the module
+            # docstring.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "pybus: segment %s missing from committed range; "
+                "reading as empty (retention/cleanup inside an active "
+                "checkpoint range loses those messages)",
+                partition.path,
+            )
+            return
+        with f:
             for raw in f:
                 raw = raw.rstrip("\n")
                 if not raw:

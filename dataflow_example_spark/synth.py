@@ -111,8 +111,18 @@ def pems_line(
     lines (tools/dirty_stream_sweep.py, tests/test_pybus.py) — a single
     encoding of the field contract, so a layout change breaks loudly in
     one place instead of silently turning a hand-rolled copy into lines
-    the parser drops."""
-    fields = ["x"] * max(n_fields, 49)
+    the parser drops.
+
+    ``n_fields`` < 49 raises: this builder emits VALID lines only
+    (lane 8's speed sits at index 48), and silently widening would turn
+    a negative-test fixture asking for a short line into a valid one —
+    craft invalid lines by hand where the invalidity is the point."""
+    if n_fields < 49:
+        raise ValueError(
+            f"pems_line emits valid lines only (>= 49 fields; got "
+            f"{n_fields}) — build short/invalid lines explicitly"
+        )
+    fields = ["x"] * n_fields
     fields[0] = ts_str
     fields[1] = station
     fields[2] = "1"

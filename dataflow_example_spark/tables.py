@@ -103,9 +103,14 @@ def dim_bcast(
     filtered dim keeps its guaranteed-broadcast plan even when the whole
     table sits over the threshold (ADVICE r11: near the threshold the
     conservative whole-table proxy otherwise hands the join to AQE's
-    runtime conversion). The hint only ever LOWERS the gated size — it
-    cannot force a broadcast past the threshold on its own if the
-    caller's estimate exceeds it."""
+    runtime conversion). When the table's size is KNOWN, the hint only
+    ever LOWERS the gated size — it cannot force a broadcast past the
+    threshold. When the table size is UNKNOWN (``table_bytes`` returns
+    -1: missing/unreadable path), the hint is trusted alone — there is
+    no conservative proxy backing it, so callers must only pass hints
+    derived from a real bound (a construction-bounded frame or a
+    measured subset), never a guess; with no hint an unknown-size table
+    is NOT broadcast (fail-safe)."""
     size = table_bytes(sf_dir, name)
     if size_hint_bytes is not None and size_hint_bytes >= 0:
         size = size_hint_bytes if size < 0 else min(size, size_hint_bytes)

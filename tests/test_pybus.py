@@ -209,6 +209,51 @@ def test_concurrent_publishers_never_lose_a_segment(tmp_path):
     assert msgs == {f"w{k}-m{j}" for k in range(4) for j in range(10)}
 
 
+def test_missing_segment_in_range_reads_empty_not_poison(spark, tmp_path):
+    """A segment deleted between drains (retention/cleanup, or a crashed
+    producer's index gap) reads as EMPTY instead of failing the batch
+    forever — the checkpoint replays the same range on every restart, so
+    fail-loud here would be a permanent poison pill (VERDICT r12 item 3;
+    the retention contract in the module docstring)."""
+    broker = str(tmp_path / "broker")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    ts = datetime.datetime(2020, 1, 1, tzinfo=UTC)
+    for m in ("a", "b", "c"):
+        pybus.publish([m], broker, publish_ts=ts)
+    _drain_to_parquet(spark, broker, out, ck)
+    assert sorted(r["value"] for r in spark.read.parquet(out).collect()) == [
+        "a", "b", "c",
+    ]
+    # two more segments land; the FIRST of them is lost before the drain
+    i3 = pybus.publish(["lost"], broker, publish_ts=ts)
+    pybus.publish(["kept"], broker, publish_ts=ts)
+    os.unlink(pybus._segment_path(broker, i3))
+    _drain_to_parquet(spark, broker, out, ck)
+    vals = sorted(r["value"] for r in spark.read.parquet(out).collect())
+    assert vals == ["a", "b", "c", "kept"]  # degraded, not crashed
+    # and the stream still progresses afterwards
+    pybus.publish(["later"], broker, publish_ts=ts)
+    _drain_to_parquet(spark, broker, out, ck)
+    vals = sorted(r["value"] for r in spark.read.parquet(out).collect())
+    assert vals == ["a", "b", "c", "kept", "later"]
+
+
+def test_publish_index_cache_survives_staleness(tmp_path):
+    """The per-process next-index cache is an optimization only: a cache
+    pointing at already-claimed indices (another producer ran ahead) must
+    still land the publish on a fresh index, including across the
+    re-list jump taken after a burst of losses."""
+    broker = str(tmp_path / "broker")
+    for j in range(20):
+        pybus.publish([f"m{j}"], broker)
+    # simulate a stale process: rewind the cache far below the frontier
+    pybus._NEXT_INDEX[os.path.realpath(broker)] = 0
+    idx = pybus.publish(["fresh"], broker)
+    assert idx == 20  # probed/jumped past all 20 claimed indices
+    idxs = pybus._segment_indices(broker)
+    assert idxs == list(range(21))  # nothing lost, nothing overwritten
+
+
 def test_read_skips_hand_corrupted_segment_lines(spark, tmp_path):
     """A corrupted segment line degrades NULL-and-drop instead of
     becoming a poison pill that crashes every replay."""
