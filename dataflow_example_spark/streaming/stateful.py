@@ -21,9 +21,19 @@ Two implementations with identical results on in-order data:
   purely state-size hygiene — per-key state is one long, bounded count of
   live keys, the 100 TB knob.
 
-Late data: rows older than the watermark may reach the function after
-their session closed (applyInPandasWithState does not drop late rows);
-in-order replay (the injector) is exact.
+Late data (measured r13, pinned by tests/test_throttle_model.py): Spark
+DOES filter late rows before the stateful function, using the
+one-batch-LAGGED watermark — a row in micro-batch N is kept iff its
+event time is strictly greater than max(event ts over batches 1..N-2)
+minus the watermark delay (ties drop). So a row later than its batch's
+own predecessors always reaches the function (and is suppressed by live
+state if in-gap), while a row behind the lagged global watermark never
+does. Consequence: the event-time timeout's state removal is PROVABLY
+unobservable in output — any row arriving after a key timed out must be
+above the lagged watermark, which is at or above the eviction watermark
+that fired the timeout, which is above last_seen + gap, so it would
+have started a new session anyway. In-order replay (the injector) is
+exact.
 """
 
 from __future__ import annotations
