@@ -223,6 +223,17 @@ class _PyBusStreamReader(DataSourceStreamReader):
             for i in range(start["segment"], end["segment"])
         ]
 
+    # one RecordBatch per this many lines: bounds reader memory on huge
+    # segments while keeping the Arrow channel amortized (a segment is
+    # normally far smaller than this)
+    _BATCH_LINES = 1 << 16
+
+    # datetime-representable micros (year 1..9999) — the same envelope the
+    # former datetime.fromtimestamp() round-trip accepted; anything outside
+    # is a corrupted stamp and NULL-and-drops like a non-numeric one
+    _MIN_US = -62135596800 * 1_000_000
+    _MAX_US = 253402300799 * 1_000_000
+
     def read(self, partition: _SegmentPartition):
         try:
             f = open(partition.path, encoding="utf-8", errors="replace")
@@ -248,6 +259,14 @@ class _PyBusStreamReader(DataSourceStreamReader):
                 partition.path,
             )
             return
+        # Yield Arrow RecordBatches, not per-row tuples: the per-row path
+        # pickles every (payload, ts) through the Python<->JVM boundary and
+        # dominated the measured 1M-line drain (SCALE.md round 13); batching
+        # keeps the channel at Arrow columnar speed.
+        import pyarrow as pa
+
+        payloads: list[str] = []
+        stamps: list[int] = []
         with f:
             for raw in f:
                 raw = raw.rstrip("\n")
@@ -255,10 +274,8 @@ class _PyBusStreamReader(DataSourceStreamReader):
                     continue
                 epoch_us, _, payload = raw.partition("\t")
                 try:
-                    ts = datetime.datetime.fromtimestamp(
-                        int(epoch_us) / 1_000_000, tz=datetime.timezone.utc
-                    ).replace(tzinfo=None)
-                except (ValueError, OverflowError, OSError):
+                    us = int(epoch_us)
+                except ValueError:
                     # A hand-corrupted segment line must degrade like every
                     # other unparseable input (the engine's NULL-and-drop
                     # contract), NOT become a poison pill that crashes every
@@ -266,7 +283,28 @@ class _PyBusStreamReader(DataSourceStreamReader):
                     # publish() rejects newline payloads, so this is
                     # unreachable for producer-written data.
                     continue
-                yield (payload, ts)
+                if not (self._MIN_US <= us <= self._MAX_US):
+                    continue  # same drop the datetime round-trip applied
+                payloads.append(payload)
+                stamps.append(us)
+                if len(payloads) >= self._BATCH_LINES:
+                    yield self._to_batch(pa, payloads, stamps)
+                    payloads, stamps = [], []
+        if payloads:
+            yield self._to_batch(pa, payloads, stamps)
+
+    @staticmethod
+    def _to_batch(pa, payloads: list[str], stamps: list[int]):
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(payloads, pa.string()),
+                # naive micros == the session's UTC wall clock (session tz
+                # is pinned UTC), matching the former fromtimestamp(...,
+                # tz=UTC).replace(tzinfo=None) row path bit-for-bit
+                pa.array(stamps, pa.timestamp("us")),
+            ],
+            names=["value", "ingest_ts"],
+        )
 
     def commit(self, end: dict) -> None:
         # segments are immutable and replayable; nothing to ack/delete
