@@ -146,6 +146,17 @@ def publish(
                 f.write(f"{epoch_us}\t{ln}\n")
         key = os.path.realpath(broker_dir)
         idx = _NEXT_INDEX.get(key)
+        # Trust the cache only while OUR previously-claimed segment still
+        # exists. Retention is prefix-ordered (oldest segments first — the
+        # module's retention contract), so if segment idx-1 survives, every
+        # free index >= idx is free because it was never claimed, never
+        # because it was deleted — probing upward cannot land a fresh
+        # publish inside a retention hole the consumer's committed offset
+        # has already passed (which would silently lose the message).
+        if idx is not None and not os.path.exists(
+            _segment_path(broker_dir, idx - 1)
+        ):
+            idx = None
         if idx is None:
             existing = _segment_indices(broker_dir)
             idx = (existing[-1] + 1) if existing else 0
@@ -228,11 +239,11 @@ class _PyBusStreamReader(DataSourceStreamReader):
     # normally far smaller than this)
     _BATCH_LINES = 1 << 16
 
-    # datetime-representable micros (year 1..9999) — the same envelope the
-    # former datetime.fromtimestamp() round-trip accepted; anything outside
-    # is a corrupted stamp and NULL-and-drops like a non-numeric one
+    # datetime-representable micros (year 1..9999, to the last micro of
+    # 9999-12-31) — anything outside is a corrupted stamp and
+    # NULL-and-drops like a non-numeric one
     _MIN_US = -62135596800 * 1_000_000
-    _MAX_US = 253402300799 * 1_000_000
+    _MAX_US = 253402300799 * 1_000_000 + 999_999
 
     def read(self, partition: _SegmentPartition):
         try:
@@ -299,8 +310,7 @@ class _PyBusStreamReader(DataSourceStreamReader):
             [
                 pa.array(payloads, pa.string()),
                 # naive micros == the session's UTC wall clock (session tz
-                # is pinned UTC), matching the former fromtimestamp(...,
-                # tz=UTC).replace(tzinfo=None) row path bit-for-bit
+                # is pinned UTC) — integer micros, no float round-trip
                 pa.array(stamps, pa.timestamp("us")),
             ],
             names=["value", "ingest_ts"],

@@ -254,6 +254,26 @@ def test_publish_index_cache_survives_staleness(tmp_path):
     assert idxs == list(range(21))  # nothing lost, nothing overwritten
 
 
+def test_publish_cache_never_fills_retention_hole(tmp_path):
+    """A cached next-index pointing into a retention hole (its previous
+    claim was deleted by prefix retention) must NOT be trusted: a fresh
+    publish landing below the consumer's committed offset would be lost
+    silently. The cache is only honored while our previously-claimed
+    segment still exists; otherwise publish re-lists and lands at the
+    frontier."""
+    broker = str(tmp_path / "broker")
+    for j in range(10):
+        pybus.publish([f"m{j}"], broker)
+    # prefix retention: oldest segments 0..7 deleted; frontier stays 10
+    for j in range(8):
+        os.unlink(pybus._segment_path(broker, j))
+    # a stale long-lived producer whose cache points into the hole
+    pybus._NEXT_INDEX[os.path.realpath(broker)] = 5
+    idx = pybus.publish(["fresh"], broker)
+    assert idx == 10, f"published into a retention hole at {idx}"
+    assert pybus._segment_indices(broker) == [8, 9, 10]
+
+
 def test_read_skips_hand_corrupted_segment_lines(spark, tmp_path):
     """A corrupted segment line degrades NULL-and-drop instead of
     becoming a poison pill that crashes every replay."""

@@ -30,6 +30,7 @@ import itertools
 import json
 import os
 import random
+import shutil
 import tempfile
 import time
 
@@ -60,11 +61,20 @@ def run_engine(spark, batches, gap_s):
     throttle_stream; returns the sorted emitted event_ids."""
     src = tempfile.mkdtemp(prefix="thr_src_")
     ck = tempfile.mkdtemp(prefix="thr_ck_")
+    try:
+        return _run_engine(spark, batches, gap_s, src, ck)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+
+def _run_engine(spark, batches, gap_s, src, ck):
     for i, b in enumerate(batches):
         with open(os.path.join(src, f"b{i:03d}.json"), "w") as f:
             for r in b:
                 f.write(json.dumps({k: v for k, v in r.items() if k != "t"}) + "\n")
         time.sleep(0.05)  # distinct mtimes => deterministic file order
+
     lines = (
         spark.readStream.schema(SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -96,8 +106,11 @@ def model_throttle(batches, gap_s, *, late_filter=True, thread_state=True,
     out: list[int] = []
     batch_maxes: list[int] = []
     for i, batch in enumerate(batches):
-        # late-events watermark lags one batch: max ts through batch i-2
-        late_wm = max(batch_maxes[: i - 1], default=None) if i >= 2 else None
+        # late-events watermark lags one batch: max ts through batch i-2;
+        # an all-empty prefix means NO watermark yet (the engine's stays at
+        # the 1970 epoch until data arrives), not t=0
+        seen = [m for m in batch_maxes[: i - 1] if m is not None]
+        late_wm = max(seen) if (i >= 2 and seen) else None
         rows = [
             r for r in batch
             if not late_filter or late_wm is None or r["t"] > late_wm
@@ -119,10 +132,7 @@ def model_throttle(batches, gap_s, *, late_filter=True, thread_state=True,
                     out.append(r["event_id"])
                 last = r["t"]
             state[k] = last
-        if batch:
-            batch_maxes.append(max(r["t"] for r in batch))
-        else:
-            batch_maxes.append(batch_maxes[-1] if batch_maxes else 0)
+        batch_maxes.append(max((r["t"] for r in batch), default=None))
     return sorted(out)
 
 
