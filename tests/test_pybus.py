@@ -254,6 +254,29 @@ def test_publish_index_cache_survives_staleness(tmp_path):
     assert idxs == list(range(21))  # nothing lost, nothing overwritten
 
 
+def test_read_chunks_segments_larger_than_batch_lines(spark, tmp_path):
+    """A segment longer than the Arrow chunk size (_BATCH_LINES) must
+    split into multiple RecordBatches losslessly — the chunk boundary is
+    the only seam in the batched read path."""
+    n = pybus._PyBusStreamReader._BATCH_LINES + 1_000
+    broker = str(tmp_path / "broker")
+    pybus.publish(
+        [f"m{i}" for i in range(n)], broker,
+        publish_ts=datetime.datetime(2020, 1, 1, tzinfo=UTC),
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain_to_parquet(spark, broker, out, ck)
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    # spot the two chunk-edge rows and the uniform publish stamp
+    got = {r["value"] for r in back.where(
+        F.col("value").isin(f"m{pybus._PyBusStreamReader._BATCH_LINES - 1}",
+                            f"m{pybus._PyBusStreamReader._BATCH_LINES}")
+    ).collect()}
+    assert len(got) == 2
+    assert back.select("ingest_ts").distinct().count() == 1
+
+
 def test_publish_cache_never_fills_retention_hole(tmp_path):
     """A cached next-index pointing into a retention hole (its previous
     claim was deleted by prefix retention) must NOT be trusted: a fresh
