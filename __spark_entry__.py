@@ -39,17 +39,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries per
-# round. Round-13 ordering (registry FROZEN at 238; cumulatively
+# round. Round-14 ordering (registry FROZEN at 238; cumulatively
 # driver-green since r8): the SURVEY §2 reference core stays pinned first
 # (a fresh driver row for every reference operator each round), then 42
 # backfill slots re-sampling the longest-unsampled entries — the
-# freshness rotation VERDICT r8..r12 prescribe. The r12 window refreshed
-# the 20 r6-stale entries plus the 22 alphabetically-first r7-era
-# entries; this window takes the remaining 20 r7-era entries plus the 22
-# oldest r8-era entries (registry order within each age class —
-# recomputed from CORRECTNESS_r01..r12 keys). After this window the
-# oldest remaining driver evidence is round 8 (20 entries), the r14
-# handoff.
+# freshness rotation VERDICT r8..r13 prescribe. The r13 window refreshed
+# the remaining 20 r7-era entries (carried over in the r12 window's
+# alphabetical tie-break order) plus the 22 oldest r8-era entries
+# (registry order); this window takes the 20 r8-era entries whose only
+# driver row is round 8, then the 22 oldest r9-era entries (both lists
+# verbatim from COVERAGE.md "r14 rotation handoff", registry order
+# within each age class). After this window the oldest remaining driver
+# evidence is round 9.
 _SAMPLE_FIRST = [
     # reference core (SURVEY §2 ops 1, 5-13 + window variants; streaming
     # ops 2-4 proved by streaming_traffic_parity: injector -> file-drop
@@ -63,53 +64,53 @@ _SAMPLE_FIRST = [
     "events_sliding_agg",
     "events_sessionize",
     "streaming_traffic_parity",
-    # r13 rotation, part 1: the 20 r7-era entries whose only driver row
-    # is round 7 (COVERAGE.md "r13 rotation handoff" / VERDICT r12 item 1).
-    "events_multi_distinct_profile",
-    "events_peak_concurrent_sessions",
-    "events_sequence_violations",
-    "events_session_duration_histogram",
-    "events_top_minutes_with_ties",
-    "events_trailing_hour_sum",
-    "events_transition_entropy",
-    "events_type_entropy",
-    "events_user_lifecycle",
-    "events_user_powerlaw_alpha",
-    "events_value_benford",
-    "events_weekend_ttest",
-    "lineitem_brand_price_qty_corr",
-    "lineitem_supplier_hhi",
-    "orders_customer_lifetime",
-    "orders_reorder_consistency",
-    "orders_size_distribution",
-    "sim_lsh_recall_eval",
-    "supplier_acctbal_boxstats",
-    "tables_row_counts",
-    # r13 rotation, part 2: the 22 oldest r8-era entries (registry order
-    # within the age class, recomputed from CORRECTNESS_r01..r12 keys).
-    # The remaining 20 r8-era entries are the r14 handoff (COVERAGE.md).
-    "events_salted_agg",
-    "cube_order_stats",
-    "events_running_sum",
-    "events_value_percentiles",
-    "events_json_props",
-    "q14_promo_effect",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "text_token_stats",
-    "text_language_id",
-    "text_quality_score",
-    "text_fingerprint",
-    "text_chunks",
-    "sql_interface",
-    "part_type_hierarchy_stats",
-    "docs_neardup_degree_distribution",
-    "events_time_to_first_purchase",
-    "orders_segment_priority_mix",
-    "events_daily_drawdown",
-    "docs_quality_length_matrix",
-    "lineitem_returns_by_brand",
+    # r14 rotation, part 1: the 20 r8-era entries whose only driver row
+    # is round 8 (COVERAGE.md "r14 rotation handoff" / VERDICT r13 item 1).
+    "events_hourly_profile_similarity",
+    "emb_centroid_drift",
+    "ri_check_report",
+    "lineitem_linenumber_integrity",
+    "events_error_pchart",
+    "docs_dup_shardability",
+    "events_lorenz_concentration",
+    "docs_fingerprint_collision_rate",
+    "supplier_portfolio_breadth",
+    "events_session_type_lift",
+    "events_churn_risk",
+    "orders_cohort_repeat",
+    "events_user_icc",
+    "orders_month_seasonal_index",
+    "lineitem_ship_lag_profile",
+    "events_first_session_conversion",
+    "orders_status_year_matrix",
+    "emb_1nn_label_consistency",
+    "orders_basket_size_trend",
+    "supplier_quartile_mobility",
+    # r14 rotation, part 2: the 22 oldest r9-era entries (registry
+    # order). The remaining r9-era entries are the r15 handoff
+    # (COVERAGE.md).
+    "text_salient_terms",
+    "text_vocab_top_terms",
+    "docs_hash_sample",
+    "docs_train_test_split",
+    "docs_stratified_sample",
+    "events_pivot_by_type",
+    "lineitem_unpivot_measures",
+    "part_price_histogram",
+    "docs_source_domains",
+    "supplier_name_near_dups",
+    "nation_segments_agg",
+    "docs_curation_pipeline",
+    "orders_monthly_growth",
+    "docs_pack_budget",
+    "emb_label_centroids",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_clusters",
+    "mm_media_metadata",
 ]
 
 
