@@ -25,11 +25,30 @@ path).
 
 Retention contract: segments must outlive every checkpoint that may
 replay them. A segment missing from a committed range (manual cleanup,
-retention, or a crashed producer's index gap) reads as EMPTY with an
-executor-log warning — the NULL-and-drop degradation, chosen over
-fail-loud because a checkpoint replays the same range forever and a
-missing immutable segment can never reappear (pinned by
-tests/test_pybus.py's deleted-segment test).
+retention, or a crashed producer's index gap) FAILS THE BATCH by
+default — ``failOnDataLoss=true``, the Kafka source's convention — so a
+bad path, an unmounted broker dir, or contract-violating cleanup
+surfaces instead of silently reading as zero data. Because the
+checkpoint replays the same range forever and a deleted immutable
+segment can never reappear, the operator's recovery path is explicit:
+restart the reader with ``.option("failOnDataLoss", "false")`` (or
+``stream_pybus(..., fail_on_data_loss=False)``) and the missing segment
+degrades to EMPTY with an executor-log warning — deterministic on every
+replay, so the stream progresses past the loss (pinned by
+tests/test_pybus.py's deleted-segment tests).
+
+Publish frontier: ``<broker_dir>/_frontier`` persists the next publish
+index (monotonic, advanced under an ``_frontier.lock`` flock after every
+claim). Without it, a retention pass that deletes ALL segments — legal
+once they are consumed — would reset a fresh publisher to index 0,
+BELOW the consumer's committed offset, and every message republished in
+that range would be silently skipped. With it, publishing resumes at
+the frontier no matter how empty the directory is. Residual window: a
+producer crashing between the ``os.link`` claim and the frontier
+advance leaves the frontier one low; the gap only matters if retention
+then deletes every segment including the just-claimed one, so retention
+SHOULD always keep the newest segment (and must never delete the
+frontier files) as defense in depth.
 
 Publish time is recorded by the PUBLISHER (the Pub/Sub publish-time
 analog, TrafficMaxLaneFlow.java:378-379) and surfaced as ``ingest_ts``,
@@ -75,10 +94,47 @@ from pyspark.sql.datasource import (
 SEG_PREFIX = "seg-"
 SEG_DIGITS = 12
 SCHEMA = "value string, ingest_ts timestamp"
+FRONTIER_NAME = "_frontier"
 
 # per-process publisher cache: broker dir (realpath) -> next index to try.
 # Purely an optimization — correctness still rests on the os.link claim.
 _NEXT_INDEX: dict[str, int] = {}
+
+
+def _read_frontier(broker_dir: str) -> int:
+    """Next-publish-index lower bound persisted by ``_advance_frontier``.
+
+    Lock-free read is safe because the value file is only ever replaced
+    atomically (``os.replace`` of a complete temp file); a missing or
+    unparseable file degrades to 0 — the pre-frontier behavior, never a
+    wrong-direction (too-high) bound."""
+    try:
+        with open(
+            os.path.join(broker_dir, FRONTIER_NAME), encoding="ascii"
+        ) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return 0
+
+
+def _advance_frontier(broker_dir: str, nxt: int) -> None:
+    """Raise the persisted frontier to at least ``nxt`` (monotonic max).
+
+    The read-modify-write races between producers, so it runs under an
+    flock on a dedicated lock file; the value file itself is swapped in
+    with ``os.replace`` so readers never observe a torn write. The lock
+    file is separate from the value file because replacing a locked file
+    would silently migrate waiters onto a dead inode."""
+    import fcntl
+
+    lock_path = os.path.join(broker_dir, FRONTIER_NAME + ".lock")
+    with open(lock_path, "a") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        if nxt > _read_frontier(broker_dir):
+            fd, tmp = tempfile.mkstemp(dir=broker_dir, prefix="_frontier_")
+            with os.fdopen(fd, "w", encoding="ascii") as f:
+                f.write(str(nxt))
+            os.replace(tmp, os.path.join(broker_dir, FRONTIER_NAME))
 
 
 def _segment_indices(broker_dir: str) -> list[int]:
@@ -158,13 +214,22 @@ def publish(
         ):
             idx = None
         if idx is None:
+            # The persisted frontier covers the case listdir cannot: a
+            # retention pass that emptied the directory entirely. Without
+            # it a fresh publisher would restart at 0 — below the
+            # consumer's committed offset — and those messages would be
+            # permanently skipped (ADVICE r13).
             existing = _segment_indices(broker_dir)
-            idx = (existing[-1] + 1) if existing else 0
+            idx = max(
+                (existing[-1] + 1) if existing else 0,
+                _read_frontier(broker_dir),
+            )
         misses = 0
         while True:
             try:
                 os.link(tmp, _segment_path(broker_dir, idx))
                 _NEXT_INDEX[key] = idx + 1
+                _advance_frontier(broker_dir, idx + 1)
                 return idx
             except FileExistsError:
                 idx += 1  # another producer claimed it; take the next
@@ -220,6 +285,18 @@ class _PyBusStreamReader(DataSourceStreamReader):
         self._dir = options.get("path")
         if not self._dir:
             raise ValueError("pybus requires .option('path', <broker_dir>)")
+        # Kafka-convention option: a segment missing from a committed
+        # range fails the batch unless the user explicitly opts into the
+        # degrade-to-empty escape with failOnDataLoss=false. Spark passes
+        # Python DataSource option keys lower-cased; accept both spellings.
+        raw = options.get(
+            "failondataloss", options.get("failOnDataLoss", "true")
+        )
+        if str(raw).lower() not in ("true", "false"):
+            raise ValueError(
+                f"pybus: failOnDataLoss must be true or false, got {raw!r}"
+            )
+        self._fail_on_data_loss = str(raw).lower() == "true"
 
     def initialOffset(self) -> dict:
         return {"segment": 0}
@@ -251,22 +328,36 @@ class _PyBusStreamReader(DataSourceStreamReader):
         except FileNotFoundError:
             # A committed offset range names a segment that no longer
             # exists (manual cleanup / retention ran inside the range, or
-            # a crashed producer left an index gap). Crashing here would
-            # be a poison pill: the checkpoint replays the SAME range on
-            # every restart, so the stream could never progress again.
-            # Degrade instead, exactly like the NULL-and-drop contract for
-            # corrupted lines: the segment reads as empty, deterministically
-            # on every replay (a deleted segment cannot reappear), and the
-            # loss is observable in executor logs. Producers who need
+            # a crashed producer left an index gap). Default: fail loud —
+            # the Kafka source's failOnDataLoss=true convention — so a
+            # mistyped path, an unmounted broker dir, or cleanup that
+            # violates the retention contract cannot silently read as
+            # zero data. Because the checkpoint replays the SAME range on
+            # every restart and a deleted immutable segment can never
+            # reappear, the error message names the explicit escape:
+            # restart with failOnDataLoss=false, under which the segment
+            # degrades to empty — deterministically on every replay, like
+            # the NULL-and-drop contract for corrupted lines — and the
+            # loss stays observable in executor logs. Producers who need
             # lossless replay must retain segments for the checkpoint
-            # lifetime — see the broker-layout notes in the module
-            # docstring.
+            # lifetime (module docstring).
+            if self._fail_on_data_loss:
+                raise RuntimeError(
+                    f"pybus: segment {partition.path} is missing from a "
+                    "committed offset range — data loss (retention or "
+                    "cleanup deleted it, or the broker dir is wrong or "
+                    "unmounted). The checkpoint will replay this range on "
+                    "every restart; to skip the lost segment and let the "
+                    "stream progress, restart the reader with "
+                    ".option('failOnDataLoss', 'false')."
+                ) from None
             import logging
 
             logging.getLogger(__name__).warning(
                 "pybus: segment %s missing from committed range; "
-                "reading as empty (retention/cleanup inside an active "
-                "checkpoint range loses those messages)",
+                "reading as empty (failOnDataLoss=false; retention/"
+                "cleanup inside an active checkpoint range loses those "
+                "messages)",
                 partition.path,
             )
             return
@@ -344,10 +435,20 @@ def stream_pybus(
     spark: SparkSession,
     broker_dir: str,
     include_ingest_ts: bool = True,
+    fail_on_data_loss: bool = True,
 ) -> DataFrame:
     """Unbounded broker source -> the engine's text-line contract
     (value [, ingest_ts]) — drop-in for ``sources.text.stream_text`` /
-    ``sources.kafka.stream_kafka`` upstream of ``traffic_pipeline``."""
+    ``sources.kafka.stream_kafka`` upstream of ``traffic_pipeline``.
+
+    ``fail_on_data_loss`` mirrors the Kafka source option: by default a
+    segment missing from a committed range fails the batch; pass False
+    to degrade it to empty and let the stream progress past the loss."""
     register(spark)
-    df = spark.readStream.format("pybus").option("path", broker_dir).load()
+    df = (
+        spark.readStream.format("pybus")
+        .option("path", broker_dir)
+        .option("failOnDataLoss", "true" if fail_on_data_loss else "false")
+        .load()
+    )
     return df if include_ingest_ts else df.select("value")

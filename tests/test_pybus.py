@@ -25,8 +25,12 @@ from dataflow_example_spark.streaming import drain
 UTC = datetime.timezone.utc
 
 
-def _drain_to_parquet(spark, broker, out, ck, transform=None):
-    df = pybus.stream_pybus(spark, broker)
+def _drain_to_parquet(
+    spark, broker, out, ck, transform=None, fail_on_data_loss=True
+):
+    df = pybus.stream_pybus(
+        spark, broker, fail_on_data_loss=fail_on_data_loss
+    )
     if transform is not None:
         df = transform(df)
     q = (
@@ -207,20 +211,50 @@ def test_concurrent_publishers_never_lose_a_segment(tmp_path):
             for line in f:
                 msgs.add(line.rstrip("\n").split("\t", 1)[1])
     assert msgs == {f"w{k}-m{j}" for k in range(4) for j in range(10)}
+    # the persisted frontier saw every racing claim (monotonic max)
+    assert pybus._read_frontier(broker) == 40
 
 
-def test_missing_segment_in_range_reads_empty_not_poison(spark, tmp_path):
-    """A segment deleted between drains (retention/cleanup, or a crashed
-    producer's index gap) reads as EMPTY instead of failing the batch
-    forever — the checkpoint replays the same range on every restart, so
-    fail-loud here would be a permanent poison pill (VERDICT r12 item 3;
-    the retention contract in the module docstring)."""
+def test_missing_segment_fails_loud_by_default(spark, tmp_path):
+    """A segment missing from a committed range FAILS the batch under the
+    default failOnDataLoss=true (the Kafka source convention, ADVICE r13):
+    a bad path / unmounted broker dir / contract-violating cleanup must
+    surface, not read as zero data. Restarting the SAME checkpoint with
+    failOnDataLoss=false is the documented escape — the stream degrades
+    past the loss and progresses."""
+    import pyspark.errors
+
+    broker = str(tmp_path / "broker")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    ts = datetime.datetime(2020, 1, 1, tzinfo=UTC)
+    pybus.publish(["a"], broker, publish_ts=ts)
+    _drain_to_parquet(spark, broker, out, ck)
+    i1 = pybus.publish(["lost"], broker, publish_ts=ts)
+    pybus.publish(["kept"], broker, publish_ts=ts)
+    os.unlink(pybus._segment_path(broker, i1))
+    try:
+        _drain_to_parquet(spark, broker, out, ck)
+        raise AssertionError("drain over a lost segment did not fail")
+    except pyspark.errors.exceptions.base.PySparkException as e:
+        assert "failOnDataLoss" in str(e)  # the message names the escape
+    # the poison-pill escape: the same checkpoint, opt-in degrade
+    _drain_to_parquet(spark, broker, out, ck, fail_on_data_loss=False)
+    vals = sorted(r["value"] for r in spark.read.parquet(out).collect())
+    assert vals == ["a", "kept"]
+
+
+def test_missing_segment_reads_empty_when_opted_in(spark, tmp_path):
+    """With failOnDataLoss=false a deleted segment reads as EMPTY instead
+    of failing the batch forever — the checkpoint replays the same range
+    on every restart, so the degrade is what lets the stream progress
+    (VERDICT r12 item 3; the retention contract in the module docstring).
+    Since r14 this is opt-in rather than the default."""
     broker = str(tmp_path / "broker")
     out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
     ts = datetime.datetime(2020, 1, 1, tzinfo=UTC)
     for m in ("a", "b", "c"):
         pybus.publish([m], broker, publish_ts=ts)
-    _drain_to_parquet(spark, broker, out, ck)
+    _drain_to_parquet(spark, broker, out, ck, fail_on_data_loss=False)
     assert sorted(r["value"] for r in spark.read.parquet(out).collect()) == [
         "a", "b", "c",
     ]
@@ -228,14 +262,45 @@ def test_missing_segment_in_range_reads_empty_not_poison(spark, tmp_path):
     i3 = pybus.publish(["lost"], broker, publish_ts=ts)
     pybus.publish(["kept"], broker, publish_ts=ts)
     os.unlink(pybus._segment_path(broker, i3))
-    _drain_to_parquet(spark, broker, out, ck)
+    _drain_to_parquet(spark, broker, out, ck, fail_on_data_loss=False)
     vals = sorted(r["value"] for r in spark.read.parquet(out).collect())
     assert vals == ["a", "b", "c", "kept"]  # degraded, not crashed
     # and the stream still progresses afterwards
     pybus.publish(["later"], broker, publish_ts=ts)
-    _drain_to_parquet(spark, broker, out, ck)
+    _drain_to_parquet(spark, broker, out, ck, fail_on_data_loss=False)
     vals = sorted(r["value"] for r in spark.read.parquet(out).collect())
     assert vals == ["a", "b", "c", "kept", "later"]
+
+
+def test_fail_on_data_loss_option_validation():
+    """A typo'd failOnDataLoss value must fail at reader construction,
+    not silently coerce to a default."""
+    import pytest
+
+    with pytest.raises(ValueError, match="failOnDataLoss"):
+        pybus._PyBusStreamReader(
+            {"path": "/tmp/x", "failondataloss": "yolo"}
+        )
+
+
+def test_publish_frontier_survives_full_retention(tmp_path):
+    """Retention that deletes ALL segments (legal once consumed) must not
+    reset publishing below the consumer's committed offset: the persisted
+    frontier file keeps the next index monotonic even for a fresh process
+    over an emptied directory (ADVICE r13)."""
+    broker = str(tmp_path / "broker")
+    for j in range(3):
+        pybus.publish([f"m{j}"], broker)
+    # full retention: every segment deleted; frontier file survives
+    for j in range(3):
+        os.unlink(pybus._segment_path(broker, j))
+    # fresh process: no in-memory cache for this broker
+    pybus._NEXT_INDEX.pop(os.path.realpath(broker), None)
+    idx = pybus.publish(["fresh"], broker)
+    assert idx == 3, f"restarted below the committed offset at {idx}"
+    assert pybus._read_frontier(broker) == 4
+    # the frontier files are not segments: readers ignore them
+    assert pybus._segment_indices(broker) == [3]
 
 
 def test_publish_index_cache_survives_staleness(tmp_path):
