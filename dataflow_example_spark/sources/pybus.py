@@ -297,6 +297,15 @@ class _PyBusStreamReader(DataSourceStreamReader):
                 f"pybus: failOnDataLoss must be true or false, got {raw!r}"
             )
         self._fail_on_data_loss = str(raw).lower() == "true"
+        # Arrow chunk size knob (lines per RecordBatch). An instance
+        # attribute so it pickles to executors with the reader; the class
+        # default is the measured sweet spot (SCALE.md round 14 sweep).
+        self._batch_lines = int(
+            options.get("batchlines", options.get("batchLines", 0))
+            or self._BATCH_LINES
+        )
+        if self._batch_lines <= 0:
+            raise ValueError("pybus: batchLines must be a positive integer")
 
     def initialOffset(self) -> dict:
         return {"segment": 0}
@@ -389,7 +398,7 @@ class _PyBusStreamReader(DataSourceStreamReader):
                     continue  # same drop the datetime round-trip applied
                 payloads.append(payload)
                 stamps.append(us)
-                if len(payloads) >= self._BATCH_LINES:
+                if len(payloads) >= self._batch_lines:
                     yield self._to_batch(pa, payloads, stamps)
                     payloads, stamps = [], []
         if payloads:
@@ -436,6 +445,7 @@ def stream_pybus(
     broker_dir: str,
     include_ingest_ts: bool = True,
     fail_on_data_loss: bool = True,
+    batch_lines: int | None = None,
 ) -> DataFrame:
     """Unbounded broker source -> the engine's text-line contract
     (value [, ingest_ts]) — drop-in for ``sources.text.stream_text`` /
@@ -443,12 +453,16 @@ def stream_pybus(
 
     ``fail_on_data_loss`` mirrors the Kafka source option: by default a
     segment missing from a committed range fails the batch; pass False
-    to degrade it to empty and let the stream progress past the loss."""
+    to degrade it to empty and let the stream progress past the loss.
+    ``batch_lines`` overrides the Arrow chunk size (lines per
+    RecordBatch) for huge segments."""
     register(spark)
-    df = (
+    reader = (
         spark.readStream.format("pybus")
         .option("path", broker_dir)
         .option("failOnDataLoss", "true" if fail_on_data_loss else "false")
-        .load()
     )
+    if batch_lines is not None:
+        reader = reader.option("batchLines", str(batch_lines))
+    df = reader.load()
     return df if include_ingest_ts else df.select("value")

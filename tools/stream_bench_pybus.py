@@ -10,6 +10,17 @@ asserted. Lines are built and PUBLISHED from executors (one ``publish``
 call per partition, exercising the concurrent os.link index claim at
 64-way fan-in), never collected to the driver.
 
+Knob-sweep env vars (VERDICT r13 item 3 — pin or narrow the Python
+source tax):
+- ``PYBUS_BATCH_LINES``: override _PyBusStreamReader._BATCH_LINES
+  (Arrow chunk size) for the pybus leg.
+- ``PYBUS_TRIGGER_MS``: processingTime trigger interval for the pybus
+  leg (default 1000).
+- ``PYBUS_PASSTHROUGH=1``: skip the traffic graph — drain source ->
+  parquet sink directly on BOTH legs (row-count parity instead of the
+  windowed exceptAll), isolating the source cost from the shared
+  downstream graph the r13 numbers conflated.
+
 Both drains run the full reference graph (parse -> 60min/1min sliding
 windows -> per-station max-by -> projection) with payload event time and
 a zero watermark delay; each asserts exceptAll-exact parity against the
@@ -117,6 +128,9 @@ def _assert_parity(spark, sink_path: str, twin) -> int:
 def main() -> None:
     n_lines = int(sys.argv[1]) if len(sys.argv) > 1 else 1_048_576
     segments = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    batch_lines = int(os.environ.get("PYBUS_BATCH_LINES", "0")) or None
+    trigger_ms = int(os.environ.get("PYBUS_TRIGGER_MS", "1000"))
+    passthrough = os.environ.get("PYBUS_PASSTHROUGH", "") == "1"
     spark = get_spark(app_name="stream-bench-pybus")
     spark.sparkContext.setLogLevel("ERROR")
     base = tempfile.mkdtemp(prefix="pybus_bench_")
@@ -146,27 +160,44 @@ def main() -> None:
         .write.text(payloads)
     )
     _log("payload mirror written")
-    twin = _batch_closed(spark, payloads)
-    twin.persist()
-    twin_rows = twin.count()
-    _log(f"batch twin rows={twin_rows}")
-    assert twin_rows > 0, (
-        "no closed windows in the batch twin — event-time span too short "
-        "for the window duration; both drains would vacuously emit 0 rows"
-    )
+    if passthrough:
+        twin = None
+        twin_rows = n_lines  # parity = exact input row count at the sink
+    else:
+        twin = _batch_closed(spark, payloads)
+        twin.persist()
+        twin_rows = twin.count()
+        _log(f"batch twin rows={twin_rows}")
+        assert twin_rows > 0, (
+            "no closed windows in the batch twin — event-time span too "
+            "short for the window duration; both drains would vacuously "
+            "emit 0 rows"
+        )
+
+    def leg(df):
+        """Apply the measured graph: full traffic pipeline, or bare
+        source passthrough when isolating the source cost."""
+        if passthrough:
+            return df.select("value")
+        return traffic_pipeline(df, _cfg(), ingest_ts_col="ingest_ts")
+
+    def check(sink_path):
+        if twin is not None:
+            return _assert_parity(spark, sink_path, twin)
+        n = spark.read.parquet(sink_path).count()
+        assert n == n_lines, f"passthrough lost rows: {n} != {n_lines}"
+        return n
 
     # --- pybus leg: processingTime trigger, poll-until-stable ---------
     out1, ck1 = os.path.join(base, "out_pybus"), os.path.join(base, "ck_pybus")
     t0 = time.time()
     q = (
-        traffic_pipeline(
-            pybus.stream_pybus(spark, broker), _cfg(), ingest_ts_col="ingest_ts"
-        )
+        leg(pybus.stream_pybus(spark, broker, batch_lines=batch_lines))
         .writeStream.format("parquet")
         .option("path", out1)
         .option("checkpointLocation", ck1)
         .outputMode("append")
-        .trigger(processingTime="1 second")
+        .trigger(processingTime=f"{trigger_ms} milliseconds")
         .start()
     )
     deadline = time.time() + 900
@@ -183,15 +214,13 @@ def main() -> None:
         time.sleep(2)
     q.stop()
     pybus_sec = time.time() - t0
-    pybus_out = _assert_parity(spark, out1, twin)
+    pybus_out = check(out1)
 
     # --- file-drop leg: same lines, availableNow ----------------------
     out2, ck2 = os.path.join(base, "out_drop"), os.path.join(base, "ck_drop")
     t0 = time.time()
     q = (
-        traffic_pipeline(
-            stream_text(spark, payloads), _cfg(), ingest_ts_col="ingest_ts"
-        )
+        leg(stream_text(spark, payloads))
         .writeStream.format("parquet")
         .option("path", out2)
         .option("checkpointLocation", ck2)
@@ -202,7 +231,7 @@ def main() -> None:
     drain(q, 900)
     _log("file-drop drained")
     drop_sec = time.time() - t0
-    drop_out = _assert_parity(spark, out2, twin)
+    drop_out = check(out2)
 
     print(
         json.dumps(
@@ -213,11 +242,19 @@ def main() -> None:
                 "input_lines": n_lines,
                 "segments": segments,
                 "publish_sec": round(publish_sec, 2),
+                "knobs": {
+                    "batch_lines": batch_lines,
+                    "trigger_ms": trigger_ms,
+                    "passthrough": passthrough,
+                },
                 "pybus": {
                     "wall_sec": round(pybus_sec, 2),
                     "rows_per_sec": round(n_lines / pybus_sec, 1),
                     "output_rows": pybus_out,
-                    "note": "processingTime 1s + 2s stability poll included",
+                    "note": (
+                        f"processingTime {trigger_ms}ms + 2s stability "
+                        "poll included"
+                    ),
                 },
                 "file_drop": {
                     "wall_sec": round(drop_sec, 2),
@@ -225,7 +262,7 @@ def main() -> None:
                     "output_rows": drop_out,
                 },
                 "closed_window_rows": twin_rows,
-                "parity": "exact",
+                "parity": "rowcount" if passthrough else "exact",
             }
         )
     )
