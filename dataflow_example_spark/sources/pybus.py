@@ -132,9 +132,16 @@ def _advance_frontier(broker_dir: str, nxt: int) -> None:
         fcntl.flock(lock, fcntl.LOCK_EX)
         if nxt > _read_frontier(broker_dir):
             fd, tmp = tempfile.mkstemp(dir=broker_dir, prefix="_frontier_")
-            with os.fdopen(fd, "w", encoding="ascii") as f:
-                f.write(str(nxt))
-            os.replace(tmp, os.path.join(broker_dir, FRONTIER_NAME))
+            try:
+                with os.fdopen(fd, "w", encoding="ascii") as f:
+                    f.write(str(nxt))
+                os.replace(tmp, os.path.join(broker_dir, FRONTIER_NAME))
+            except BaseException:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                raise
 
 
 def _segment_indices(broker_dir: str) -> list[int]:
@@ -229,7 +236,23 @@ def publish(
             try:
                 os.link(tmp, _segment_path(broker_dir, idx))
                 _NEXT_INDEX[key] = idx + 1
-                _advance_frontier(broker_dir, idx + 1)
+                # Best-effort AFTER the durable claim: the segment is
+                # already visible to readers, so raising here would make
+                # an at-least-once caller retry and publish the same
+                # messages twice. A failed advance merely degrades the
+                # frontier to a lower bound (the pre-frontier behavior),
+                # which the next successful publish repairs.
+                try:
+                    _advance_frontier(broker_dir, idx + 1)
+                except OSError:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "pybus: frontier advance to %d failed in %s; "
+                        "publish succeeded (segment %d), frontier is "
+                        "stale until the next publish",
+                        idx + 1, broker_dir, idx,
+                    )
                 return idx
             except FileExistsError:
                 idx += 1  # another producer claimed it; take the next
@@ -300,19 +323,80 @@ class _PyBusStreamReader(DataSourceStreamReader):
         # Arrow chunk size knob (lines per RecordBatch). An instance
         # attribute so it pickles to executors with the reader; the class
         # default is the measured sweet spot (SCALE.md round 14 sweep).
-        self._batch_lines = int(
-            options.get("batchlines", options.get("batchLines", 0))
-            or self._BATCH_LINES
-        )
-        if self._batch_lines <= 0:
-            raise ValueError("pybus: batchLines must be a positive integer")
+        raw_bl = options.get("batchlines", options.get("batchLines"))
+        if raw_bl is None:
+            self._batch_lines = self._BATCH_LINES
+        else:
+            try:
+                self._batch_lines = int(raw_bl)
+            except (TypeError, ValueError):
+                self._batch_lines = 0
+            if self._batch_lines <= 0:
+                raise ValueError(
+                    "pybus: batchLines must be a positive integer, "
+                    f"got {raw_bl!r}"
+                )
+        # monotonic floor for latestOffset under failOnDataLoss=false:
+        # a transiently unmounted dir must not regress the offset within
+        # a run (an offset regression would re-read committed segments
+        # after remount — duplicates)
+        self._latest_floor = 0
 
     def initialOffset(self) -> dict:
-        return {"segment": 0}
+        # Kafka "earliest" semantics: a FRESH consumer starts at the
+        # earliest AVAILABLE segment, not index 0 — on a legally
+        # retention-aged broker (old segments deleted once consumed by
+        # other consumers) index 0 no longer exists, and starting there
+        # under failOnDataLoss=true would fail the first batch forever
+        # for data this consumer never committed. An emptied-but-
+        # frontier'd broker starts at the frontier (where the next
+        # publish will land).
+        segs = _segment_indices(self._dir)
+        if segs:
+            return {"segment": segs[0]}
+        return {"segment": _read_frontier(self._dir)}
 
     def latestOffset(self) -> dict:
-        segs = _segment_indices(self._dir)
-        return {"segment": (segs[-1] + 1) if segs else 0}
+        try:
+            names = os.listdir(self._dir)
+        except FileNotFoundError:
+            # A missing broker DIR (vs a missing segment) is a mistyped
+            # path or an unmounted volume. Under the failOnDataLoss
+            # default this must surface — silently planning zero
+            # partitions forever is exactly the zero-data outcome the
+            # option exists to prevent. A consumer that legitimately
+            # starts before its producer's first publish should
+            # pre-create the directory (os.makedirs) or opt into
+            # failOnDataLoss=false, under which the offset holds at a
+            # monotonic floor (never regresses within the run; a
+            # RESTART while unmounted still re-plans from the
+            # checkpoint's committed offset, so nothing is re-read).
+            if self._fail_on_data_loss:
+                raise RuntimeError(
+                    f"pybus: broker dir {self._dir} does not exist "
+                    "(mistyped path or unmounted volume). Pre-create the "
+                    "directory if the producer has not published yet, or "
+                    "restart the reader with "
+                    ".option('failOnDataLoss', 'false') to idle until it "
+                    "appears."
+                ) from None
+            return {"segment": self._latest_floor}
+        segs = []
+        for n in names:
+            if n.startswith(SEG_PREFIX) and n.endswith(".txt"):
+                try:
+                    segs.append(int(n[len(SEG_PREFIX):-4]))
+                except ValueError:
+                    continue
+        # The frontier keeps a fully-retention-emptied (but existing)
+        # dir from regressing the offset below already-consumed indices,
+        # exactly as it keeps publishers from reusing them.
+        self._latest_floor = max(
+            self._latest_floor,
+            (max(segs) + 1) if segs else 0,
+            _read_frontier(self._dir),
+        )
+        return {"segment": self._latest_floor}
 
     def partitions(self, start: dict, end: dict):
         return [

@@ -283,6 +283,100 @@ def test_fail_on_data_loss_option_validation():
         )
 
 
+def test_batch_lines_option_validation():
+    """A typo'd batchLines value ('64k', '0', 'x') must fail at reader
+    construction with the crafted message, not a raw int() traceback."""
+    import pytest
+
+    for bad in ("64k", "0", "-5", "x"):
+        with pytest.raises(ValueError, match="batchLines"):
+            pybus._PyBusStreamReader({"path": "/tmp/x", "batchlines": bad})
+
+
+def test_fresh_consumer_starts_at_earliest_available(spark, tmp_path):
+    """A FRESH checkpoint on a legally retention-aged broker (old
+    segments deleted once consumed by OTHER consumers) must start at the
+    earliest AVAILABLE segment — Kafka 'earliest' semantics — not at
+    index 0, which under failOnDataLoss=true would otherwise fail the
+    first batch forever for data this consumer never committed."""
+    broker = str(tmp_path / "broker")
+    ts = datetime.datetime(2020, 1, 1, tzinfo=UTC)
+    for m in ("old0", "old1", "kept2"):
+        pybus.publish([m], broker, publish_ts=ts)
+    os.unlink(pybus._segment_path(broker, 0))
+    os.unlink(pybus._segment_path(broker, 1))
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain_to_parquet(spark, broker, out, ck)  # default fail-loud
+    vals = sorted(r["value"] for r in spark.read.parquet(out).collect())
+    assert vals == ["kept2"]
+
+
+def test_fresh_consumer_on_fully_retired_broker_uses_frontier(spark, tmp_path):
+    """A fresh checkpoint on a retention-EMPTIED broker idles at the
+    frontier (0 rows, no error) and picks up exactly the next publish —
+    never replaying indices below the frontier."""
+    broker = str(tmp_path / "broker")
+    ts = datetime.datetime(2020, 1, 1, tzinfo=UTC)
+    for m in ("a", "b", "c"):
+        pybus.publish([m], broker, publish_ts=ts)
+    for j in range(3):
+        os.unlink(pybus._segment_path(broker, j))
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _drain_to_parquet(spark, broker, out, ck)  # idles: 0 rows, no error
+    idx = pybus.publish(["fresh"], broker, publish_ts=ts)
+    assert idx == 3
+    _drain_to_parquet(spark, broker, out, ck)
+    vals = sorted(r["value"] for r in spark.read.parquet(out).collect())
+    assert vals == ["fresh"]
+
+
+def test_missing_broker_dir_fails_loud_by_default(spark, tmp_path):
+    """A mistyped/unmounted broker DIR must surface under the default —
+    silently planning zero partitions forever is exactly the zero-data
+    outcome failOnDataLoss exists to prevent. With the explicit opt-out
+    the stream idles at 0 rows instead."""
+    import pyspark.errors
+
+    broker = str(tmp_path / "nonexistent")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    try:
+        _drain_to_parquet(spark, broker, out, ck)
+        raise AssertionError("drain over a missing broker dir did not fail")
+    except pyspark.errors.exceptions.base.PySparkException as e:
+        assert "broker dir" in str(e)
+    # opt-out: idle quietly until the dir appears
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    _drain_to_parquet(spark, broker, out2, ck2, fail_on_data_loss=False)
+    pybus.publish(["late"], broker,
+                  publish_ts=datetime.datetime(2020, 1, 1, tzinfo=UTC))
+    _drain_to_parquet(spark, broker, out2, ck2, fail_on_data_loss=False)
+    vals = sorted(r["value"] for r in spark.read.parquet(out2).collect())
+    assert vals == ["late"]
+
+
+def test_publish_survives_frontier_advance_failure(tmp_path, monkeypatch):
+    """publish() must NOT raise after the segment is durably linked: an
+    at-least-once caller would retry and deliver the same messages
+    twice. A failed frontier advance degrades to the pre-frontier lower
+    bound, repaired by the next successful publish."""
+    broker = str(tmp_path / "broker")
+    pybus.publish(["first"], broker)
+    assert pybus._read_frontier(broker) == 1
+
+    def boom(broker_dir, nxt):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(pybus, "_advance_frontier", boom)
+    idx = pybus.publish(["second"], broker)  # must not raise
+    assert idx == 1
+    assert pybus._segment_indices(broker) == [0, 1]
+    assert pybus._read_frontier(broker) == 1  # stale lower bound
+    monkeypatch.undo()
+    idx = pybus.publish(["third"], broker)
+    assert idx == 2
+    assert pybus._read_frontier(broker) == 3  # repaired
+
+
 def test_publish_frontier_survives_full_retention(tmp_path):
     """Retention that deletes ALL segments (legal once consumed) must not
     reset publishing below the consumer's committed offset: the persisted
