@@ -85,8 +85,10 @@ def sessionize(
     key: str = "user_id",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Session windows: events of one ``key`` closer than ``gap`` apart
-    merge into one session. Beyond-reference capability (the reference has
+    """Session windows: events of one ``key`` within ``gap`` of each
+    other (INCLUSIVE — two events exactly ``gap`` apart merge, pinned by
+    the r14 tie probe in tests/test_session_tie_parity.py) merge into
+    one session. Beyond-reference capability (the reference has
     no session windows, SURVEY.md §2.5); native ``F.session_window`` so it
     runs as a streaming stateful aggregation too.
 

@@ -128,13 +128,18 @@ FROM win
 GROUP BY 1, 2, 3
 """
 
-# session windows: gaps-and-islands; new session when the gap is >= 30 min
-# (Spark session windows are half-open [start, last_ts + gap))
+# session windows: gaps-and-islands; new session when the gap is
+# STRICTLY > 30 min — F.session_window merges on inclusive interval
+# touch, so two events exactly gap apart are ONE session (pinned by the
+# r14 tie probe, tests/test_session_tie_parity.py; the old >= here
+# split at the tie and only passed because the fixture never produces
+# an exact 1800 s gap). Spark session windows are half-open
+# [start, last_ts + gap).
 ORACLES["events_sessionize"] = """
 WITH flagged AS (
     SELECT user_id, ts, CAST(value AS DECIMAL(18,6)) AS v,
            CASE WHEN lag(ts) OVER w IS NULL
-                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS new_sess
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -1026,7 +1031,10 @@ FROM (SELECT DISTINCT * FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
 """
 
 # dynamic-gap sessions: interval-merge islands — new session when ts
-# clears the running max of previous (ts + own gap); end = max end
+# STRICTLY clears the running max of previous (ts + own gap); end = max
+# end. Strict > because F.session_window merges when ts lands exactly
+# on the previous end (inclusive touch; r14 tie probe,
+# tests/test_session_tie_parity.py — the old >= split at the tie).
 ORACLES["events_sessionize_dynamic"] = """
 WITH g AS (
     SELECT user_id, ts,
@@ -1043,7 +1051,7 @@ m AS (
     FROM g
 ),
 flagged AS (
-    SELECT *, CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+    SELECT *, CASE WHEN prev_max_end IS NULL OR ts > prev_max_end
                    THEN 1 ELSE 0 END AS new_sess
     FROM m
 ),
@@ -2939,7 +2947,7 @@ ORACLES["streaming_session_parity"] = """
 WITH flagged AS (
     SELECT user_id, ts, CAST(value AS DECIMAL(18,6)) AS v,
            CASE WHEN lag(ts) OVER w IS NULL
-                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS new_sess
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)

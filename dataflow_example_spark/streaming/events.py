@@ -181,10 +181,14 @@ def session_agg_stream(
     """Watermarked session-window aggregation — the unbounded twin of
     ``operators.windows.sessionize``. ``F.session_window`` keeps one
     growing window per (key, open session) in the state store and merges
-    events whose [ts, ts+gap) windows overlap, which is exactly the
-    batch lag-gap island rule (new session iff ts - prev >= gap). A
-    session finalizes when the watermark passes its end (= last event +
-    gap), so append mode emits each session exactly once."""
+    events whose [ts, ts+gap) windows touch (INCLUSIVE — two events
+    exactly ``gap`` apart merge, r14 tie probe), which is the batch
+    lag-gap island rule with a STRICT split (new session iff
+    ts - prev > gap). A session finalizes when the watermark passes its
+    end (= last event + gap; end <= wm, inclusive), so append mode
+    emits each session exactly once — though a late row landing after
+    its session was finalized can open a fresh OVERLAPPING session for
+    the same key (tests/test_window_model.py rule 7)."""
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap), key_col)
