@@ -2415,7 +2415,12 @@ def events_session_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFram
     that session's first view, and a purchase at or after that click.
     Session assignment is the lag/cumsum shape (one window per user);
     the funnel is three chained conditional min-aggregates keyed by
-    (user, session) — no per-event state machine."""
+    (user, session) — no per-event state machine. The gap compare is
+    EXACT microsecond interval arithmetic (ts >= prev + INTERVAL), not
+    truncated-second subtraction: cast("long") floors each timestamp,
+    so a true gap in (1799 s, 1800 s) could round to 1800 and split
+    where the microsecond-exact oracle merges (r14 self-review finding;
+    boundary pinned in tests/test_session_tie_parity.py)."""
     from pyspark.sql.window import Window
 
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
@@ -2423,8 +2428,8 @@ def events_session_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFram
     new_sess = F.when(
         F.lag("ts").over(w).isNull()
         | (
-            F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
-            >= 1800
+            F.col("ts")
+            >= F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")
         ),
         1,
     ).otherwise(0)

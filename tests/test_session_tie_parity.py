@@ -13,6 +13,14 @@ on both sides), assert the planted truth on the ENGINE output, run the
 driver-replica compare against the FIXED oracle on the same parquet,
 and prove the old ``>=`` predicate has teeth (it must mismatch on this
 fixture).
+
+The self-review of that fix caught a sibling boundary in
+``events_session_funnel_windowed`` (a lag-based islands query defining
+its own rule on both sides): the engine compared truncated-second
+casts while the oracle compared exact intervals, diverging for true
+gaps in (1799 s, 1800 s) that floor to 1800. The engine now uses exact
+interval arithmetic; ``test_session_funnel_subsecond_gap_boundary``
+plants the divergence zone, the exact tie, and clear decoys.
 """
 
 from __future__ import annotations
@@ -58,14 +66,17 @@ def _write_events(tmp_path, rows):
     )
 
 
-def _run_pair(spark, sf_dir, name, oracle_sql=None):
-    spark_tbl = _queries.QUERIES[name](spark, str(sf_dir)).toArrow()
+def _run_duck(sf_dir, sql):
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
     )
-    duck_tbl = con.execute(oracle_sql or _oracles.ORACLES[name]).arrow()
-    return spark_tbl, duck_tbl
+    return con.execute(sql).arrow()
+
+
+def _run_pair(spark, sf_dir, name):
+    spark_tbl = _queries.QUERIES[name](spark, str(sf_dir)).toArrow()
+    return spark_tbl, _run_duck(sf_dir, _oracles.ORACLES[name])
 
 
 def _break_tie(sql: str) -> str:
@@ -109,12 +120,10 @@ def test_sessionize_tie_merges_and_matches_oracle(spark, tmp_path):
     assert len(per_user[3]) == 1 and per_user[3][0]["n_events"] == 2
     # driver-replica compare against the fixed oracle: exact match
     assert not compare(spark_tbl, duck_tbl)
-    # teeth: the old >= oracle splits u1 and must mismatch
-    _, buggy_tbl = _run_pair(
-        spark,
-        tmp_path,
-        "events_sessionize",
-        oracle_sql=_break_tie(_oracles.ORACLES["events_sessionize"]),
+    # teeth: the old >= oracle splits u1 and must mismatch (DuckDB-only
+    # re-run; the Spark result is reused)
+    buggy_tbl = _run_duck(
+        tmp_path, _break_tie(_oracles.ORACLES["events_sessionize"])
     )
     assert compare(spark_tbl, buggy_tbl)
 
@@ -147,13 +156,48 @@ def test_sessionize_dynamic_tie_merges_and_matches_oracle(spark, tmp_path):
     assert len(per_user[2]) == 2
     assert len(per_user[3]) == 1
     assert not compare(spark_tbl, duck_tbl)
-    _, buggy_tbl = _run_pair(
-        spark,
-        tmp_path,
-        "events_sessionize_dynamic",
-        oracle_sql=_break_tie(_oracles.ORACLES["events_sessionize_dynamic"]),
+    buggy_tbl = _run_duck(
+        tmp_path, _break_tie(_oracles.ORACLES["events_sessionize_dynamic"])
     )
     assert compare(spark_tbl, buggy_tbl)
+
+
+def test_session_funnel_subsecond_gap_boundary(spark, tmp_path):
+    """events_session_funnel_windowed defines its own lag-based session
+    rule (split iff ts >= prev + 30 min, EXACT) on both engine and
+    oracle sides. The engine used to compare truncated-second casts
+    (ts.cast(long) - prev.cast(long) >= 1800), so a true gap inside
+    (1799 s, 1800 s) whose timestamp fractions straddle a second
+    boundary floored to 1800 and SPLIT where the microsecond-exact
+    oracle merges (r14 self-review finding). Plant that exact zone plus
+    an exact tie and clear-split/merge decoys; the expected counts are
+    computed from the exact rule, so the old truncating engine (viewed
+    = 7, not 6) fails this test."""
+    rows = [
+        # u1: true gap 1799.2 s, floor-diff 1800 -> EXACT rule merges
+        (1, _ts(0.900), 1, "view", 1.0),
+        (2, _ts(1800.100), 1, "view", 1.0),
+        # u2: clear split (gap 2000 s) -> two viewed sessions
+        (3, _ts(0.5), 2, "view", 1.0),
+        (4, _ts(2000.5), 2, "view", 1.0),
+        # u3: clear merge + full ordered funnel in one session
+        (5, _ts(0.5), 3, "view", 1.0),
+        (6, _ts(110.5), 3, "click", 1.0),
+        (7, _ts(120.5), 3, "purchase", 1.0),
+        # u4: EXACT 1800.000000 s tie -> >= splits (both sides agree)
+        (8, _ts(0.250), 4, "view", 1.0),
+        (9, _ts(1800.250), 4, "view", 1.0),
+    ]
+    _write_events(tmp_path, rows)
+    spark_tbl, duck_tbl = _run_pair(
+        spark, tmp_path, "events_session_funnel_windowed"
+    )
+    (row,) = spark_tbl.to_pylist()
+    # u1 merged (1) + u2 split (2) + u3 (1) + u4 tie-split (2)
+    assert row["n_sessions_viewed"] == 6
+    assert row["n_sessions_clicked"] == 1
+    assert row["n_sessions_purchased"] == 1
+    assert not compare(spark_tbl, duck_tbl)
 
 
 def test_streaming_session_parity_tie(spark, tmp_path):
@@ -171,10 +215,7 @@ def test_streaming_session_parity_tie(spark, tmp_path):
     assert len(per_user[2]) == 2
     assert 4 not in per_user  # the flusher's own session is still open
     assert not compare(spark_tbl, duck_tbl)
-    _, buggy_tbl = _run_pair(
-        spark,
-        tmp_path,
-        "streaming_session_parity",
-        oracle_sql=_break_tie(_oracles.ORACLES["streaming_session_parity"]),
+    buggy_tbl = _run_duck(
+        tmp_path, _break_tie(_oracles.ORACLES["streaming_session_parity"])
     )
     assert compare(spark_tbl, buggy_tbl)

@@ -5,9 +5,10 @@ aggregation — tumbling/sliding ``F.window`` (streaming/events.py
 Completes the model-twin program (throttle r13; dedup + enrich r14):
 these paths previously had end-to-end parity + enumerated dirty cases
 only. The engine rules below were pinned empirically this round with a
-17-probe corpus (W1-W7b, S1-S8; maxFilesPerTrigger=1 file-drop replay,
-one file == one micro-batch), the same method that caught the wrong
-pre-filter docstring in r13.
+24-probe corpus (W1-W7b incl. boundary variants, S1-S8; the two
+confounded round-1 S4 probes are superseded by S4r and counted;
+maxFilesPerTrigger=1 file-drop replay, one file == one micro-batch),
+the same method that caught the wrong pre-filter docstring in r13.
 
 TUMBLING / SLIDING WINDOWS (probes W1-W7b):
 
