@@ -281,14 +281,69 @@ def max_lane_flow(
         )
         # Phase-1 output is bytes-cheap but the next stage expands it
         # duration/slide-fold (60x): AQE's byte-based coalescing would run
-        # the Expand + partial aggregate on 1-2 cores. An explicit
-        # repartition is exempt from coalescing and keeps the fan-out wide.
+        # the fan-out + aggregate on 1-2 cores. An explicit repartition is
+        # exempt from coalescing and keeps the fan-out wide. Keyed on
+        # station_id (not round-robin, r15): HashPartitioning(station_id)
+        # satisfies the phase-2 aggregate's ClusteredDistribution
+        # ({window_start, station_id} ⊇ {station_id}), so phase 2 needs NO
+        # exchange of the expanded rows — at the 60x defaults that second
+        # exchange carried duration/slide times phase-1's bytes (202 MB at
+        # sf0.1 against 6 MB entering phase 1; the largest shuffle in the
+        # whole bench). Round-robin also paid a sort of its input
+        # (spark.sql.execution.sortBeforeRepartition); hash does not.
+        #
+        # The fan-out itself is explode(sequence(...)) — a Generate, which
+        # PRESERVES the exchange's partitioning — instead of F.window's
+        # Expand, which reports UnknownPartitioning and forced the second
+        # exchange. For slide-aligned bucket starts the two enumerate the
+        # identical window set: F.window emits every window [s, s+dur)
+        # with s an epoch-aligned slide multiple containing the event, and
+        # a bucket start _bs (itself epoch-aligned, from phase 1's
+        # F.window) lies in exactly the windows starting at
+        # _bs-dur+slide, ..., _bs-slide, _bs. Window-struct arithmetic
+        # (_ws + dur == F.window's end) is exact integer-microsecond math;
+        # equality over the full output is pinned by
+        # tests/test_traffic_maxflow.py and the driver's oracle hash.
         fanned = fanned.repartition(
-            fanned.sparkSession.sparkContext.defaultParallelism
+            fanned.sparkSession.sparkContext.defaultParallelism,
+            "station_id",
         )
-        win = F.window("_bs", config.window_duration, config.window_slide)
-        return fanned.groupBy(win.alias("window"), "station_id").agg(
-            F.max("m").alias("max")
+        slide_iv = F.expr(
+            f"INTERVAL {config.window_slide_minutes} MINUTES"
+        )
+        dur_iv = F.expr(
+            f"INTERVAL {config.window_duration_minutes} MINUTES"
+        )
+        expanded = fanned.select(
+            "station_id",
+            "m",
+            F.explode(
+                F.sequence(
+                    F.col("_bs") - dur_iv + slide_iv,
+                    F.col("_bs"),
+                    slide_iv,
+                )
+            ).alias("_ws"),
+        )
+        return (
+            expanded.groupBy("_ws", "station_id")
+            .agg(F.max("m").alias("max"))
+            .select(
+                # F.window's struct fields are nullable; `when` without
+                # `otherwise` reproduces that nullability (the predicate
+                # is always true — _ws is a group key) so downstream
+                # schemas are byte-identical to the F.window shape.
+                F.struct(
+                    F.when(F.col("_ws").isNotNull(), F.col("_ws")).alias(
+                        "start"
+                    ),
+                    F.when(
+                        F.col("_ws").isNotNull(), F.col("_ws") + dur_iv
+                    ).alias("end"),
+                ).alias("window"),
+                "station_id",
+                "max",
+            )
         )
     win = F.window("event_ts", config.window_duration, config.window_slide)
     return df.groupBy(win.alias("window"), "station_id").agg(
