@@ -297,9 +297,37 @@ def fingerprint(
     alongside it must NOT compute it narrow and join back on doc_id
     (that join shuffles the full corpus twice for columns the same scan
     already held; r10 removed exactly that shape from four queries)."""
-    toks = tokens(F.col(text_col))
     if prefix_tokens is not None:
-        toks = F.slice(toks, 1, prefix_tokens)
+        # Bounded tokenization (r15): only the first ``prefix_tokens``
+        # tokens are needed, so cap the regex split at
+        # ``prefix_tokens + 2`` elements instead of tokenizing the whole
+        # document and slicing — at corpus scale the old shape paid a
+        # full-text regex split per row for a 12-token key. With a
+        # positive limit, Java split semantics apply the pattern at most
+        # limit-1 times and park the untouched remainder in the last
+        # element; +2 budgets one possible leading empty element (runs
+        # of separators collapse, so there is at most one) and the
+        # remainder slot, so after array_remove(.., '') the first
+        # ``prefix_tokens`` elements are exactly the full-split prefix:
+        # documents with <= prefix_tokens+1 tokens never hit the limit
+        # (identical split), longer ones park token prefix_tokens+1+rest
+        # in the final slot, which slice() drops. Equality with the
+        # unbounded form is pinned by
+        # tests/test_text_functions.py::test_fingerprint_bounded_split_parity.
+        toks = F.slice(
+            F.array_remove(
+                F.split(
+                    F.lower(F.col(text_col)),
+                    "[^a-z0-9]+",
+                    prefix_tokens + 2,
+                ),
+                "",
+            ),
+            1,
+            prefix_tokens,
+        )
+    else:
+        toks = tokens(F.col(text_col))
     norm = F.concat_ws(" ", toks)
     fp = F.md5(norm)
     return docs.select(

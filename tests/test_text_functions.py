@@ -72,6 +72,43 @@ def test_fingerprint_matches_normalized_stream(spark):
     assert 0 <= by_id[1].fingerprint32 < 2**32
 
 
+def test_fingerprint_bounded_split_parity(spark):
+    """The r15 bounded split (limit = prefix_tokens + 2) must equal the
+    old full-split-then-slice form on every boundary shape: leading/
+    trailing separators, exactly P / P+1 / P+2 tokens, fewer than P
+    tokens, empty and separator-only strings."""
+    p = 3  # small prefix keeps the boundary cases readable
+    cases = [
+        (1, "a b c d e f"),            # > P+2 tokens
+        (2, "  a b c d e"),            # leading separators, P+2 tokens
+        (3, "a b c"),                  # exactly P
+        (4, "a b c!!!"),               # exactly P + trailing separators
+        (5, "a b c d"),                # P+1
+        (6, "a b"),                    # < P
+        (7, ""),                       # empty
+        (8, "!!! ??? ..."),            # separators only
+        (9, "--a--b--c--d--e--"),      # collapsed separator runs
+        (10, None),                    # NULL text
+    ]
+    bounded = fingerprint(docs(spark, cases), prefix_tokens=p).collect()
+    # reference: the pre-r15 shape — full tokenize, then slice
+    from dataflow_example_spark.functions.text import tokens
+
+    ref = (
+        docs(spark, cases)
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, p))
+            ).alias("fingerprint_md5"),
+        )
+        .collect()
+    )
+    got = {r.doc_id: r.fingerprint_md5 for r in bounded}
+    want = {r.doc_id: r.fingerprint_md5 for r in ref}
+    assert got == want
+
+
 def test_chunk_documents_overlap_and_tail(spark):
     """chunk=4, stride=2 over 7 tokens: starts 1,3,5,7 -> overlapping
     chunks with a short tail; every token covered."""
