@@ -1388,23 +1388,39 @@ def label_consistency_1nn(
     from .sampling import hash_bucket
 
     # 1-NN by cosine is direction-based: drop zero-norm/NaN vectors so a
-    # NaN similarity can never outrank every real neighbor
-    emb = valid_vectors(emb, vec_col)
+    # NaN similarity can never outrank every real neighbor. r15: the
+    # guard is fused with the norm fold (valid_with_norm) so each pair
+    # below costs ONE dot fold instead of cosine()'s dot + two norms —
+    # the same r9 hoist cosine_topk/ivf_topk already use; bit-parity per
+    # the valid_with_norm docstring (identical fold, IEEE multiply
+    # commutes in the denominator).
+    embn = valid_with_norm(emb, vec_col, "_1nn_n")
     probes = (
-        emb.withColumn("_hb", hash_bucket(F.col(id_col), salt))
+        embn.withColumn("_hb", hash_bucket(F.col(id_col), salt))
         .orderBy("_hb", id_col)
         .limit(panel_n)
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
             F.col(label_col).alias("q_label"),
+            F.col("_1nn_n").alias("_qn"),
         )
     )
-    cand = emb.select(
+    cand = embn.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.col(label_col).alias("n_label"),
+        F.col("_1nn_n").alias("_cn"),
     )
+    # The scoring stage does panel_n * |corpus| dot folds fused into the
+    # candidate scan; when the scan itself has fewer splits than the
+    # cluster has slots (single-file/row-group inputs — the sf0.1 bench
+    # layout runs it as ONE task), widen it with one explicit
+    # repartition of the candidate rows. Conditional, so at warehouse
+    # scale (scan splits >= slots) no extra exchange is ever added.
+    par = cand.sparkSession.sparkContext.defaultParallelism
+    if cand.rdd.getNumPartitions() < par:
+        cand = cand.repartition(par)
     scored = cand.crossJoin(F.broadcast(probes)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -1417,7 +1433,10 @@ def label_consistency_1nn(
             "q_label",
             "neighbor_id",
             "n_label",
-            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+            F.try_divide(
+                dot(_to_double(F.col("qv")), _to_double(F.col("cv"))),
+                F.col("_qn") * F.col("_cn"),
+            ).alias("cos"),
         )
         .withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") == 1)
