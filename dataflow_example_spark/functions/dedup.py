@@ -562,10 +562,21 @@ def connected_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    sym = edges.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).union(
-        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    # Evaluate the edge lineage ONCE: materialize the directed edge
+    # list (tiny — two id columns) before symmetrizing, so the
+    # union-of-swapped below reads the checkpoint twice instead of
+    # running the caller's edge pipeline twice — for callers whose edges
+    # are an expensive pipeline (the LSH near-dup generators) the former
+    # shape re-ran the whole re-rank stage in the second union branch
+    # inside the eager persist (r15 profile: sim_semantic_dedup_clusters
+    # construct ~13 s, ~5 s of it the duplicated post-shuffle work; the
+    # shuffles themselves were ReuseExchange-shared). One extra tiny
+    # driver-blocking job for cheap-edge callers, measured in the noise.
+    e0 = _persist(
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    )
+    sym = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     if dedupe_edges:
         sym = sym.distinct()

@@ -57,3 +57,26 @@ def zorder_value_sql(d1: str, d2: str, bits: int = 10) -> str:
         terms.append(f"((({d1} >> {b}) & 1) << {2 * b + 1})")
         terms.append(f"((({d2} >> {b}) & 1) << {2 * b})")
     return " | ".join(terms)
+
+
+def widen_if_narrow(df: "DataFrame") -> "DataFrame":
+    """Round-robin repartition ``df`` to ``defaultParallelism`` ONLY when
+    its current plan yields fewer partitions than the cluster has slots.
+
+    The compute-heavy map stages in this package (pair scoring, LSH
+    bucket folds, tokenization) are fused into their input scan; when
+    that scan cannot split (a single parquet row group — the sf bench
+    layout) the whole stage runs as ONE task no matter what
+    ``spark.sql.files.*`` says, serializing minutes of per-row work. At
+    warehouse scale the scan has >= slots splits and this is a no-op —
+    no exchange is ever added to a well-partitioned plan, keeping the
+    conditional scale-adaptive rather than local-tuned (guide §2).
+
+    Row order changes (round robin); callers must only feed plans whose
+    downstream is order-independent (joins / aggregates / explicitly
+    ordered windows — everything in this package's query surface).
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df

@@ -760,7 +760,21 @@ def multi_lsh_near_dup_pairs(
             vec_col, n_planes, dim, plane_offset=t * n_planes
         )
 
-    embeddings = valid_vectors(embeddings, vec_col)
+    # r15: the guard is fused with the norm fold so the exact re-rank
+    # divides by two hoisted per-ROW norms instead of folding both per
+    # PAIR (bit-parity per valid_with_norm's docstring — identical fold,
+    # same `_na * _nb` multiply order as cosine()'s `norm(a) * norm(b)`).
+    # The bucket side below never selects the norm column, so Catalyst
+    # prunes the fold out of that branch entirely. widen_if_narrow: the
+    # bucket folds (n_tables * n_planes interpreted HOFs per row) and
+    # the broadcast builds otherwise serialize into one task on
+    # single-row-group inputs (r15 profile: 4.6 s of serial single-task
+    # stages at sf0.1); no-op when the scan already has >= slots splits.
+    from .layout import widen_if_narrow
+
+    embeddings = valid_with_norm(
+        widen_if_narrow(embeddings), vec_col, "_mln"
+    )
     b = embeddings.select(
         F.col(id_col),
         F.explode(
@@ -785,8 +799,16 @@ def multi_lsh_near_dup_pairs(
         )
         .distinct()
     )
-    ea = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    eb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    ea = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_mln").alias("_na"),
+    )
+    eb = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_mln").alias("_nb"),
+    )
     joined = cand.join(ea, "id_a").join(eb, "id_b")
     if accelerated:
         return joined.select(
@@ -807,7 +829,10 @@ def multi_lsh_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"),
+            F.try_divide(
+                dot(_to_double(F.col("_va")), _to_double(F.col("_vb"))),
+                F.col("_na") * F.col("_nb"),
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -1415,12 +1440,11 @@ def label_consistency_1nn(
     # The scoring stage does panel_n * |corpus| dot folds fused into the
     # candidate scan; when the scan itself has fewer splits than the
     # cluster has slots (single-file/row-group inputs — the sf0.1 bench
-    # layout runs it as ONE task), widen it with one explicit
-    # repartition of the candidate rows. Conditional, so at warehouse
-    # scale (scan splits >= slots) no extra exchange is ever added.
-    par = cand.sparkSession.sparkContext.defaultParallelism
-    if cand.rdd.getNumPartitions() < par:
-        cand = cand.repartition(par)
+    # layout runs it as ONE task), widen it (layout.widen_if_narrow).
+    # Conditional, so at warehouse scale no extra exchange is added.
+    from .layout import widen_if_narrow
+
+    cand = widen_if_narrow(cand)
     scored = cand.crossJoin(F.broadcast(probes)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
