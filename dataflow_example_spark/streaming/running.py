@@ -28,6 +28,7 @@ from __future__ import annotations
 from collections.abc import Iterator, Sequence
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -45,6 +46,23 @@ from pyspark.sql.types import (
 _STATE_SCHEMA = StructType(
     [StructField("n", LongType()), StructField("s", DoubleType())]
 )
+
+
+def _running_fold(vals: "np.ndarray", n: int, s: float):
+    """Vectorized running (count, sum) fold seeded with carried state.
+
+    np.add.accumulate applies the add STRICTLY left-to-right
+    (r[i] = r[i-1] + a[i], no pairwise regrouping), so seeding the array
+    with ``s`` reproduces the scalar fold ((s+v0)+v1)+... bit-for-bit —
+    the float-identity contract with running_batch's ascending window
+    sum (pinned by tests/test_stateful_streaming.py's fold-parity test,
+    which runs without the transformWithState worker).
+
+    Returns (ns, sums, n_out, s_out).
+    """
+    sums = np.add.accumulate(np.concatenate(([s], vals)))[1:]
+    ns = n + np.arange(1, len(vals) + 1, dtype="int64")
+    return ns, sums, n + len(vals), float(sums[-1])
 
 
 def running_batch(
@@ -100,17 +118,15 @@ class _RunningProcessor(StatefulProcessor):
             return
         pdf = pdf.sort_values([self._ts, self._id], kind="mergesort")
         n, s = self._state.get() if self._state.exists() else (0, 0.0)
-        ns, sums = [], []
-        for v in pdf[self._val].astype("float64"):
-            n += 1
-            s += v
-            ns.append(n)
-            sums.append(s)
+        # Vectorized running fold (guide §4.2); see _running_fold for
+        # the bit-parity argument.
+        vals = pdf[self._val].astype("float64").to_numpy()
+        ns, sums, n, s = _running_fold(vals, n, s)
         self._state.update((n, s))
         out = pdf[[self._id, self._ts]].copy()
         for i, (name, k) in enumerate(zip(self._keys, key)):
             out.insert(i, name, k)
-        out["running_n"] = pd.Series(ns, index=pdf.index, dtype="int64")
+        out["running_n"] = pd.Series(ns, index=pdf.index)
         out["running_sum"] = pd.Series(sums, index=pdf.index)
         yield out
 

@@ -41,6 +41,7 @@ from __future__ import annotations
 from collections.abc import Iterator, Sequence
 from typing import TYPE_CHECKING
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -106,11 +107,21 @@ def throttle_stream(
             return
         pdf = pdf.sort_values([ts_col, order_col], kind="mergesort")
         (last,) = state.get if state.exists else (None,)
-        emit = []
-        for t in pdf.iloc[:, ts_pos]:
-            t_us = t.value // 1_000  # pandas ns -> event-time micros
-            emit.append(last is None or t_us - last > gap_us)
-            last = t_us
+        # Vectorized gap test (guide §4.2): the clock refreshes on EVERY
+        # event, so emit[i] depends only on the previous row's timestamp
+        # (or the state seed for row 0) — a shifted integer diff, no
+        # per-row Python loop. Integer arithmetic, so bit-identical to
+        # the scalar fold it replaces.
+        t_us = (
+            np.asarray(pdf.iloc[:, ts_pos], dtype="datetime64[ns]").astype(
+                "int64"
+            )
+            // 1_000  # pandas ns -> event-time micros
+        )
+        emit = np.empty(len(t_us), dtype=bool)
+        emit[0] = last is None or t_us[0] - last > gap_us
+        emit[1:] = (t_us[1:] - t_us[:-1]) > gap_us
+        last = int(t_us[-1])
         state.update((last,))
         # state-cleanup alarm; must stay ahead of the current watermark
         timeout_ms = max(

@@ -207,3 +207,52 @@ def test_transform_with_state_running_agg_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got and got == want
+
+
+def test_running_fold_bit_parity_with_scalar_loop():
+    """The vectorized _running_fold (np.add.accumulate seeded with the
+    carried state) must reproduce the scalar fold ((s+v0)+v1)+...
+    BIT-for-bit — the float-identity contract with running_batch's
+    ascending window sum. Runs without the transformWithState worker,
+    so it covers the fold even where the engine-level parity test
+    skips. Adversarial values included: denormals, huge/tiny mixes
+    whose rounding exposes any regrouping, NaN/inf propagation."""
+    import math
+    import random
+
+    import numpy as np
+
+    from dataflow_example_spark.streaming.running import _running_fold
+
+    rng = random.Random(42)
+    cases = [
+        [0.1] * 10,
+        [1e308, 1e-308, -1e308, 5e-324, 1.0],
+        [math.inf, 1.0, -math.inf],
+        [float("nan"), 1.0],
+        [rng.uniform(-1e6, 1e6) for _ in range(997)],
+        [rng.choice([1e-12, 1e12, -1e12, 0.3]) for _ in range(256)],
+    ]
+    seeds = [(0, 0.0), (7, 123.456), (3, -1e15), (1, 1e-300)]
+    for vals in cases:
+        for n0, s0 in seeds:
+            # scalar reference: the loop the vectorized fold replaced
+            n, s = n0, s0
+            ref_ns, ref_sums = [], []
+            for v in vals:
+                n += 1
+                s += v
+                ref_ns.append(n)
+                ref_sums.append(s)
+            ns, sums, n_out, s_out = _running_fold(
+                np.asarray(vals, dtype="float64"), n0, s0
+            )
+            assert list(ns) == ref_ns
+            assert n_out == n
+            # bit-level compare (NaN != NaN under ==)
+            ref_bits = np.asarray(ref_sums, dtype="float64").view("int64")
+            got_bits = np.asarray(sums, dtype="float64").view("int64")
+            assert got_bits.tolist() == ref_bits.tolist()
+            assert np.asarray([s_out], dtype="float64").view("int64")[
+                0
+            ] == np.asarray([s], dtype="float64").view("int64")[0]
