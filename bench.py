@@ -163,6 +163,7 @@ def _cold_child(sf_dir: str, out_path: str) -> None:
     """One fresh-JVM cold pass: warm-up, then per query time construction
     and a single execution (every stage runs, plan-level persists
     materialize). Results go to a FILE — child stdout is Spark noise."""
+    load0 = os.getloadavg()[0]
     spark, qs, cleanup = _setup(sf_dir)
     cold: dict[str, float] = {}
     construct: dict[str, float] = {}
@@ -177,7 +178,17 @@ def _cold_child(sf_dir: str, out_path: str) -> None:
         cold[name] = round(time.time() - t1, 3)
         _group_cleanup(name, spark, cleanup)
     Path(out_path).write_text(
-        json.dumps({"cold": cold, "construct": construct})
+        json.dumps(
+            {
+                "cold": cold,
+                "construct": construct,
+                # 1-min load at pass start/end: contention context for
+                # this pass's samples (the bench's own executors dominate
+                # the end value; the start value shows what it walked
+                # into)
+                "load_1m": [round(load0, 2), round(os.getloadavg()[0], 2)],
+            }
+        )
     )
 
 
@@ -228,6 +239,14 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_COLD_CHILD"):
         _cold_child(sf_dir, os.environ["SPARK_GRAFT_COLD_OUT"])
         return
+
+    # 1-min load average at launch and at each pass boundary: two rounds
+    # running (r13/r14) had their driver numbers distorted by ambient
+    # host load that had to be reconstructed forensically; recording the
+    # load makes each bench line carry its own contention context
+    # (guide §1: know what you measured). Launch value = what the bench
+    # walked into; boundary values include the bench's own executors.
+    load_track = [round(os.getloadavg()[0], 2)]
 
     spark, qs, cleanup = _setup(sf_dir)
 
@@ -283,6 +302,7 @@ def main() -> None:
             # caches (the traffic pair's lane_info parse), but caches
             # never accumulate across groups or passes
             _group_cleanup(name, spark, cleanup)
+        load_track.append(round(os.getloadavg()[0], 2))
 
     total = round(sum(timings.values()), 3)
 
@@ -295,11 +315,14 @@ def main() -> None:
     construct_samples: dict[str, list[float]] = {
         n: [v] for n, v in construct.items()
     }
+    cold_loads: list[list[float]] = []
     for child in _extra_cold_passes(sf_dir, COLD_PASSES - 1):
         for n, v in child.get("cold", {}).items():
             cold_samples.setdefault(n, []).append(v)
         for n, v in child.get("construct", {}).items():
             construct_samples.setdefault(n, []).append(v)
+        if "load_1m" in child:
+            cold_loads.append(child["load_1m"])
     cold = {n: min(xs) for n, xs in cold_samples.items()}
     construct = {n: min(xs) for n, xs in construct_samples.items()}
 
@@ -354,6 +377,11 @@ def main() -> None:
         #               unchanged and stays v2-comparable.
         "methodology_version": 5,
         "total_with_construct": round(total + sum(construct.values()), 3),
+        # 1-min load at launch then at each pass boundary (parent), and
+        # [start, end] per extra fresh-JVM cold pass: the run's own
+        # contention record (see load_track comment in main)
+        "load_1m_track": load_track,
+        "cold_pass_load_1m": cold_loads,
         "sf": sf,
     }
     # Full per-query breakdown goes to a FILE; stdout gets a compact
@@ -386,6 +414,8 @@ def main() -> None:
                 "cold_passes": COLD_PASSES,
                 "agg": "min",
                 "methodology_version": 5,
+                "load_1m_start": load_track[0],
+                "load_1m_end": round(os.getloadavg()[0], 2),
                 "sf": sf,
                 "detail": detail_path.name,
             }
