@@ -131,9 +131,15 @@ def _advance_frontier(broker_dir: str, nxt: int) -> None:
     with open(lock_path, "a") as lock:
         fcntl.flock(lock, fcntl.LOCK_EX)
         if nxt > _read_frontier(broker_dir):
-            fd, tmp = tempfile.mkstemp(dir=broker_dir, prefix="_frontier_")
+            # Fixed temp name, not mkstemp: writers are already serialized
+            # by the flock above, so there is never a concurrent writer to
+            # collide with, and a crash between write and replace leaves at
+            # most ONE stale file that the next advance simply overwrites —
+            # mkstemp's unique names accumulated forever on repeated
+            # crashes (ADVICE r14).
+            tmp = os.path.join(broker_dir, FRONTIER_NAME + ".tmp")
             try:
-                with os.fdopen(fd, "w", encoding="ascii") as f:
+                with open(tmp, "w", encoding="ascii") as f:
                     f.write(str(nxt))
                 os.replace(tmp, os.path.join(broker_dir, FRONTIER_NAME))
             except BaseException:
@@ -337,9 +343,17 @@ class _PyBusStreamReader(DataSourceStreamReader):
                     f"got {raw_bl!r}"
                 )
         # monotonic floor for latestOffset under failOnDataLoss=false:
-        # a transiently unmounted dir must not regress the offset within
-        # a run (an offset regression would re-read committed segments
-        # after remount — duplicates)
+        # a transiently unmounted dir must not regress the offset (an
+        # offset regression would re-read committed segments after
+        # remount — duplicates). The floor is in-memory, so on a RESTART
+        # it starts at 0 and is re-seeded from the checkpoint's recovered
+        # range when Spark re-plans an uncommitted batch (partitions());
+        # if the dir is missing before anything has seeded it, latestOffset
+        # fails loud even under failOnDataLoss=false — a reader instance
+        # cannot distinguish never-published from unmounted-after-commit
+        # (initialOffset-was-called is NOT a usable fresh-query signal:
+        # trigger availableNow calls latestOffset first), and guessing 0
+        # would write a regressed offset to the log (ADVICE r14).
         self._latest_floor = 0
 
     def initialOffset(self) -> dict:
@@ -353,8 +367,14 @@ class _PyBusStreamReader(DataSourceStreamReader):
         # publish will land).
         segs = _segment_indices(self._dir)
         if segs:
+            # The earliest segment index is also a valid lower bound for
+            # the latest offset — seed the floor so a dir unmount later in
+            # this run cannot regress latestOffset below it.
+            self._latest_floor = max(self._latest_floor, segs[0])
             return {"segment": segs[0]}
-        return {"segment": _read_frontier(self._dir)}
+        frontier = _read_frontier(self._dir)
+        self._latest_floor = max(self._latest_floor, frontier)
+        return {"segment": frontier}
 
     def latestOffset(self) -> dict:
         try:
@@ -364,21 +384,40 @@ class _PyBusStreamReader(DataSourceStreamReader):
             # path or an unmounted volume. Under the failOnDataLoss
             # default this must surface — silently planning zero
             # partitions forever is exactly the zero-data outcome the
-            # option exists to prevent. A consumer that legitimately
-            # starts before its producer's first publish should
-            # pre-create the directory (os.makedirs) or opt into
-            # failOnDataLoss=false, under which the offset holds at a
-            # monotonic floor (never regresses within the run; a
-            # RESTART while unmounted still re-plans from the
-            # checkpoint's committed offset, so nothing is re-read).
+            # option exists to prevent. Under failOnDataLoss=false the
+            # offset holds at the monotonic floor (never regresses) IF
+            # anything this run has seeded it — a prior successful
+            # listing, or partitions() re-planning an uncommitted batch
+            # from the checkpoint after a restart. With NOTHING observed
+            # (floor 0) the reader cannot tell never-published apart
+            # from unmounted-after-commit: returning 0 would be written
+            # to the offset log (Python-source offsets are opaque —
+            # Spark does no ordering check) and a later remount would
+            # replay every committed segment as duplicates (ADVICE r14).
+            # Fail loud in that case under BOTH settings; the legitimate
+            # starts-before-its-producer consumer pre-creates the
+            # directory (os.makedirs), which is cheap and unambiguous.
+            # (initialOffset-was-called is NOT a usable fresh-query
+            # signal here: trigger availableNow calls latestOffset
+            # before initialOffset.)
             if self._fail_on_data_loss:
                 raise RuntimeError(
                     f"pybus: broker dir {self._dir} does not exist "
                     "(mistyped path or unmounted volume). Pre-create the "
-                    "directory if the producer has not published yet, or "
-                    "restart the reader with "
-                    ".option('failOnDataLoss', 'false') to idle until it "
-                    "appears."
+                    "directory (os.makedirs) if the producer has not "
+                    "published yet."
+                ) from None
+            if self._latest_floor == 0:
+                raise RuntimeError(
+                    f"pybus: broker dir {self._dir} does not exist and "
+                    "nothing has been observed this run — the reader "
+                    "cannot tell a never-published broker from an "
+                    "unmounted volume, and assuming the former would "
+                    "regress the offset log below the committed offset "
+                    "(duplicates after remount), even under "
+                    "failOnDataLoss=false. Re-mount or pre-create the "
+                    "broker directory (os.makedirs), then restart the "
+                    "query."
                 ) from None
             return {"segment": self._latest_floor}
         segs = []
@@ -399,6 +438,13 @@ class _PyBusStreamReader(DataSourceStreamReader):
         return {"segment": self._latest_floor}
 
     def partitions(self, start: dict, end: dict):
+        # Seed the monotonic floor from the planned range: after a restart
+        # Spark re-plans the last uncommitted batch with offsets recovered
+        # from the checkpoint, so end["segment"] is a committed-or-planned
+        # lower bound for latestOffset — without this, a fresh reader
+        # instance whose broker dir is unmounted would fall back to floor
+        # 0 and regress the offset log (ADVICE r14).
+        self._latest_floor = max(self._latest_floor, end["segment"])
         return [
             _SegmentPartition(_segment_path(self._dir, i))
             for i in range(start["segment"], end["segment"])

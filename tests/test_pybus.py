@@ -333,8 +333,13 @@ def test_fresh_consumer_on_fully_retired_broker_uses_frontier(spark, tmp_path):
 def test_missing_broker_dir_fails_loud_by_default(spark, tmp_path):
     """A mistyped/unmounted broker DIR must surface under the default —
     silently planning zero partitions forever is exactly the zero-data
-    outcome failOnDataLoss exists to prevent. With the explicit opt-out
-    the stream idles at 0 rows instead."""
+    outcome failOnDataLoss exists to prevent. It surfaces under the
+    opt-out too when NOTHING has been observed this run (ADVICE r14: a
+    reader cannot tell never-published from unmounted-after-commit, and
+    guessing 0 would regress the offset log below the committed offset —
+    duplicates after remount). The consumer that legitimately starts
+    before its producer pre-creates the directory, and then idles at 0
+    rows until the first publish."""
     import pyspark.errors
 
     broker = str(tmp_path / "nonexistent")
@@ -344,13 +349,23 @@ def test_missing_broker_dir_fails_loud_by_default(spark, tmp_path):
         raise AssertionError("drain over a missing broker dir did not fail")
     except pyspark.errors.exceptions.base.PySparkException as e:
         assert "broker dir" in str(e)
-    # opt-out: idle quietly until the dir appears
+    # the opt-out does NOT bless a missing dir: nothing observed, fail
     out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
-    _drain_to_parquet(spark, broker, out2, ck2, fail_on_data_loss=False)
+    try:
+        _drain_to_parquet(spark, broker, out2, ck2, fail_on_data_loss=False)
+        raise AssertionError(
+            "opted-out drain over a missing broker dir did not fail"
+        )
+    except pyspark.errors.exceptions.base.PySparkException as e:
+        assert "broker dir" in str(e)
+    # pre-created empty dir: idle quietly until the producer appears
+    os.makedirs(broker)
+    out3, ck3 = str(tmp_path / "out3"), str(tmp_path / "ck3")
+    _drain_to_parquet(spark, broker, out3, ck3, fail_on_data_loss=False)
     pybus.publish(["late"], broker,
                   publish_ts=datetime.datetime(2020, 1, 1, tzinfo=UTC))
-    _drain_to_parquet(spark, broker, out2, ck2, fail_on_data_loss=False)
-    vals = sorted(r["value"] for r in spark.read.parquet(out2).collect())
+    _drain_to_parquet(spark, broker, out3, ck3, fail_on_data_loss=False)
+    vals = sorted(r["value"] for r in spark.read.parquet(out3).collect())
     assert vals == ["late"]
 
 
@@ -471,3 +486,157 @@ def test_read_skips_hand_corrupted_segment_lines(spark, tmp_path):
     _drain_to_parquet(spark, broker, out, ck)
     vals = [r["value"] for r in spark.read.parquet(out).collect()]
     assert vals == ["good,1"]
+
+
+def test_unseeded_reader_missing_dir_fails_even_opted_out(tmp_path):
+    """A reader that has observed NOTHING this run (floor 0 — e.g. a
+    restart while the broker volume is unmounted) must fail loud on a
+    missing dir even under failOnDataLoss=false: it cannot tell
+    never-published from unmounted-after-commit, and returning 0 would
+    be written to the offset log (opaque Python-source offsets get no
+    ordering check), regressing below the committed offset so a remount
+    replays every committed segment as duplicates (ADVICE r14). An
+    initialOffset call is NOT a usable fresh-query signal — trigger
+    availableNow calls latestOffset first — so the pre-create-the-dir
+    contract applies to fresh consumers too."""
+    import pytest
+
+    missing = str(tmp_path / "nonexistent")
+    r = pybus._PyBusStreamReader(
+        {"path": missing, "failondataloss": "false"}
+    )
+    with pytest.raises(RuntimeError, match="cannot tell"):
+        r.latestOffset()
+    # initialOffset does not bless a missing dir either
+    assert r.initialOffset() == {"segment": 0}
+    with pytest.raises(RuntimeError, match="cannot tell"):
+        r.latestOffset()
+
+
+def test_fresh_reader_precreated_dir_idles_when_opted_out(tmp_path):
+    """The documented starts-before-its-producer escape: with the broker
+    dir PRE-CREATED (empty, no frontier), the offset idles at 0 under
+    failOnDataLoss=false — and under the default too (an existing empty
+    dir is not data loss)."""
+    broker = str(tmp_path / "broker")
+    os.makedirs(broker)
+    for opted in ("false", "true"):
+        r = pybus._PyBusStreamReader(
+            {"path": broker, "failondataloss": opted}
+        )
+        assert r.initialOffset() == {"segment": 0}
+        assert r.latestOffset() == {"segment": 0}
+
+
+def test_partitions_seed_floor_against_restart_unmount(tmp_path):
+    """After a restart Spark re-plans the last uncommitted batch via
+    partitions(start, end) with checkpoint-recovered offsets; that range
+    must seed the monotonic floor so a missing dir afterwards holds the
+    offset at the recovered end instead of raising (nothing regresses,
+    nothing replays)."""
+    missing = str(tmp_path / "nonexistent")
+    r = pybus._PyBusStreamReader(
+        {"path": missing, "failondataloss": "false"}
+    )
+    parts = r.partitions({"segment": 3}, {"segment": 7})
+    assert len(parts) == 4
+    assert r.latestOffset() == {"segment": 7}
+
+
+def test_latest_floor_survives_unmount_within_run(tmp_path):
+    """An observed broker that later unmounts must hold latestOffset at
+    the observed floor (never regress within the run), under
+    failOnDataLoss=false."""
+    import shutil
+
+    broker = str(tmp_path / "broker")
+    ts = datetime.datetime(2020, 1, 1, tzinfo=UTC)
+    for m in ("a", "b", "c"):
+        pybus.publish([m], broker, publish_ts=ts)
+    r = pybus._PyBusStreamReader(
+        {"path": broker, "failondataloss": "false"}
+    )
+    assert r.initialOffset() == {"segment": 0}
+    assert r.latestOffset() == {"segment": 3}
+    shutil.rmtree(broker)
+    assert r.latestOffset() == {"segment": 3}
+
+
+def test_frontier_advance_uses_fixed_temp_name(tmp_path, monkeypatch):
+    """_advance_frontier writes through one fixed temp name (writers are
+    flock-serialized): repeated publishes leave no _frontier_* mkstemp
+    litter, and a crash between write and replace leaves at most ONE
+    stale tmp that the next successful advance overwrites (ADVICE r14)."""
+    broker = str(tmp_path / "broker")
+    for j in range(5):
+        pybus.publish([f"m{j}"], broker)
+    names = sorted(os.listdir(broker))
+    assert [n for n in names if n.startswith("_")] == [
+        "_frontier", "_frontier.lock",
+    ]
+    # crash between write and replace: the fixed tmp survives once...
+    real_replace = os.replace
+
+    def boom(src, dst):
+        raise OSError("crash before replace")
+
+    monkeypatch.setattr(pybus.os, "replace", boom)
+    try:
+        pybus._advance_frontier(broker, 99)
+    except OSError:
+        pass
+    # the failure path unlinks on a clean raise; simulate the hard-crash
+    # leftover explicitly to prove the next advance overwrites it
+    monkeypatch.setattr(pybus.os, "replace", real_replace)
+    tmp = os.path.join(broker, pybus.FRONTIER_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        f.write("stale")
+    pybus._advance_frontier(broker, 123)
+    assert pybus._read_frontier(broker) == 123
+    leftovers = [n for n in os.listdir(broker) if n.startswith("_frontier_")]
+    assert leftovers == []
+
+
+def test_restart_over_unmounted_broker_never_regresses_offset(spark, tmp_path):
+    """The ADVICE r14 end-to-end scenario: a query RESTART while the
+    broker volume is unmounted (failOnDataLoss=false) must not regress
+    the offset log below the committed offset — pre-fix, latestOffset
+    guessed 0, Spark wrote it to the offset log, and the remounted
+    broker replayed every committed segment as duplicates. Spark calls
+    partitions() with the checkpoint-recovered range on every restart,
+    which seeds the monotonic floor, so the restarted query HOLDS at the
+    committed offset (0 rows, no new offset entry) and the remount
+    resumes exactly-once."""
+    import shutil
+
+    broker = str(tmp_path / "broker")
+    parked = str(tmp_path / "parked")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    ts = datetime.datetime(2021, 5, 1, tzinfo=UTC)
+    pybus.publish(["first"], broker, publish_ts=ts)
+    _drain_to_parquet(spark, broker, out, ck)
+    assert [r["value"] for r in spark.read.parquet(out).collect()] == [
+        "first"
+    ]
+    offsets_before = sorted(
+        n for n in os.listdir(os.path.join(ck, "offsets"))
+        if not n.startswith(".")
+    )
+    # unmount: the directory (segments + frontier) disappears wholesale
+    shutil.move(broker, parked)
+    _drain_to_parquet(spark, broker, out, ck, fail_on_data_loss=False)
+    offsets_after = sorted(
+        n for n in os.listdir(os.path.join(ck, "offsets"))
+        if not n.startswith(".")
+    )
+    assert offsets_after == offsets_before, (
+        f"restart over unmounted broker wrote {offsets_after} vs "
+        f"{offsets_before}: the offset log moved while blind"
+    )
+    # remount, publish one more, restart: exactly-once resume — the new
+    # row arrives, the committed segment is NOT replayed
+    shutil.move(parked, broker)
+    pybus.publish(["second"], broker, publish_ts=ts)
+    _drain_to_parquet(spark, broker, out, ck)
+    vals = sorted(r["value"] for r in spark.read.parquet(out).collect())
+    assert vals == ["first", "second"], f"duplicates or loss: {vals}"

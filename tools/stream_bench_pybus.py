@@ -261,7 +261,15 @@ def main() -> None:
                     "rows_per_sec": round(n_lines / drop_sec, 1),
                     "output_rows": drop_out,
                 },
-                "closed_window_rows": twin_rows,
+                # In passthrough mode no windows are computed — reporting
+                # the raw input line count under closed_window_rows made
+                # cross-mode comparisons misleading (ADVICE r14); the
+                # expectation is keyed by mode instead.
+                **(
+                    {"expected_sink_rows": twin_rows}
+                    if passthrough
+                    else {"closed_window_rows": twin_rows}
+                ),
                 "parity": "rowcount" if passthrough else "exact",
             }
         )
