@@ -346,15 +346,20 @@ class _PyBusStreamReader(DataSourceStreamReader):
         # a transiently unmounted dir must not regress the offset (an
         # offset regression would re-read committed segments after
         # remount — duplicates). The floor is in-memory, so on a RESTART
-        # it starts at 0 and is re-seeded from the checkpoint's recovered
-        # range when Spark re-plans an uncommitted batch (partitions());
-        # if the dir is missing before anything has seeded it, latestOffset
-        # fails loud even under failOnDataLoss=false — a reader instance
+        # it starts at 0 and is re-seeded from the checkpoint-recovered
+        # range when Spark re-plans a batch (partitions()); if the dir
+        # is missing before anything has seeded it, latestOffset fails
+        # loud even under failOnDataLoss=false — a reader instance
         # cannot distinguish never-published from unmounted-after-commit
         # (initialOffset-was-called is NOT a usable fresh-query signal:
         # trigger availableNow calls latestOffset first), and guessing 0
         # would write a regressed offset to the log (ADVICE r14).
+        # _observed tracks seeding separately from the floor VALUE: a
+        # floor legitimately observed at 0 (pre-created empty broker, or
+        # a restart re-planning a no-data (0, 0) checkpoint range) is a
+        # safe hold, not a guess — only a truly blind reader must raise.
         self._latest_floor = 0
+        self._observed = False
 
     def initialOffset(self) -> dict:
         # Kafka "earliest" semantics: a FRESH consumer starts at the
@@ -407,7 +412,7 @@ class _PyBusStreamReader(DataSourceStreamReader):
                     "directory (os.makedirs) if the producer has not "
                     "published yet."
                 ) from None
-            if self._latest_floor == 0:
+            if not self._observed:
                 raise RuntimeError(
                     f"pybus: broker dir {self._dir} does not exist and "
                     "nothing has been observed this run — the reader "
@@ -430,6 +435,7 @@ class _PyBusStreamReader(DataSourceStreamReader):
         # The frontier keeps a fully-retention-emptied (but existing)
         # dir from regressing the offset below already-consumed indices,
         # exactly as it keeps publishers from reusing them.
+        self._observed = True
         self._latest_floor = max(
             self._latest_floor,
             (max(segs) + 1) if segs else 0,
@@ -439,11 +445,14 @@ class _PyBusStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         # Seed the monotonic floor from the planned range: after a restart
-        # Spark re-plans the last uncommitted batch with offsets recovered
-        # from the checkpoint, so end["segment"] is a committed-or-planned
-        # lower bound for latestOffset — without this, a fresh reader
-        # instance whose broker dir is unmounted would fall back to floor
-        # 0 and regress the offset log (ADVICE r14).
+        # Spark re-plans the checkpoint-recovered range (on EVERY restart,
+        # committed or not — traced against the real engine), so
+        # end["segment"] is a committed-or-planned lower bound for
+        # latestOffset — without this, a fresh reader instance whose
+        # broker dir is unmounted would fall back to floor 0 and regress
+        # the offset log (ADVICE r14). A (0, 0) range still counts as
+        # observed: holding at a checkpoint-derived 0 is safe.
+        self._observed = True
         self._latest_floor = max(self._latest_floor, end["segment"])
         return [
             _SegmentPartition(_segment_path(self._dir, i))

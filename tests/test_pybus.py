@@ -528,6 +528,31 @@ def test_fresh_reader_precreated_dir_idles_when_opted_out(tmp_path):
         assert r.latestOffset() == {"segment": 0}
 
 
+def test_observed_zero_floor_holds_through_unmount(tmp_path):
+    """A floor legitimately OBSERVED at 0 is a safe hold, not a blind
+    guess: a pre-created empty broker that unmounts mid-run keeps idling
+    at 0 under failOnDataLoss=false (nothing above 0 can be committed),
+    and a restart that re-plans a no-data (0, 0) checkpoint range holds
+    at the checkpoint-derived 0 the same way — only a reader that has
+    observed NOTHING raises."""
+    import shutil
+
+    broker = str(tmp_path / "broker")
+    os.makedirs(broker)
+    r = pybus._PyBusStreamReader(
+        {"path": broker, "failondataloss": "false"}
+    )
+    assert r.latestOffset() == {"segment": 0}  # successful empty listing
+    shutil.rmtree(broker)
+    assert r.latestOffset() == {"segment": 0}  # observed-at-0 hold
+    # restart twin: a (0, 0) recovered range seeds observation at 0
+    r2 = pybus._PyBusStreamReader(
+        {"path": broker, "failondataloss": "false"}
+    )
+    assert r2.partitions({"segment": 0}, {"segment": 0}) == []
+    assert r2.latestOffset() == {"segment": 0}
+
+
 def test_partitions_seed_floor_against_restart_unmount(tmp_path):
     """After a restart Spark re-plans the last uncommitted batch via
     partitions(start, end) with checkpoint-recovered offsets; that range
@@ -593,8 +618,12 @@ def test_frontier_advance_uses_fixed_temp_name(tmp_path, monkeypatch):
         f.write("stale")
     pybus._advance_frontier(broker, 123)
     assert pybus._read_frontier(broker) == 123
-    leftovers = [n for n in os.listdir(broker) if n.startswith("_frontier_")]
-    assert leftovers == []
+    # the planted stale tmp was truncated, rewritten and os.replace'd
+    # onto the value file — nothing underscore-prefixed accumulates
+    # beyond the two permanent frontier files
+    assert sorted(
+        n for n in os.listdir(broker) if n.startswith("_")
+    ) == ["_frontier", "_frontier.lock"]
 
 
 def test_restart_over_unmounted_broker_never_regresses_offset(spark, tmp_path):

@@ -265,11 +265,11 @@ def main() -> None:
                 # the raw input line count under closed_window_rows made
                 # cross-mode comparisons misleading (ADVICE r14); the
                 # expectation is keyed by mode instead.
-                **(
-                    {"expected_sink_rows": twin_rows}
+                (
+                    "expected_sink_rows"
                     if passthrough
-                    else {"closed_window_rows": twin_rows}
-                ),
+                    else "closed_window_rows"
+                ): twin_rows,
                 "parity": "rowcount" if passthrough else "exact",
             }
         )
