@@ -572,6 +572,280 @@ def assign_ivf_lists(
     )
 
 
+def assign_ivf_lists_arrow(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cid",
+    centroid_vec_col: str = "cv",
+    norm_col: str | None = None,
+) -> DataFrame:
+    """``assign_ivf_lists`` with the per-row assignment loop moved from
+    the interpreted ``array_max``-over-HOF-folds expression into a
+    ``mapInArrow`` numpy kernel — STAGED for the next optimization
+    round, used by NO declared query yet (r15 measured the expression's
+    16x64 interpreted folds as sim_ivf_topk's dominant stage; this twin
+    is the sketched fix, shipped behind its own name so the bit-parity
+    contract is test-pinned before any driver-checked query flips).
+
+    Bit-parity design (the whole point — results must hash-match the
+    expression path, hence the DuckDB oracle):
+
+    - The codebook is collected and ordered EXACTLY as
+      ``assign_ivf_lists`` does (``finite_vectors`` -> orderBy cid);
+      each centroid norm is the same sequential Python sum-of-squares.
+    - The norm column stays a JVM-side fold: callers pass the
+      ``valid_with_norm`` column through (or it is projected here with
+      the same ``vector_norm2`` fold), so the Python kernel never
+      recomputes a norm.
+    - The dot is an explicit DIM-LOOP accumulation
+      (``acc = acc + V[:, d] * c[d]``): the same left-to-right
+      ((0 + x0*y0) + x1*y1) + ... sequence as the SQL fold, one IEEE
+      multiply and one IEEE add per element — never ``matmul``/``dot``,
+      whose pairwise/FMA summation reorders doubles.
+    - s = dot / (nv * ncv) with NULL exactly when ``try_divide`` yields
+      NULL (denominator == 0 or an operand NULL); the candidate gate is
+      ``len(v) == len(c) AND nv * ncv > 0`` with Spark's NaN-sorts-
+      greatest semantics (NaN > 0 is TRUE); the winner is the
+      ``array_max`` struct order: s with NULL smallest and NaN
+      greatest, ties to the SMALLEST cid; a winner with NULL s yields a
+      NULL assignment (the r9 NULL gate).
+    - Irregular rows (NULL vector, length mismatch vs every candidate,
+      NULL elements) take a scalar fallback that replicates the same
+      semantics; regular rows take the vectorized path. Both are pinned
+      against the expression by tests/test_similarity.py's adversarial
+      parity corpus.
+
+    Scale note: the corpus (id, vector, norm) crosses the Arrow
+    boundary once in each direction — a streaming, partition-local
+    cost with no shuffle, traded against removing C x dim interpreted
+    lambda steps per row (HOF folds are CodegenFallback). At 64-dim
+    float32 embeddings that is ~0.5 KB/row through Arrow IPC vs ~1k
+    interpreted expression-tree evaluations/row.
+    """
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_cols = [F.col(id_col), F.col(vec_col)] + (
+        [F.col(norm_col)] if norm_col is not None else []
+    )
+    if norm_col is None:
+        norm_col = "_acn"
+        embeddings = valid_vectors(embeddings, vec_col).withColumn(
+            norm_col, F.sqrt(vector_norm2(F.col(vec_col)))
+        )
+    code = [
+        (int(r["_cid"]), [float(x) for x in r["_cv0"]])
+        for r in finite_vectors(centroids, centroid_vec_col)
+        .select(
+            F.col(centroid_id_col).alias("_cid"),
+            F.col(centroid_vec_col).alias("_cv0"),
+        )
+        .orderBy("_cid")
+        .collect()
+    ]
+    if not code:
+        return embeddings.select(
+            *out_cols,
+            F.lit(None).cast("bigint").alias("list_id"),
+        ).where(F.lit(False))
+
+    # Precompute per-centroid norms with the exact expression-path fold
+    # (sequential Python float sum of squares, then sqrt).
+    cands = []
+    for cid, comps in code:
+        acc = 0.0
+        for x in comps:
+            acc = acc + x * x
+        ncv = math.sqrt(acc)
+        degenerate = ncv == 0.0 or not math.isfinite(ncv)
+        cands.append((cid, comps, ncv, degenerate))
+
+    def _assign_row(v, has_null_elem, nv):
+        """Scalar twin of one row of ``_nearest_centroid_expr`` —
+        the irregular-row fallback."""
+        best = None  # (level, value, neg_cid, gated_cid)
+        for cid, comps, ncv, degenerate in cands:
+            if degenerate:
+                s = None
+                gcid = None
+            else:
+                if v is None or len(v) != len(comps) or has_null_elem:
+                    dot_v = None  # zip_with pads/poisons the fold
+                else:
+                    acc = 0.0
+                    for i in range(len(comps)):
+                        acc = acc + v[i] * comps[i]
+                    dot_v = acc
+                den = None if nv is None else nv * ncv
+                if dot_v is None or den is None or den == 0.0:
+                    s = None
+                else:
+                    try:
+                        s = dot_v / den
+                    except ZeroDivisionError:  # pragma: no cover
+                        s = None
+                gate = (
+                    v is not None
+                    and len(v) == len(comps)
+                    and den is not None
+                    # Spark SQL orders NaN greatest: NaN > 0 is TRUE
+                    and (den > 0.0 or math.isnan(den))
+                )
+                gcid = cid if gate else None
+            if s is None:
+                level, val = 0, 0.0
+            elif math.isnan(s):
+                level, val = 2, 0.0
+            else:
+                level, val = 1, s
+            # candidates iterate in cid ASC order == neg_cid DESC, so a
+            # later candidate wins only on a STRICTLY greater (level,
+            # value) — exactly the (s, neg_cid) struct max
+            if best is None or level > best[0] or (
+                level == 1 and best[0] == 1 and val > best[1]
+            ):
+                best = (level, val, -cid, gcid)
+        return best[3]
+
+    dims = sorted({len(comps) for _, comps, _, _ in cands})
+
+    def _kernel(batches):
+        for batch in batches:
+            n = batch.num_rows
+            vec_idx = batch.schema.get_field_index(vec_col)
+            arr = batch.column(vec_idx)
+            if isinstance(arr, pa.ChunkedArray):  # pragma: no cover
+                arr = arr.combine_chunks()
+            nv_np = batch.column(
+                batch.schema.get_field_index(norm_col)
+            ).to_numpy(zero_copy_only=False)  # NULL norm -> NaN...
+            nv_null = np.asarray(
+                batch.column(
+                    batch.schema.get_field_index(norm_col)
+                ).is_null()
+            )
+            offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            row_null = np.asarray(arr.is_null())
+            lens = offsets[1:] - offsets[:-1]
+            values = arr.values
+            elem_null_flags = np.asarray(values.is_null()).astype(np.int64)
+            # per-row count of NULL elements (reduceat over offsets)
+            if len(elem_null_flags):
+                starts = offsets[:-1]
+                # reduceat needs monotonically valid starts; empty rows
+                # contribute their successor's slice — mask them after
+                safe_starts = np.minimum(starts, len(elem_null_flags) - 1)
+                row_elem_nulls = np.add.reduceat(
+                    elem_null_flags, safe_starts
+                )
+                row_elem_nulls[lens == 0] = 0
+            else:
+                row_elem_nulls = np.zeros(n, dtype=np.int64)
+            vals_np = values.cast(pa.float64()).to_numpy(
+                zero_copy_only=False
+            )
+
+            out = np.zeros(n, dtype=np.int64)
+            out_null = np.ones(n, dtype=bool)
+            # best-so-far state for the vectorized winner fold
+            best_level = np.full(n, -1, dtype=np.int8)
+            best_val = np.zeros(n, dtype=np.float64)
+            best_cid = np.zeros(n, dtype=np.int64)
+            best_cid_null = np.ones(n, dtype=bool)
+
+            regular = (~row_null) & (row_elem_nulls == 0)
+            irregular_rows = np.flatnonzero(~regular)
+            nv_valid = ~nv_null
+
+            for cid, comps, ncv, degenerate in cands:
+                D = len(comps)
+                match = regular & (lens == D)
+                s_level = np.zeros(n, dtype=np.int8)  # 0 = NULL s
+                s_val = np.zeros(n, dtype=np.float64)
+                gcid_null = np.ones(n, dtype=bool)
+                if not degenerate and match.any():
+                    idx = np.flatnonzero(match)
+                    gather = offsets[idx, None] + np.arange(D)
+                    V = vals_np[gather]
+                    c = np.asarray(comps, dtype=np.float64)
+                    acc = np.zeros(len(idx), dtype=np.float64)
+                    for d in range(D):
+                        acc = acc + V[:, d] * c[d]
+                    nv_sub = nv_np[idx]
+                    nv_ok = nv_valid[idx]
+                    den = nv_sub * ncv
+                    with np.errstate(
+                        divide="ignore", invalid="ignore", over="ignore"
+                    ):
+                        s = acc / den
+                    s_defined = nv_ok & (den != 0.0)
+                    lvl = np.where(
+                        s_defined,
+                        np.where(np.isnan(s) & s_defined, 2, 1),
+                        0,
+                    ).astype(np.int8)
+                    s_level[idx] = lvl
+                    s_val[idx] = np.where(s_defined & (lvl == 1), s, 0.0)
+                    # gate: size match (== match here) AND den > 0, with
+                    # NaN > 0 TRUE; NULL nv -> NULL gate -> false
+                    gate = nv_ok & ((den > 0.0) | np.isnan(den))
+                    gcid_null[idx] = ~gate
+                # winner update (strictly-greater == (s, neg_cid) max
+                # with ASC-cid iteration)
+                wins = (s_level > best_level) | (
+                    (s_level == 1) & (best_level == 1) & (s_val > best_val)
+                )
+                best_level = np.where(wins, s_level, best_level)
+                best_val = np.where(wins, s_val, best_val)
+                best_cid = np.where(wins & ~gcid_null, cid, best_cid)
+                best_cid_null = np.where(wins, gcid_null, best_cid_null)
+
+            out = best_cid
+            out_null = best_cid_null
+
+            # scalar fallback for irregular rows (NULL vector / NULL
+            # elements) — exact expression semantics
+            for i in irregular_rows:
+                if row_null[i]:
+                    v = None
+                    has_null_elem = False
+                else:
+                    v = vals_np[offsets[i]:offsets[i] + lens[i]]
+                    has_null_elem = row_elem_nulls[i] > 0
+                nv_i = None if nv_null[i] else float(nv_np[i])
+                r = _assign_row(v, has_null_elem, nv_i)
+                if r is None:
+                    out_null[i] = True
+                else:
+                    out[i] = r
+                    out_null[i] = False
+
+            list_arr = pa.array(
+                np.ma.masked_array(out, mask=out_null), type=pa.int64()
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(j) for j in range(batch.num_columns)]
+                + [list_arr],
+                schema=batch.schema.append(
+                    pa.field("list_id", pa.int64())
+                ),
+            )
+
+    projected = embeddings.select(
+        F.col(id_col), F.col(vec_col), F.col(norm_col)
+    )
+    out_schema = StructType(
+        projected.schema.fields + [StructField("list_id", LongType())]
+    )
+    assigned = projected.mapInArrow(_kernel, out_schema)
+    return assigned.select(*out_cols, F.col("list_id"))
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -463,3 +463,101 @@ def test_ivf_and_kmeans_survive_empty_codebook(spark):
     clusters = _assign_to_centroids(emb, no_cents, "vec_id", "embedding")
     assert clusters.columns == ["vec_id", "embedding", "cluster"]
     assert clusters.count() == 0
+
+
+def _assign_parity(spark, emb, cent, **kw):
+    from dataflow_example_spark.functions.similarity import (
+        assign_ivf_lists,
+        assign_ivf_lists_arrow,
+    )
+
+    expr = {
+        (r[0], r["list_id"])
+        for r in assign_ivf_lists(emb, cent, **kw).collect()
+    }
+    arrow = {
+        (r[0], r["list_id"])
+        for r in assign_ivf_lists_arrow(emb, cent, **kw).collect()
+    }
+    assert arrow == expr, (
+        f"arrow twin diverged: only_expr={sorted(expr - arrow)[:5]} "
+        f"only_arrow={sorted(arrow - expr)[:5]}"
+    )
+    return expr
+
+
+def test_assign_ivf_arrow_parity_real_corpus(spark):
+    """The staged mapInArrow assignment twin must match the expression
+    path EXACTLY (same list_id per vec_id, bit-for-bit winner) on the
+    real sf0.001 embeddings against the same seed codebook sim_ivf_topk
+    uses — the acceptance gate before any declared query may flip to
+    the Arrow path in a later round."""
+    from dataflow_example_spark.functions.similarity import valid_with_norm
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    emb = valid_with_norm(emb, "embedding", "_en")
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    got = _assign_parity(spark, emb, cent, norm_col="_en")
+    assert len(got) == emb.count()  # every valid vector assigned
+    assert all(lid is not None for _, lid in got)
+
+
+def test_assign_ivf_arrow_parity_adversarial(spark):
+    """Adversarial parity corpus: NULL vectors, NULL elements, empty
+    arrays, wrong dims, NaN/inf components, zero vectors, denormal
+    norms, NULL/NaN/zero hand-supplied norms, degenerate (zero and
+    overflowing) centroids — every row must take the exact same
+    list_id (or NULL) on both paths, irregular-fallback and vectorized
+    alike."""
+    rows = [
+        (0, [1.0, 0.0, 0.0], 1.0),            # clean
+        (1, [0.0, 1.0, 0.0], 1.0),            # clean, other list
+        (2, None, 1.0),                        # NULL vector
+        (3, [1.0, None, 0.0], 1.0),           # NULL element, fake norm
+        (4, [], 1.0),                          # empty array
+        (5, [1.0, 0.0], 1.0),                  # too short
+        (6, [1.0, 0.0, 0.0, 0.0], 1.0),        # too long
+        (7, [float("nan"), 1.0, 0.0], 1.0),    # NaN component
+        (8, [float("inf"), 1.0, 0.0], 1.0),    # inf component
+        (9, [0.0, 0.0, 0.0], 0.0),             # zero vector, zero norm
+        (10, [1.0, 1.0, 0.0], None),           # NULL norm
+        (11, [1.0, 1.0, 0.0], float("nan")),   # NaN norm (NaN > 0 TRUE)
+        (12, [1.0, 1.0, 0.0], 0.0),            # zero norm, nonzero vec
+        (13, [5e-324, 0.0, 0.0], 5e-324),      # denormal: den underflows
+        (14, [-1.0, -1.0, -1.0], 1.7320508),   # negative sims everywhere
+        (15, [1.0, 2.0, 2.0], 3.0),            # exact-tie candidate bait
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, nv double"
+    )
+    cents = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.0, 0.0, 0.0]),     # degenerate zero centroid
+        (3, [2.0, 4.0, 4.0]),     # same direction as vec 15 and cid 4
+        (4, [1.0, 2.0, 2.0]),     # exact tie with cid 3 -> smaller wins
+        (5, [1e308, 1e308, 0.0]), # norm overflows -> degenerate path
+    ]
+    cent = spark.createDataFrame(cents, "cid bigint, cv array<double>")
+    _assign_parity(spark, emb, cent, norm_col="nv")
+    # and the compute-norm-internally path (valid rows only, guards on)
+    clean = emb.select("vec_id", "embedding")
+    _assign_parity(spark, clean, cent)
+
+
+def test_assign_ivf_arrow_parity_empty_codebook(spark):
+    from dataflow_example_spark.functions.similarity import (
+        assign_ivf_lists,
+        assign_ivf_lists_arrow,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id bigint, embedding array<float>"
+    )
+    cent = spark.createDataFrame([], "cid bigint, cv array<float>")
+    assert assign_ivf_lists_arrow(emb, cent).count() == 0
+    assert assign_ivf_lists(emb, cent).count() == 0
