@@ -549,16 +549,7 @@ def assign_ivf_lists(
     # a truly empty codebook. Non-finite/NULL/empty centroids must still
     # be dropped (``finite_vectors``): a NaN similarity sorts GREATEST
     # and would hijack every assignment.
-    code = [
-        (int(r["_cid"]), [float(x) for x in r["_cv0"]])
-        for r in finite_vectors(centroids, centroid_vec_col)
-        .select(
-            F.col(centroid_id_col).alias("_cid"),
-            F.col(centroid_vec_col).alias("_cv0"),
-        )
-        .orderBy("_cid")
-        .collect()
-    ]
+    code = _collect_codebook(centroids, centroid_id_col, centroid_vec_col)
     if not code:
         # empty codebook: no vector is assignable — zero rows, same as
         # the pre-r8 fan-out shape (empty crossJoin -> empty groupBy)
@@ -570,6 +561,29 @@ def assign_ivf_lists(
         *out_cols,
         _nearest_centroid_expr(code, vec_col, norm_col).alias("list_id"),
     )
+
+
+def _collect_codebook(
+    centroids: DataFrame,
+    centroid_id_col: str,
+    centroid_vec_col: str,
+) -> list[tuple[int, list[float]]]:
+    """The one codebook collect every literal-codebook assigner shares
+    (``assign_ivf_lists``, ``assign_ivf_lists_arrow``,
+    ``_assign_to_centroids``): ``finite_vectors`` drop of non-finite/
+    NULL/empty centroids (degenerate zero-norm ones STAY — r9, ADVICE),
+    deterministic cid order, exact float64 coercion. Bit-parity across
+    the assigners depends on this being ONE code path."""
+    return [
+        (int(r["_cid"]), [float(x) for x in r["_cv0"]])
+        for r in finite_vectors(centroids, centroid_vec_col)
+        .select(
+            F.col(centroid_id_col).alias("_cid"),
+            F.col(centroid_vec_col).alias("_cv0"),
+        )
+        .orderBy("_cid")
+        .collect()
+    ]
 
 
 def assign_ivf_lists_arrow(
@@ -609,8 +623,13 @@ def assign_ivf_lists_arrow(
       ``len(v) == len(c) AND nv * ncv > 0`` with Spark's NaN-sorts-
       greatest semantics (NaN > 0 is TRUE); the winner is the
       ``array_max`` struct order: s with NULL smallest and NaN
-      greatest, ties to the SMALLEST cid; a winner with NULL s yields a
-      NULL assignment (the r9 NULL gate).
+      greatest, ties to the SMALLEST cid. The winner's cid is gated by
+      that same size/denominator test, NOT by ``s IS NOT NULL`` — for
+      genuine ``valid_with_norm`` norms the two are equivalent (the r9
+      NULL gate), but a caller-supplied norm column can make them
+      diverge (e.g. a NULL-element vector with a hand-fed positive
+      norm assigns the smallest cid with s NULL on BOTH paths — the
+      adversarial parity test pins that non-NULL outcome).
     - Irregular rows (NULL vector, length mismatch vs every candidate,
       NULL elements) take a scalar fallback that replicates the same
       semantics; regular rows take the vectorized path. Both are pinned
@@ -636,16 +655,7 @@ def assign_ivf_lists_arrow(
         embeddings = valid_vectors(embeddings, vec_col).withColumn(
             norm_col, F.sqrt(vector_norm2(F.col(vec_col)))
         )
-    code = [
-        (int(r["_cid"]), [float(x) for x in r["_cv0"]])
-        for r in finite_vectors(centroids, centroid_vec_col)
-        .select(
-            F.col(centroid_id_col).alias("_cid"),
-            F.col(centroid_vec_col).alias("_cv0"),
-        )
-        .orderBy("_cid")
-        .collect()
-    ]
+    code = _collect_codebook(centroids, centroid_id_col, centroid_vec_col)
     if not code:
         return embeddings.select(
             *out_cols,
@@ -683,10 +693,7 @@ def assign_ivf_lists_arrow(
                 if dot_v is None or den is None or den == 0.0:
                     s = None
                 else:
-                    try:
-                        s = dot_v / den
-                    except ZeroDivisionError:  # pragma: no cover
-                        s = None
+                    s = dot_v / den  # den != 0, so this never raises
                 gate = (
                     v is not None
                     and len(v) == len(comps)
@@ -710,23 +717,21 @@ def assign_ivf_lists_arrow(
                 best = (level, val, -cid, gcid)
         return best[3]
 
-    dims = sorted({len(comps) for _, comps, _, _ in cands})
-
     def _kernel(batches):
         for batch in batches:
             n = batch.num_rows
-            vec_idx = batch.schema.get_field_index(vec_col)
-            arr = batch.column(vec_idx)
+            arr = batch.column(batch.schema.get_field_index(vec_col))
             if isinstance(arr, pa.ChunkedArray):  # pragma: no cover
                 arr = arr.combine_chunks()
-            nv_np = batch.column(
-                batch.schema.get_field_index(norm_col)
-            ).to_numpy(zero_copy_only=False)  # NULL norm -> NaN...
-            nv_null = np.asarray(
-                batch.column(
-                    batch.schema.get_field_index(norm_col)
-                ).is_null()
-            )
+            nv_col = batch.column(batch.schema.get_field_index(norm_col))
+            # cast to float64 BEFORE to_numpy: the expression path
+            # promotes the norm to DOUBLE before nv * ncv, so a
+            # float32-backed norm column must widen here too (and match
+            # the scalar fallback's float()) — review finding r15
+            nv_np = nv_col.cast(pa.float64()).to_numpy(
+                zero_copy_only=False
+            )  # NULL norm -> NaN; masked separately below
+            nv_null = np.asarray(nv_col.is_null())
             offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(
                 np.int64
             )
@@ -734,15 +739,19 @@ def assign_ivf_lists_arrow(
             lens = offsets[1:] - offsets[:-1]
             values = arr.values
             elem_null_flags = np.asarray(values.is_null()).astype(np.int64)
-            # per-row count of NULL elements (reduceat over offsets)
-            if len(elem_null_flags):
+            # per-row count of NULL elements (reduceat over offsets).
+            # Clip the flags at offsets[-1]: reduceat's LAST segment
+            # otherwise runs to the end of the child values buffer,
+            # which may legally extend past the rows' range (sliced
+            # batches / trailing unreferenced values) and would
+            # overcount NULLs for the final row.
+            if n and len(elem_null_flags) and offsets[-1] > 0:
+                flags = elem_null_flags[: offsets[-1]]
                 starts = offsets[:-1]
-                # reduceat needs monotonically valid starts; empty rows
-                # contribute their successor's slice — mask them after
-                safe_starts = np.minimum(starts, len(elem_null_flags) - 1)
-                row_elem_nulls = np.add.reduceat(
-                    elem_null_flags, safe_starts
-                )
+                # reduceat needs starts < len(flags); empty rows at the
+                # tail would index past it — clamp, then zero them out
+                safe_starts = np.minimum(starts, len(flags) - 1)
+                row_elem_nulls = np.add.reduceat(flags, safe_starts)
                 row_elem_nulls[lens == 0] = 0
             else:
                 row_elem_nulls = np.zeros(n, dtype=np.int64)
@@ -750,8 +759,6 @@ def assign_ivf_lists_arrow(
                 zero_copy_only=False
             )
 
-            out = np.zeros(n, dtype=np.int64)
-            out_null = np.ones(n, dtype=bool)
             # best-so-far state for the vectorized winner fold
             best_level = np.full(n, -1, dtype=np.int8)
             best_val = np.zeros(n, dtype=np.float64)
@@ -762,22 +769,40 @@ def assign_ivf_lists_arrow(
             irregular_rows = np.flatnonzero(~regular)
             nv_valid = ~nv_null
 
+            # One gather per DISTINCT dim, not per centroid: candidates
+            # normally share one dimension, and re-gathering the
+            # (rows x D) matrix 16x was the hot loop's memory traffic
+            # (review finding r15). Keyed lazily so a dim no row matches
+            # costs nothing.
+            gathered: dict[int, tuple] = {}
+
+            def _for_dim(D):
+                if D not in gathered:
+                    idx = np.flatnonzero(regular & (lens == D))
+                    if len(idx):
+                        V = vals_np[offsets[idx, None] + np.arange(D)]
+                        nv_sub = nv_np[idx]
+                        nv_ok = nv_valid[idx]
+                    else:
+                        V = nv_sub = nv_ok = None
+                    gathered[D] = (idx, V, nv_sub, nv_ok)
+                return gathered[D]
+
+            # candidates MUST iterate in cid ASC order: the winner fold
+            # relies on strict improvement == (s, neg_cid) struct max
             for cid, comps, ncv, degenerate in cands:
                 D = len(comps)
-                match = regular & (lens == D)
                 s_level = np.zeros(n, dtype=np.int8)  # 0 = NULL s
                 s_val = np.zeros(n, dtype=np.float64)
                 gcid_null = np.ones(n, dtype=bool)
-                if not degenerate and match.any():
-                    idx = np.flatnonzero(match)
-                    gather = offsets[idx, None] + np.arange(D)
-                    V = vals_np[gather]
+                idx = ()
+                if not degenerate:
+                    idx, V, nv_sub, nv_ok = _for_dim(D)
+                if not degenerate and len(idx):
                     c = np.asarray(comps, dtype=np.float64)
                     acc = np.zeros(len(idx), dtype=np.float64)
                     for d in range(D):
                         acc = acc + V[:, d] * c[d]
-                    nv_sub = nv_np[idx]
-                    nv_ok = nv_valid[idx]
                     den = nv_sub * ncv
                     with np.errstate(
                         divide="ignore", invalid="ignore", over="ignore"
@@ -785,14 +810,12 @@ def assign_ivf_lists_arrow(
                         s = acc / den
                     s_defined = nv_ok & (den != 0.0)
                     lvl = np.where(
-                        s_defined,
-                        np.where(np.isnan(s) & s_defined, 2, 1),
-                        0,
+                        s_defined, np.where(np.isnan(s), 2, 1), 0
                     ).astype(np.int8)
                     s_level[idx] = lvl
-                    s_val[idx] = np.where(s_defined & (lvl == 1), s, 0.0)
-                    # gate: size match (== match here) AND den > 0, with
-                    # NaN > 0 TRUE; NULL nv -> NULL gate -> false
+                    s_val[idx] = np.where(lvl == 1, s, 0.0)
+                    # gate: size match (== the dim gather here) AND
+                    # den > 0, with NaN > 0 TRUE; NULL nv -> false
                     gate = nv_ok & ((den > 0.0) | np.isnan(den))
                     gcid_null[idx] = ~gate
                 # winner update (strictly-greater == (s, neg_cid) max
@@ -1133,13 +1156,7 @@ def _assign_to_centroids(
     would sort greatest and hijack the assignment). A vector whose BEST
     similarity is NULL (wrong dimension, or every centroid degenerate)
     gets cluster NULL; callers drop or isolate those rows."""
-    code = [
-        (int(r["cid"]), [float(x) for x in r["cv"]])
-        for r in finite_vectors(centroids, "cv")
-        .select("cid", "cv")
-        .orderBy("cid")
-        .collect()
-    ]
+    code = _collect_codebook(centroids, "cid", "cv")
     if not code:
         # empty codebook -> zero rows (pre-r8 fan-out degenerate case)
         return embeddings.select(

@@ -561,3 +561,23 @@ def test_assign_ivf_arrow_parity_empty_codebook(spark):
     cent = spark.createDataFrame([], "cid bigint, cv array<float>")
     assert assign_ivf_lists_arrow(emb, cent).count() == 0
     assert assign_ivf_lists(emb, cent).count() == 0
+
+
+def test_assign_ivf_arrow_parity_float32_norm(spark):
+    """A caller-supplied FLOAT norm column must widen to double inside
+    the Arrow kernel exactly as the expression path promotes it before
+    nv * ncv — float32 denominators round differently and flip winners
+    near ties (review finding r15)."""
+    import math as m
+
+    rows = []
+    # norms deliberately NOT the true norm and not float32-representable
+    for i in range(40):
+        v = [1.0 + i * 0.1000001, 2.0 - i * 0.0333333, 0.5 * i]
+        rows.append((i, v, m.sqrt(sum(x * x for x in v)) * 1.0000001))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, nv float"
+    )
+    cents = [(0, [1.0, 0.1, 0.2]), (1, [0.3, 1.0, 0.5]), (2, [0.1, 0.2, 1.0])]
+    cent = spark.createDataFrame(cents, "cid bigint, cv array<double>")
+    _assign_parity(spark, emb, cent, norm_col="nv")
