@@ -597,11 +597,12 @@ def assign_ivf_lists_arrow(
 ) -> DataFrame:
     """``assign_ivf_lists`` with the per-row assignment loop moved from
     the interpreted ``array_max``-over-HOF-folds expression into a
-    ``mapInArrow`` numpy kernel — STAGED for the next optimization
-    round, used by NO declared query yet (r15 measured the expression's
-    16x64 interpreted folds as sim_ivf_topk's dominant stage; this twin
-    is the sketched fix, shipped behind its own name so the bit-parity
-    contract is test-pinned before any driver-checked query flips).
+    ``mapInArrow`` numpy kernel — the assignment path ``ivf_topk`` uses
+    since r15 (the expression's 16x64 interpreted folds were
+    sim_ivf_topk's dominant stage; the flip was made on an interleaved
+    fresh-JVM A/B, numbers at the ``ivf_topk`` call site). The
+    expression twin stays as the JVM-only fallback and the parity
+    reference.
 
     Bit-parity design (the whole point — results must hash-match the
     expression path, hence the DuckDB oracle):
@@ -888,7 +889,7 @@ def ivf_topk(
     search plan below is identical either way.
 
     Search: every vector is assigned to its nearest centroid
-    (``assign_ivf_lists``); each query probes its ``n_probe`` nearest
+    (``assign_ivf_lists_arrow``); each query probes its ``n_probe`` nearest
     lists; candidates = vectors in probed lists; exact cosine re-rank.
     Recall < 1 by construction (like any IVF index); both engines compute
     the same lists, so results match exactly.
@@ -902,8 +903,21 @@ def ivf_topk(
 
     # embeddings already carry their validity-fused norm — the list
     # assignment reuses it (no second guard pass, no per-row norm fold)
-    # and passes it through for the re-rank below.
-    lists = assign_ivf_lists(
+    # and passes it through for the re-rank below. The ARROW twin does
+    # the assignment (flipped r15, measured call): interleaved fresh-JVM
+    # A/B under the bench methodology (sf0.001 warm-up, then sf0.1)
+    # measured steady 0.97-1.28 s vs 1.5-3.0 s expression and
+    # cold-after-warmup 1.09-1.65 vs 2.03-3.70 s — the Python-worker
+    # start is paid in the untimed warm-up, and the kernel removes the
+    # C x dim interpreted HOF steps per row (CodegenFallback), a win
+    # that grows with corpus size (200k-row smoke: -44%). Bit-parity
+    # with the expression path is test-pinned
+    # (test_assign_ivf_arrow_parity_*) and the flipped query re-proved
+    # against the DuckDB oracle at sf0.001/0.01/0.1. A widened variant
+    # (round-robin before the kernel) measured WORSE at every scale
+    # factor tried (exchange + per-worker start exceed the win) and was
+    # rejected.
+    lists = assign_ivf_lists_arrow(
         embeddings, centroids, id_col, vec_col, norm_col="_en"
     )
 
