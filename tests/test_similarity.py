@@ -581,3 +581,113 @@ def test_assign_ivf_arrow_parity_float32_norm(spark):
     cents = [(0, [1.0, 0.1, 0.2]), (1, [0.3, 1.0, 0.5]), (2, [0.1, 0.2, 1.0])]
     cent = spark.createDataFrame(cents, "cid bigint, cv array<double>")
     _assign_parity(spark, emb, cent, norm_col="nv")
+
+
+def _bucket_parity(spark, emb, n_tables=8, n_planes=4, dim=64):
+    """Compare the multi-table bucket kernel against the expression
+    explode construction it replaced in multi_lsh_near_dup_pairs."""
+    from dataflow_example_spark.functions.similarity import (
+        lsh_bucket,
+        multi_lsh_buckets_arrow,
+    )
+
+    expr = emb.select(
+        F.col("vec_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"),
+                        lsh_bucket(
+                            "embedding", n_planes, dim,
+                            plane_offset=t * n_planes,
+                        ).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "tb.*")
+    a = sorted(
+        (r.vec_id, r.table_id, r.bucket) for r in expr.collect()
+    )
+    b = sorted(
+        (r.vec_id, r.table_id, r.bucket)
+        for r in multi_lsh_buckets_arrow(
+            emb, n_tables, n_planes, dim
+        ).collect()
+    )
+    assert a == b, (
+        f"bucket kernel diverged: first diffs "
+        f"{[(x, y) for x, y in zip(a, b) if x != y][:5]}"
+    )
+    return b
+
+
+def test_multi_lsh_buckets_arrow_parity_real_corpus(spark):
+    """The mapInArrow bucket kernel must emit byte-equal (vec_id,
+    table_id, bucket) rows vs the lsh_bucket expression explode on the
+    real sf0.001 embeddings — both pre-guard (irregular rows included)
+    and post-guard (the exact input multi_lsh_near_dup_pairs feeds
+    it)."""
+    from dataflow_example_spark.functions.similarity import valid_with_norm
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    got = _bucket_parity(spark, emb)
+    assert len(got) == emb.count() * 8  # n_tables rows per input row
+    guarded = valid_with_norm(emb, "embedding", "_mln").select(
+        "vec_id", "embedding"
+    )
+    _bucket_parity(spark, guarded)
+
+
+def test_multi_lsh_buckets_arrow_parity_adversarial(spark):
+    """Adversarial corpus: NULL vector, empty, short/long dims, NULL
+    element, NaN (dot NaN -> every bit SET: NaN >= 0 is TRUE in Spark),
+    inf and inf+-inf (NaN dot), zero and -0.0 vectors (dot +-0.0 >= 0
+    TRUE), fold overflow to inf, denormals, near-zero dots. Irregular
+    rows must produce bucket 0 in every table on BOTH paths (zip_with
+    NULL-padding poisons the fold; IF(NULL >= 0) takes the else
+    branch)."""
+    inf, nan = float("inf"), float("nan")
+    rows = [
+        (0, [1.0] * 64),
+        (1, [-1.0] * 64),
+        (2, None),
+        (3, []),
+        (4, [1.0] * 63),
+        (5, [1.0] * 65),
+        (6, [1.0] * 30 + [None] + [1.0] * 33),
+        (7, [nan] * 64),
+        (8, [inf] * 64),
+        (9, [inf] + [-inf] + [0.0] * 62),
+        (10, [0.0] * 64),
+        (11, [-0.0] * 64),
+        (12, [1e308] * 64),
+        (13, [5e-324] * 64),
+        (14, [1e-200] * 32 + [-1e-200] * 32),
+        (15, [((i * 37) % 19 - 9) / 7.0 for i in range(64)]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = dict()
+    for vid, tid, bucket in _bucket_parity(spark, emb):
+        got.setdefault(vid, set()).add(bucket)
+    # structural-irregular rows: bucket 0 in every table
+    for vid in (2, 3, 4, 5, 6):
+        assert got[vid] == {0}
+    # NaN dot: all bits set in every table
+    assert got[7] == {(1 << 4) - 1}
+
+
+def test_multi_lsh_buckets_arrow_parity_float32(spark):
+    """array<float> input (the engine's embedding type): the kernel
+    must cast the Arrow child values to float64 before the fold, like
+    the expression's transform(v, CAST AS DOUBLE)."""
+    rows = [
+        (i, [((i * 31 + d * 7) % 13 - 6) / 5.0 for d in range(64)])
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    _bucket_parity(spark, emb)
