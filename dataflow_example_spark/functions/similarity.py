@@ -1138,6 +1138,15 @@ def lsh_near_dup_pairs(
     the O(N^2) cross join with a self-join on the bucket key. Recall < 1
     (cross-bucket near-dups are missed, as in any single-table LSH);
     rotate to multi-table LSH for higher recall."""
+    # r15: same conditional widening as multi_lsh_near_dup_pairs — the
+    # bucket fold (n_planes x dim interpreted HOF steps/row), the pair
+    # re-rank and the Arrow prefilter otherwise fuse into ONE task on
+    # single-row-group inputs (measured at sf0.1: whole query 1.215 ->
+    # 0.662 s min-of-6 same-JVM alternating, value-parity exact).
+    # No-op when the scan already has >= slots splits.
+    from .layout import widen_if_narrow
+
+    embeddings = widen_if_narrow(embeddings)
     b = valid_with_norm(embeddings, vec_col, "_n").select(
         F.col(id_col),
         F.col(vec_col),
