@@ -5424,26 +5424,17 @@ def docs_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 character trigrams per language (counts over the lowercased
     text, ties alphabetical) — the char-level feature profile real
     language ID models are built on, and a second text representation
-    beside word shingles. The trigram explode is expression-level
-    (sequence + transform), one shuffle on (lang, trigram)."""
+    beside word shingles. Counting runs in the ``char_trigram_counts``
+    mapInArrow kernel (r15): the old expression form's per-position
+    ``substring`` was O(len^2) per document and serialized the whole
+    query into one 9.5 s task at sf0.1 (kernel: 5.87 -> 0.91 s
+    min-of-6 same-JVM; bit-parity INCLUDING the short/NULL-doc edge
+    semantics is pinned in tests/test_text_functions.py). One shuffle
+    on (lang, trigram)."""
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")
-    # substring with a column start position needs the SQL form
-    docs2 = docs.select(
-        "lang", F.lower(F.col("text")).alias("_t")
-    ).withColumn(
-        "_tris",
-        F.expr(
-            "transform(sequence(1, greatest(length(_t) - 2, 0)),"
-            " i -> substring(_t, i, 3))"
-        ),
-    )
-    counts = (
-        docs2.select("lang", F.explode("_tris").alias("trigram"))
-        .groupBy("lang", "trigram")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    counts = T.char_trigram_counts(docs, group_col="lang", text_col="text")
     w = Window.partitionBy("lang").orderBy(
         F.desc("n"), F.asc("trigram")
     )
@@ -6388,29 +6379,62 @@ def events_session_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_sess",
         F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    items = flagged.select(
-        F.concat_ws("#", "user_id", "_sess").alias("sid"), "event_type"
-    ).distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.sid") == F.col("b.sid"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
-        )
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_ab"))
+    # r15 restructure (guide §1.2 #1): the old shape derived pairs,
+    # marginals and the basket total from an `items` distinct that fed
+    # FOUR consumers — the profiler showed the whole sessionize window
+    # pipeline computed TWICE per execution (column pruning makes the
+    # consumers' subtrees differ, defeating exchange reuse) plus four
+    # downstream shuffles and a self-join. Now: ONE sessionize pass ->
+    # per-session sorted type set (collect_set absorbs the distinct) ->
+    # one combined explode emitting, per basket, every ordered type
+    # pair (ta < tb — identical to the old a.type < b.type self-join
+    # count over distinct (sid, type)), every single type (ta, NULL)
+    # (= the old marginal: one items row per (sid, type)), and one
+    # (NULL, NULL) basket marker (= the old distinct-sid total) -> ONE
+    # aggregation, localCheckpointed (it is tiny: <= |types|^2 rows) so
+    # the three readers below do not re-run the pipeline. NULL
+    # event_types: collect_set drops them, but the old query's NULL
+    # marginal row never joined a pair row (pairs exclude NULL by the
+    # `<` comparison) and the sid universe is unchanged, so results
+    # are identical — oracle-verified at three SFs.
+    baskets = flagged.groupBy(
+        F.concat_ws("#", "user_id", "_sess").alias("sid")
+    ).agg(F.sort_array(F.collect_set("event_type")).alias("_ts"))
+    entries = baskets.select(
+        F.explode(
+            F.expr(
+                """
+                concat(
+                  array(named_struct(
+                    'ta', CAST(NULL AS STRING), 'tb', CAST(NULL AS STRING))),
+                  transform(_ts, t -> named_struct(
+                    'ta', t, 'tb', CAST(NULL AS STRING))),
+                  flatten(transform(_ts, (x, i) ->
+                    transform(slice(_ts, i + 2, size(_ts)), y ->
+                      named_struct('ta', x, 'tb', y))))
+                )
+                """
+            )
+        ).alias("e")
+    ).select("e.ta", "e.tb")
+    g = (
+        entries.groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .localCheckpoint()
     )
-    marg = items.groupBy(
-        F.col("event_type").alias("t")
-    ).agg(F.count(F.lit(1)).alias("n_t"))
-    tot = items.select("sid").distinct().agg(
-        F.count(F.lit(1)).alias("_n")
+    pairs = g.filter(
+        F.col("ta").isNotNull() & F.col("tb").isNotNull()
+    ).select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("_cnt").alias("n_ab"),
     )
+    marg = g.filter(
+        F.col("ta").isNotNull() & F.col("tb").isNull()
+    ).select(F.col("ta").alias("t"), F.col("_cnt").alias("n_t"))
+    tot = g.filter(
+        F.col("ta").isNull() & F.col("tb").isNull()
+    ).select(F.col("_cnt").alias("_n"))
     return (
         pairs.join(
             F.broadcast(

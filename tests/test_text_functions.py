@@ -335,3 +335,76 @@ def test_bigram_surprisal_known_corpus(spark):
     assert abs(out[1].avg_surprisal - (s_ab + s_bc) / 2) < 1e-12
     assert abs(out[2].avg_surprisal - s_ab) < 1e-12
     assert abs(out[3].avg_surprisal - s_ac) < 1e-12
+
+
+def _trigram_expr_counts(df):
+    """The pre-r15 expression form of docs_char_trigram_profile's
+    counting stage — kept here as the parity reference for the
+    char_trigram_counts mapInArrow kernel."""
+    d2 = df.select("lang", F.lower(F.col("text")).alias("_t")).withColumn(
+        "_tris",
+        F.expr(
+            "transform(sequence(1, greatest(length(_t) - 2, 0)),"
+            " i -> substring(_t, i, 3))"
+        ),
+    )
+    return (
+        d2.select("lang", F.explode("_tris").alias("trigram"))
+        .groupBy("lang", "trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def test_char_trigram_counts_parity_adversarial(spark):
+    """The kernel must replicate the expression form exactly —
+    INCLUDING its edge semantics, which are part of the declared query
+    results: short/empty docs emit the whole text twice (sequence(1,0)
+    is the descending [1, 0]), NULL docs emit two NULL trigrams, and
+    astral-plane chars count one position each (the rejected
+    zero-width-regex variant split surrogate pairs; this corpus pins
+    that divergence class)."""
+    from dataflow_example_spark.functions.text import char_trigram_counts
+
+    rows = [
+        (1, "en", "abcdef"),
+        (2, "en", "ab\ncd\nef"),                 # newlines
+        (3, "em", "a\U0001F600b\U0001F600c"),    # astral chars
+        (4, "em", "\U0001F600" * 4),             # all astral
+        (5, "de", "héllo wörld"),
+        (6, "de", "ééé"),      # combining accents
+        (7, "xx", ""),                            # empty -> text twice
+        (8, "xx", "ab"),                          # short -> text twice
+        (9, "xx", None),                          # NULL -> 2 NULL rows
+        (10, "en", "ABCdef"),                     # lowercasing JVM-side
+        (11, None, "abc"),                        # NULL group
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    key = lambda t: (t[0] is None, t[0] or "", t[1] is None, t[1] or "", t[2])
+    a = sorted(
+        ((r.lang, r.trigram, r.n) for r in _trigram_expr_counts(df).collect()),
+        key=key,
+    )
+    b = sorted(
+        ((r.lang, r.trigram, r.n) for r in char_trigram_counts(df).collect()),
+        key=key,
+    )
+    assert a == b, f"diverged: {[(x, y) for x, y in zip(a, b) if x != y][:5]}"
+    # the edge semantics explicitly
+    d = {(lang, tri): n for lang, tri, n in b}
+    assert d[("xx", "")] == 2 and d[("xx", "ab")] == 2
+    assert d[("xx", None)] == 2
+
+
+def test_char_trigram_counts_parity_real_corpus(spark):
+    from tests.conftest import SF_SMOKE
+    from dataflow_example_spark.functions.text import char_trigram_counts
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    a = sorted(
+        (r.lang, r.trigram, r.n) for r in _trigram_expr_counts(docs).collect()
+    )
+    b = sorted(
+        (r.lang, r.trigram, r.n) for r in char_trigram_counts(docs).collect()
+    )
+    assert a == b
+    assert len(b) > 100  # non-vacuous

@@ -266,8 +266,13 @@ AUDITS: dict[str, list[str]] = {
     "events_lorenz_concentration": ["partial", "codegen", "pruned:2", "bounded_single_partition"],
     "docs_fingerprint_collision_rate": ["partial", "codegen", "no_bnl", "pruned:2"],
     "supplier_portfolio_breadth": ["partial", "codegen", "no_bnl", "pruned:2"],
-    # lift crossJoins a broadcast 1-row session total (allow-listed)
-    "events_session_type_lift": ["broadcast", "partial", "codegen"],
+    # lift crossJoins a broadcast 1-row session total (allow-listed).
+    # r15: the basket aggregation runs ONCE inside the construct-time
+    # localCheckpoint (the dedup_clusters/sim_semantic_dedup_clusters
+    # precedent), so the declared plan reads the checkpointed tiny
+    # aggregate and carries no partial-agg node itself — "partial"
+    # dropped like those two entries.
+    "events_session_type_lift": ["broadcast", "codegen"],
     # churn crossJoins the broadcast 1-row horizon (allow-listed shape)
     "events_churn_risk": ["partial", "codegen", "pruned:3"],
     "orders_cohort_repeat": ["partial", "codegen", "no_bnl", "pruned:3"],
