@@ -6088,38 +6088,56 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Component means via numerics.fixed_point_sum (each (label, half,
     pos) cell holds that label's whole corpus slice — the former sorted
     collect-fold was an OOM at 100 TB); the final 64-term distance fold
-    stays a sorted fold (constant-bounded). Engine-exact either way."""
+    stays a sorted fold (constant-bounded). Engine-exact either way.
+
+    Single-pass shape (r16, guide §1.2): both halves' sums and counts
+    are conditional aggregates of ONE groupBy(label, pos) — one scan,
+    one exchange — instead of groupBy(label, half, pos) fanned into two
+    filtered branches re-joined on (label, pos) (two post-shuffle
+    aggregate evaluations plus a join exchange). Equivalence:
+    fixed_point_sum is an order-independent decimal sum and `when`
+    without `otherwise` NULL-skips the other half exactly as the
+    half-filtered groups did; `count(when(half, 1))` counts all of the
+    half's rows including NULL `_v`, matching the old `count(1)` per
+    (label, half, pos) group; requiring both half-counts > 0 reproduces
+    the inner join's (label, pos) membership (a cell existed for a half
+    iff it had >= 1 row). The divides cannot hit ANSI 0-division: a
+    0-count half has a NULL sum, and NULL/0 short-circuits to NULL
+    before the divisor check — and those rows are filtered anyway."""
     from .functions.numerics import fixed_point_sum
 
     emb = load(spark, sf_dir, "embeddings")
-    half = F.when(F.col("vec_id") % 2 == 0, F.lit("a")).otherwise(
-        F.lit("b")
+    # NULL vec_id lands in half "b", exactly as the old
+    # when(...).otherwise("b") routed it — a raw boolean would NULL-skip
+    # such rows from BOTH halves.
+    is_a = F.when(F.col("vec_id") % 2 == 0, F.lit(True)).otherwise(
+        F.lit(False)
     )
     comp = emb.select(
         "label",
-        half.alias("half"),
+        is_a.alias("_ia"),
         F.posexplode("embedding").alias("pos", "_v"),
     )
-    cents = comp.groupBy("label", "half", "pos").agg(
-        (
-            fixed_point_sum(F.col("_v").cast("double"))
-            / F.count(F.lit(1))
-        ).alias("m")
+    v = F.col("_v").cast("double")
+    cells = comp.groupBy("label", "pos").agg(
+        fixed_point_sum(F.when(F.col("_ia"), v)).alias("_sa"),
+        F.count(F.when(F.col("_ia"), F.lit(1))).alias("_na"),
+        fixed_point_sum(F.when(~F.col("_ia"), v)).alias("_sb"),
+        F.count(F.when(~F.col("_ia"), F.lit(1))).alias("_nb"),
     )
-    a = cents.filter(F.col("half") == "a").select(
-        "label", "pos", F.col("m").alias("ma")
-    )
-    b = cents.filter(F.col("half") == "b").select(
-        "label", "pos", F.col("m").alias("mb")
+    paired = cells.filter(
+        (F.col("_na") > 0) & (F.col("_nb") > 0)
+    ).select(
+        "label",
+        (F.col("_sa") / F.col("_na")).alias("ma"),
+        (F.col("_sb") / F.col("_nb")).alias("mb"),
     )
     d2 = (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))
     fold2 = F.aggregate(
         F.sort_array(F.collect_list(d2)), F.lit(0.0), lambda acc, x: acc + x
     )
-    return (
-        a.join(b, ["label", "pos"])
-        .groupBy("label")
-        .agg(F.sqrt(fold2).alias("centroid_l2_drift"))
+    return paired.groupBy("label").agg(
+        F.sqrt(fold2).alias("centroid_l2_drift")
     )
 
 
@@ -6129,9 +6147,35 @@ def ri_check_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem->orders, lineitem->part, lineitem->supplier,
     orders->customer, customer->nation, supplier->nation,
     nation->region): child rows, distinct keys, and orphan count per
-    edge — the first structural check of any migration. Each edge is
-    one left-anti-style aggregate (count of keys missing from the
-    broadcast/distinct parent side); edges union into one report."""
+    edge — the first structural check of any migration.
+
+    One pass per edge (r16, guide §1.2): the child is grouped by key
+    ONCE (map-side combine shuffles distinct keys, not rows), left-
+    joined against the distinct parent keys with a hit marker, and all
+    three report numbers come out of one final aggregate — instead of
+    the old 7 × (full-child agg with a count_distinct expand + a
+    SECOND full-child pass through a left-anti join + a 1-row broadcast
+    crossJoin). Halves the child passes, drops 7 driver-blocking
+    broadcast builds and every crossJoin, and at warehouse scale the
+    only child-table shuffle left carries map-side-combined distinct
+    keys (the left_anti shuffled every child ROW once the parent side
+    outgrew broadcast). Two rejected variants, both measured same-JVM
+    alternating min-of-6 at sf0.1: a tagged-union single pipeline over
+    all 7 edges (1.42 s vs 0.76/0.80 — unioning destroys the per-edge
+    broadcast locality) and the status quo (r15's 2.55 s for this query
+    was the throttled-disk artifact, see OPTIMIZATION_r16.md; its real
+    post-tmpfs cost is ~0.8 s, which this shape matches locally while
+    winning at scale).
+
+    Equivalence (oracle-pinned at 3 SFs + exact-parity A/B): per key
+    group `_cnt` = child rows with that key, so sum(_cnt) = count(*);
+    count of non-NULL group keys = count(DISTINCT k) (count_distinct
+    ignores NULLs; the NULL group contributes 0 to `count(_k)`); a
+    group with no parent match (`_hit` NULL — including the NULL-key
+    group, which never equi-joins) contributes `_cnt` orphan rows,
+    exactly the rows the old left_anti kept. On an empty child the
+    group-less `agg()` still emits one row and the sums coalesce to 0,
+    matching the old per-edge count-only row."""
     tables = {
         n: load(spark, sf_dir, n)
         for n in [
@@ -6148,20 +6192,27 @@ def ri_check_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("supplier", "s_nationkey", "nation", "n_nationkey"),
         ("nation", "n_regionkey", "region", "r_regionkey"),
     ]
+    zero = F.lit(0).cast("bigint")
     parts = []
     for child, ck, parent, pk in edges:
-        c = tables[child].select(F.col(ck).alias("_k"))
-        p = tables[parent].select(F.col(pk).alias("_k")).distinct()
-        orphans = c.join(p, "_k", "left_anti")
+        per_key = tables[child].groupBy(F.col(ck).alias("_k")).agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+        p = (
+            tables[parent]
+            .select(F.col(pk).alias("_k"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
         parts.append(
-            c.agg(
+            per_key.join(p, "_k", "left").agg(
                 F.lit(f"{child}.{ck}->{parent}.{pk}").alias("fk_edge"),
-                F.count(F.lit(1)).alias("child_rows"),
-                F.count_distinct("_k").alias("distinct_keys"),
-            ).crossJoin(
-                F.broadcast(
-                    orphans.agg(F.count(F.lit(1)).alias("orphan_rows"))
-                )
+                F.coalesce(F.sum("_cnt"), zero).alias("child_rows"),
+                F.count("_k").alias("distinct_keys"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_hit").isNull(), F.col("_cnt"))),
+                    zero,
+                ).alias("orphan_rows"),
             )
         )
     out = parts[0]
